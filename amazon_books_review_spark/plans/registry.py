@@ -1,0 +1,19 @@
+"""Catalog registrations: one @query entry per SURVEY.md §2 operator.
+
+This module is imported for its side effects by
+``amazon_books_review_spark.plans.catalog._load_all``.
+"""
+
+from __future__ import annotations
+
+from amazon_books_review_spark.plans.catalog import query
+from amazon_books_review_spark.plans.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    flagship_gold_rollup,
+)
+
+query(
+    "flagship_gold_rollup",
+    FLAGSHIP_ORACLE_SQL,
+    doc="J1+P6+A1: silver/gold medallion semantics on orders x customer",
+)(flagship_gold_rollup)

@@ -1,0 +1,206 @@
+"""Sources and sinks: the reference's I/O surface, made portable.
+
+Covers SURVEY.md §2.1:
+
+- S1 CSV batch scan (reference: inferschema at
+  Amazon-book-review_books_details.py:54 / _books_reviews.py:29) —
+  here with *explicit* schemas, which kills the extra inference pass
+  over the file and makes types run-independent.
+- S2/S3 Parquet batch sink/scan (BD:203/207, BR:119/125) — with an
+  explicit write mode (the reference omits one and fails on re-run).
+- S4 Auto Loader replacement: OSS streaming file source with a
+  required explicit schema (MA:9-14, MA:50-55).
+- S5/S6 checkpointed streaming sinks, append/complete
+  (MA:34-39, MA:73-78, MA:127-132, MA:178-183).
+- S9 ``dbutils`` mounts (BD:19-34) become plain configurable paths.
+
+Scale notes (100 TB discipline):
+- Readers take directories, not single files — a production table is
+  thousands of parquet parts; ``spark.read.parquet`` handles both.
+- ``write_parquet`` exposes ``partition_by`` and bucketing so big
+  fact tables land partitioned (partition pruning at read time) and
+  join-heavy tables can be bucketed (shuffle-free co-located joins).
+- No ``collect()`` anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import StructType
+
+#: The driver-provided test tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# ---------------------------------------------------------------------------
+# Batch
+# ---------------------------------------------------------------------------
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+    **options: str,
+) -> DataFrame:
+    """S1 — CSV scan.  Prefer an explicit ``schema``; inference is a
+    full extra pass over the input (SURVEY.md §4.2.5)."""
+    reader = spark.read.format("csv").option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    return reader.load(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — Parquet scan (vectorized, column-pruned, filter-pushed by
+    Catalyst as long as callers keep predicates on bare columns)."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """S2 — Parquet sink with an explicit mode (reference omits it,
+    BD:203).  ``partition_by`` enables partition pruning downstream;
+    ``max_records_per_file`` bounds file sizes at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table: ``{sf_dir}/{name}.parquet``."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load several test tables; optionally register temp views so the
+    SQL surface (``spark.sql``) works over them — the reference's
+    temp-view+SQL idiom (MA:14, MA:22-25)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S4 — the OSS replacement for Databricks Auto Loader (MA:9-14).
+
+    The OSS file source *requires* a user-supplied schema — which is
+    the better engineering anyway (Auto Loader's
+    ``cloudFiles.schemaLocation`` exists to paper over inference).
+    ``max_files_per_trigger`` is the rate-control knob.
+    """
+    reader = spark.readStream.format("parquet").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    fmt: str = "parquet",
+    available_now: bool = True,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """S5/S6 — checkpointed streaming file sink.
+
+    ``available_now=True`` gives deterministic drain-everything-then-stop
+    semantics (the test idiom; production would pass False for a
+    continuous micro-batch loop).  ``output_mode="complete"`` is only
+    valid for aggregations and is handled by :func:`write_stream_complete_to_parquet`
+    because the OSS file sink only supports append — the reference's
+    complete-mode gold sink (MA:178-183) relies on Delta.
+    """
+    writer: DataStreamWriter = (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+        .outputMode(output_mode)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_stream_complete_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """S6 — complete-mode aggregate sink onto plain parquet.
+
+    The OSS parquet sink cannot take ``complete`` output directly
+    (that needs a table format with overwrite, i.e. Delta — MA:182).
+    Portable equivalent: ``foreachBatch`` overwriting the target per
+    micro-batch.  Same observable behavior: the sink always holds the
+    full current aggregate.
+    """
+
+    def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    writer = (
+        df.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_overwrite)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,103 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness gate.
+
+For each catalog entry: run the Spark query and the DuckDB oracle on
+the same parquet tables, then compare row count and an
+order-insensitive value comparison with columns sorted by name —
+the same shape as the driver's check, so a pass here predicts a pass
+in CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from amazon_books_review_spark.sources.io import TESTDATA_TABLES
+
+REL_TOL = 1e-9
+ABS_TOL = 1e-9
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Canonical value forms so dtype-only differences don't fail:
+    out = {}
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_float_dtype(s):
+            out[col] = s.astype(float)
+        elif pd.api.types.is_integer_dtype(s):
+            out[col] = s.astype("Int64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[col] = pd.to_datetime(s).dt.tz_localize(None)
+        else:
+            out[col] = s.astype(object).map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    norm = pd.DataFrame(out)
+    return norm.sort_values(by=list(norm.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=REL_TOL, abs_tol=ABS_TOL)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems
+    if problems:
+        return problems
+    s = _normalize(spark_pdf)
+    o = _normalize(oracle_pdf)
+    for i in range(len(s)):
+        for col in s.columns:
+            if not _values_equal(s.at[i, col], o.at[i, col]):
+                problems.append(
+                    f"value mismatch row {i} col {col}: "
+                    f"spark={s.at[i, col]!r} oracle={o.at[i, col]!r}"
+                )
+                if len(problems) > 5:
+                    return problems
+    return problems
+
+
+def run_parity(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(spark_pdf, oracle_pdf)
