@@ -29,6 +29,10 @@ SEMANTIC_CONFS: dict[str, str] = {
     # epoch conversions happen in UTC so results are reproducible and
     # match the DuckDB oracle regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
+    # Spark rejects parquet TIMESTAMP(NANOS) columns (the events test
+    # table uses them); read them as raw nanos longs instead and let
+    # sources.io.load_table convert to TimestampType (micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 #: Performance confs (builder-time; some also settable at runtime).

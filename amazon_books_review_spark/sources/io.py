@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -98,8 +99,20 @@ def write_parquet(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver test table: ``{sf_dir}/{name}.parquet``."""
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver test table: ``{sf_dir}/{name}.parquet``.
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; under
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (session.py) it
+    arrives as a nanos BIGINT and is converted here to TimestampType
+    at microsecond precision (``div 1000`` — integer division, since
+    nanos exceed double's 2^53 exact-integer range).
+    """
+    df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(
