@@ -1,0 +1,171 @@
+"""Join operators — J1 plus the extension joins the north-star ops need.
+
+The reference's only join is the silver stream-stream INNER equi-join
+on Title (Amazon_books_review_medallion_architecture.py:116-121); its
+batch analog is :func:`equi_join`.  left/semi/anti are required by the
+dedup/similarity extensions (SURVEY.md §2.3 note), and as-of joins are
+the canonical "operator Spark lacks" implemented as a composition of
+built-in ops (no UDF, no mapPartitions).
+
+Scale notes are per-function; the common theme: never shuffle the big
+side more than once, broadcast dimensions explicitly, and keep join
+keys narrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1 — hash equi-join (MA:119-120 batch analog).
+
+    ``broadcast_right=True`` for dimension tables: the big (left) side
+    is then never shuffled — at 100 TB a shuffled fact table is the
+    single most expensive mistake this engine could make.  Without the
+    hint, AQE still picks broadcast when the built side is below
+    ``spark.sql.autoBroadcastJoinThreshold`` at runtime.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """EXISTS-style filter: left rows with a match in right.  Cheaper
+    than inner-join+dedup — right side reduces to its join keys."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """NOT EXISTS-style filter: left rows with no match in right."""
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.right_time <= left.left_time`` within the same ``by`` key.
+
+    Implementation is the union-tag-window composition (public
+    pattern; e.g. how Flink/kdb-style asof is expressed over ANSI
+    windows): tag both inputs, union by name, window-sort within the
+    key on (time, side-tag), carry the right payload forward with
+    ``last(..., ignorenulls=True)``, keep left rows.
+
+    Scale notes:
+    - ONE shuffle of each input on ``by`` (the window partition);
+      a naive approach (join + filter + groupBy-max + re-join) costs
+      three shuffles and an exploding intermediate.
+    - Skewed ``by`` keys hurt any windowed approach; for a hot key,
+      pre-bucket by (key, time-range) first — the range join below.
+    - If ``right`` has several rows at the identical (by, time), the
+      one sorting last wins; pre-dedup right for full determinism.
+    """
+    lcols = set(left.columns)
+    sides_schema_cols = [by, "_t", "_is_left"]
+
+    tagged_left = left.select(
+        F.col(by),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (by,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+    )
+    tagged_right = right.select(
+        F.col(by),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (by,)
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    # Right rows sort before left rows at the same timestamp so a
+    # right event AT the left timestamp is visible (<= semantics).
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_values
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        F.col(by),
+        *[F.col(c) for c in left.columns if c not in (by,)],
+        *[F.col(f"_m_{c}").alias(f"{c}_asof") for c in right_values],
+    )
+    if how == "inner":
+        cond = None
+        for c in right_values:
+            this = F.col(f"{c}_asof").isNotNull()
+            cond = this if cond is None else (cond | this)
+        if cond is not None:
+            out = out.filter(cond)
+    _ = lcols, sides_schema_cols
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    extra_on: Column | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Point-in-interval range join: rows where
+    ``right_lo <= left_point < right_hi`` (+ optional equi condition).
+
+    Without help Spark plans a broadcast-nested-loop or cartesian for
+    pure range conditions.  When ``bucket_width`` is given, both sides
+    are expanded to equi-join on coarse buckets first (the standard
+    bucketed-range-join rewrite), turning O(n*m) into a hash join on
+    (bucket) with a residual filter — at 100 TB this is the difference
+    between feasible and not.
+    """
+    cond = (F.col(right_lo) <= F.col(left_point)) & (
+        F.col(left_point) < F.col(right_hi)
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    if bucket_width is None:
+        return left.join(right, cond)
+
+    lb = left.withColumn(
+        "_bucket", (F.col(left_point).cast("long") / bucket_width).cast("long")
+    )
+    rb = right.withColumn(
+        "_blo", (F.col(right_lo).cast("long") / bucket_width).cast("long")
+    ).withColumn(
+        "_bhi", (F.col(right_hi).cast("long") / bucket_width).cast("long")
+    )
+    rb = rb.withColumn(
+        "_bucket", F.explode(F.sequence(F.col("_blo"), F.col("_bhi")))
+    ).drop("_blo", "_bhi")
+    return lb.join(rb, "_bucket").filter(cond).drop("_bucket")

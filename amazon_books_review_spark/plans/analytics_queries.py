@@ -1,0 +1,485 @@
+"""Analytical catalog queries — joins, aggregates, windows, set ops.
+
+TPC-H-style headline queries (the bench.py workload) plus the
+extension operator surface (window top-k, rollup, set ops, as-of and
+range joins, JSON extraction).  Cross-engine float determinism comes
+from the DECIMAL-exact-sum convention in operators/aggregates.py:
+money columns carry exactly 2 decimals in the testdata, so
+DECIMAL(12,2) casts are lossless and sums become order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.operators import aggregates as agg
+from amazon_books_review_spark.operators import joins, windows
+from amazon_books_review_spark.sources.io import load_table
+
+D = "decimal(12,2)"  # lossless for the 2-decimal testdata money columns
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — pricing summary (scan + filter + wide agg)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast(D)
+    disc = F.col("l_discount").cast(D)
+    tax = F.col("l_tax").cast(D)
+    one = F.lit(1).cast(D)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            agg.exact_sum("l_quantity").alias("sum_qty"),
+            agg.exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(ext * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            agg.exact_avg("l_quantity").alias("avg_qty"),
+            agg.exact_avg("l_extendedprice").alias("avg_price"),
+            agg.exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority top-k (3-way join + agg + window)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30")
+    )
+    revenue = (F.col("l_extendedprice").cast(D) * (F.lit(1).cast(D) - F.col("l_discount").cast(D)))
+
+    joined = joins.equi_join(
+        joins.equi_join(
+            li,
+            orders,
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ),
+        F.broadcast(cust),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per_order = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    return windows.top_k_per_key(
+        per_order.withColumn("_g", F.lit(1)),
+        ["_g"],
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    ).select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+        "revenue",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+TPCH_Q3_ORACLE = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           o_orderdate,
+           o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+), ranked AS (
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority,
+           revenue,
+           row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+    FROM per_order
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — regional revenue (5-way join, dims broadcast)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice").cast(D) * (F.lit(1).cast(D) - F.col("l_discount").cast(D)))
+
+    # Fact tables join each other; every dimension is broadcast — the
+    # lineitem side shuffles exactly once (for the orders join under
+    # SMJ at scale; AQE turns it into broadcast when orders is small).
+    df = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+    )
+    return df.groupBy("r_name", "n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT r_name,
+       n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window top-k per key (extension §2.5)
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return windows.top_k_per_key(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+TOP_ORDERS_ORACLE = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders
+)
+SELECT * FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (extension §2.7)
+# ---------------------------------------------------------------------------
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    y98 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    ).select("o_custkey")
+    both = y96.intersect(y98).withColumn("set_op", F.lit("both"))
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep a
+    # key that occurs more often on the left than the right.
+    only96 = y96.subtract(y98).withColumn("set_op", F.lit("only_1996"))
+    either = y96.union(y98).distinct().withColumn("set_op", F.lit("either"))
+    return both.unionByName(only96).unionByName(either)
+
+
+SET_OPS_ORACLE = """
+WITH y96 AS (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+), y98 AS (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT o_custkey, 'both' AS set_op FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT o_custkey, 'only_1996' AS set_op FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT o_custkey, 'either' AS set_op FROM (SELECT o_custkey FROM y96 UNION SELECT o_custkey FROM y98)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP subtotals (extension §2.4)
+# ---------------------------------------------------------------------------
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return agg.rollup_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            agg.exact_sum("o_totalprice").alias("total_price"),
+        ],
+    )
+
+
+ORDERS_ROLLUP_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct aggregation (extension §2.4)
+# ---------------------------------------------------------------------------
+
+
+def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg.distinct_count(li, ["l_returnflag"], "l_suppkey", "n_suppliers")
+
+
+DISTINCT_SUPPLIERS_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+JSON_EXTRACT_ORACLE = """
+WITH src AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT k % 10 AS k_mod, count(*) AS n_events, sum(k) AS k_sum
+FROM src
+GROUP BY k % 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (extension — composition of built-in ops, no UDF)
+# ---------------------------------------------------------------------------
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the user's latest order placed at-or-before the
+    event time.  The right side is pre-deduped to one row per
+    (custkey, orderdate) — max orderkey — making the as-of pick
+    deterministic on both engines."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = joins.asof_join(
+        events,
+        orders,
+        by="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey_asof").alias("last_orderkey"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd").alias("last_orderdate"),
+    )
+
+
+ASOF_JOIN_ORACLE = """
+WITH dedup_orders AS (
+    SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id,
+       e.user_id,
+       d.o_orderkey AS last_orderkey,
+       strftime(d.o_orderdate, '%Y-%m-%d') AS last_orderdate
+FROM events e
+ASOF JOIN dedup_orders d
+  ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join (bucketed rewrite)
+# ---------------------------------------------------------------------------
+
+
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join: event values into 40-wide
+    region bands.  The bucketed rewrite turns the O(n*m) range
+    condition into a hash equi-join on coarse buckets + residual
+    filter — the only shape that survives 100 TB."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    region = load_table(spark, sf_dir, "region").select(
+        "r_name",
+        (F.col("r_regionkey").cast("double") * 40).alias("lo"),
+        ((F.col("r_regionkey").cast("double") + 1) * 40).alias("hi"),
+    )
+    out = joins.range_join(
+        events, region, "value", "lo", "hi", bucket_width=16
+    )
+    return out.select("event_id", "r_name", "value")
+
+
+RANGE_JOIN_ORACLE = """
+SELECT e.event_id,
+       r.r_name,
+       e.value
+FROM events e
+JOIN (
+    SELECT r_name,
+           CAST(r_regionkey AS DOUBLE) * 40 AS lo,
+           (CAST(r_regionkey AS DOUBLE) + 1) * 40 AS hi
+    FROM region
+) r ON r.lo <= e.value AND e.value < r.hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global top-k (sort + limit => TakeOrdered, no full sort)
+# ---------------------------------------------------------------------------
+
+
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return windows.global_top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+GLOBAL_TOP_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct — rows-only (HLL sketches differ across engines)
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return agg.approx_distinct_count(
+        events, ["event_type"], "user_id", rsd=0.02
+    )
+
+
+ANALYTICS_QUERIES = [
+    ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE,
+     "TPC-H Q1 shape: scan + filter + wide aggregation"),
+    ("tpch_q3_shipping_priority", tpch_q3_shipping_priority, TPCH_Q3_ORACLE,
+     "TPC-H Q3 shape: 3-way join + agg + global top-k window"),
+    ("tpch_q5_regional_revenue", tpch_q5_regional_revenue, TPCH_Q5_ORACLE,
+     "TPC-H Q5 shape: 5-way join, dims broadcast"),
+    ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE,
+     "window top-k per key (row_number)"),
+    ("customer_set_ops", customer_set_ops, SET_OPS_ORACLE,
+     "INTERSECT / EXCEPT / UNION"),
+    ("orders_rollup", orders_rollup, ORDERS_ROLLUP_ORACLE,
+     "GROUP BY ROLLUP subtotals"),
+    ("distinct_suppliers_per_flag", distinct_suppliers_per_flag, DISTINCT_SUPPLIERS_ORACLE,
+     "exact COUNT(DISTINCT) per group"),
+    ("json_extract_props", json_extract_props, JSON_EXTRACT_ORACLE,
+     "JSON field extraction + agg"),
+    ("asof_join_events_orders", asof_join_events_orders, ASOF_JOIN_ORACLE,
+     "as-of join via union+window composition"),
+    ("range_join_value_bands", range_join_value_bands, RANGE_JOIN_ORACLE,
+     "bucketed range join rewrite"),
+    ("global_top_orders", global_top_orders, GLOBAL_TOP_ORACLE,
+     "global top-k via TakeOrdered"),
+    ("approx_distinct_users", approx_distinct_users, None,
+     "HyperLogLog++ approximate distinct (rows-only: sketch differs by engine)"),
+]
