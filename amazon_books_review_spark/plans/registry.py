@@ -13,6 +13,7 @@ from amazon_books_review_spark.plans.flagship import (
 )
 from amazon_books_review_spark.plans.analytics_queries import ANALYTICS_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
+from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
     "flagship_gold_rollup",
@@ -20,5 +21,7 @@ query(
     doc="J1+P6+A1: silver/gold medallion semantics on orders x customer",
 )(flagship_gold_rollup)
 
-for _name, _fn, _oracle, _doc in REFERENCE_QUERIES + ANALYTICS_QUERIES:
+for _name, _fn, _oracle, _doc in (
+    REFERENCE_QUERIES + ANALYTICS_QUERIES + STREAMING_QUERIES
+):
     query(_name, _oracle, doc=_doc)(_fn)

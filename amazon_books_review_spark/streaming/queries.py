@@ -1,0 +1,127 @@
+"""Streaming catalog queries on the events table — oracle-checked.
+
+Structured Streaming's correctness story here: with an
+``availableNow`` trigger over a bounded input, a complete-mode
+aggregate and an append-mode stream-static join both produce exactly
+the batch result — so the DuckDB oracle is the BATCH SQL for the same
+transformation (stream-batch equivalence, SURVEY.md §5.2.3).
+
+Each query drains the stream into a temp parquet sink, then returns
+the materialized result as a batch DataFrame for the driver to hash.
+Windowed aggregation (ST6) and watermarks (ST4/ST5) are exercised by
+the windowed rollup; watermark-dropping of late data is only
+observable on unbounded streams and is covered in
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.io import (
+    load_table,
+    read_parquet,
+    write_stream,
+    write_stream_complete_to_parquet,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet (ts arrives as nanos
+    BIGINT under nanosAsLong -> converted like sources.io.load_table).
+
+    The streaming file source requires a *directory*, so we stream the
+    sf dir with a glob filter selecting just the events file.
+    """
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST6 — watermarked tumbling-window aggregate in complete
+    mode: events per (day, event_type) with per-type value sums."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="abr_stream_gold_")
+    q = write_stream_complete_to_parquet(
+        agg, f"{out}/data", f"{out}/ckpt", query_name="windowed_counts"
+    )
+    q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
+STREAMING_WINDOWED_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 + J1 — append-mode stream-static equi-join: event stream
+    enriched with the (static, broadcastable) customer dimension.
+    Zero streaming state: the static side is re-resolved per batch."""
+    stream = _events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = stream.join(
+        F.broadcast(customer),
+        stream.user_id == customer.c_custkey,
+        "inner",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "c_name",
+        "c_mktsegment",
+    )
+    out = tempfile.mkdtemp(prefix="abr_stream_join_")
+    q = write_stream(
+        joined, f"{out}/data", f"{out}/ckpt", query_name="stream_static_join"
+    )
+    q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
+STREAM_STATIC_JOIN_ORACLE = """
+SELECT event_id, user_id, event_type, c_name, c_mktsegment
+FROM events
+JOIN customer ON user_id = c_custkey
+"""
+
+
+STREAMING_QUERIES = [
+    ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
+     "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
+    ("streaming_stream_static_join", streaming_stream_static_join, STREAM_STATIC_JOIN_ORACLE,
+     "ST7+J1: append-mode stream-static join == batch join"),
+]

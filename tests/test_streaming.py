@@ -1,0 +1,79 @@
+"""Streaming medallion tests: stream-batch equivalence + incremental resume.
+
+The oracle for the whole MA pipeline (SURVEY.md §5.2.3): running the
+medallion as streams over a bounded input must produce exactly what
+the batch composition of the same pure functions produces.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.plans.books_pipeline import (
+    clean_books_details,
+    clean_books_ratings,
+    gold_users_count,
+    silver_books_reviews,
+)
+from amazon_books_review_spark.streaming.medallion import (
+    MedallionPaths,
+    run_streaming_medallion,
+)
+from tests.fixtures import details_df, ratings_df
+
+
+def _rows(df, cols=None):
+    if cols:
+        df = df.select(*cols)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def cleaned_inputs(spark, tmp_path):
+    """Cleaned details/reviews written as parquet 'landing zones'."""
+    details = clean_books_details(details_df(spark))
+    ratings = clean_books_ratings(ratings_df(spark))
+    d_path, r_path = str(tmp_path / "details_in"), str(tmp_path / "reviews_in")
+    details.write.mode("overwrite").parquet(d_path)
+    ratings.write.mode("overwrite").parquet(r_path)
+    return details, ratings, d_path, r_path
+
+
+@pytest.mark.parametrize("fidelity", [True, False])
+def test_streaming_medallion_equals_batch(spark, tmp_path, cleaned_inputs, fidelity):
+    details, ratings, d_path, r_path = cleaned_inputs
+    paths = MedallionPaths(d_path, r_path, str(tmp_path / f"medallion_{fidelity}"))
+    out = run_streaming_medallion(spark, paths, fidelity=fidelity)
+
+    batch_silver = silver_books_reviews(details, ratings, fidelity=fidelity)
+    batch_gold = gold_users_count(batch_silver)
+
+    assert _rows(out["bronze_details"]) == _rows(details)
+    assert _rows(out["bronze_reviews"]) == _rows(ratings)
+    assert _rows(out["silver"]) == _rows(batch_silver)
+    assert _rows(out["gold"]) == _rows(batch_gold)
+
+
+def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs):
+    """Re-running with NEW files processes only the increment
+    (checkpointed offsets), and gold reflects the union — the
+    reference's incremental Auto Loader behavior (MA:9-14)."""
+    details, ratings, d_path, r_path = cleaned_inputs
+    paths = MedallionPaths(d_path, r_path, str(tmp_path / "medallion_inc"))
+    first = run_streaming_medallion(spark, paths)
+    n_first = first["silver"].count()
+
+    # Drop a new reviews file: one more post-2010 review of Old Tome.
+    new_review = ratings.filter(F.col("Id") == "B3").withColumn(
+        "Id", F.lit("B3b")
+    ).withColumn("User_id", F.lit("U99"))
+    new_review.write.mode("append").parquet(r_path)
+
+    second = run_streaming_medallion(spark, paths)
+    assert second["silver"].count() == n_first + 1
+    gold = {
+        (r.Title, r.categories): r.users_count
+        for r in second["gold"].collect()
+    }
+    assert gold[("Old Tome", "History")] == 2  # B3 + B3b
