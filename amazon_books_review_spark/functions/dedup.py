@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The training-data-pipeline dedup family, each expressed Spark-first:
+
+- exact            -> hash groupBy on a fingerprint (one shuffle)
+- n-gram Jaccard   -> shingle explode + self-join on shingle + count
+                      ratio (the exact pairwise similarity, quadratic
+                      in the worst case — the verification stage)
+- MinHash + LSH    -> fixed-size signatures + banding so candidate
+                      generation is an EQUI-join on band hashes (the
+                      scale path: linear-ish, shuffle on band keys)
+- SimHash          -> 16-bit near-dup fingerprint; Hamming-ball
+                      lookups join on rotated bit-masks
+
+Determinism: hash functions are md5-based (available and identical in
+Spark and DuckDB), so every stage has an exact cross-engine oracle —
+the LSH *mechanics* are verified by the driver, not just row counts.
+MLlib's MinHashLSH (datasketch-style random permutations) is offered
+as :func:`minhash_lsh_ml` for production; its randomized signatures
+have no cross-engine oracle, so tests assert set-level properties.
+
+Scale notes inline per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.functions.text import tokens, word_ngrams
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: canonical (min-id) representative per distinct
+    text.  groupBy on the raw text shuffles whole documents; at scale
+    group on md5(text) instead — same result, 16-byte shuffle key."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """DISTINCT word n-gram shingles per document (set semantics —
+    Jaccard is over shingle sets)."""
+    toks = tokens(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(
+            word_ngrams_from(toks, n)
+        )).alias("shingle"))
+    )
+
+
+def word_ngrams_from(tokens_col: Column, n: int) -> Column:
+    """n-grams from an inline token-array Column (0-based subscripts)."""
+    # Build via transform over an index sequence; concat_ws joins the
+    # n consecutive tokens.
+    idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word-n-gram shingle sets.
+
+    Plan shape: explode distinct shingles -> self equi-join on shingle
+    -> count per pair = |intersection|; sizes come from a tiny per-doc
+    agg broadcast back in.  Jaccard = inter / (|a|+|b|-inter).
+
+    Scale notes:
+    - the self-join on ``shingle`` is the quadratic hazard: a shingle
+      shared by k docs emits k^2 pairs.  ``max_shingle_freq`` drops
+      shingles more frequent than the cap first (stop-shingles carry
+      no dedup signal but dominate the blow-up) — the standard guard
+      for web-scale corpora.
+    - ``id_a < id_b`` halves the pair space before the shuffle.
+    - integer counts divide exactly in double => cross-engine stable.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("_f") <= max_shingle_freq)),
+                    "shingle")
+            .drop("_f")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signature_cols(n_hashes: int) -> list[str]:
+    return [f"mh_{i}" for i in range(n_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures with md5-family hash functions.
+
+    Hash function i is ``md5(concat('i|', shingle))``; the signature
+    component is the lexicographic MIN over the document's shingles —
+    a random-permutation approximation that is deterministic and
+    engine-portable (md5 is identical everywhere).  One groupBy per
+    document computes ALL components (no per-hash passes).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, equi-join on
+    (band_id, band_hash).
+
+    With r rows per band, a pair with Jaccard s collides in a band
+    with prob ~ s^r; b bands make the overall candidate prob
+    1-(1-s^r)^b — the classic S-curve.  The join is an EQUI-join on a
+    16-byte key: linear shuffle, no pairwise blow-up beyond true
+    near-duplicate clusters.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b_side = banded.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b_side, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over tokens.
+
+    Per token: a 16-bit hash from the first 4 hex chars of md5(token).
+    Per bit j: sum +1/-1 across tokens (+weighting would slot in
+    here); fingerprint bit j = (sum > 0).  All expressed as 16 SUM
+    aggregations over the exploded tokens — one shuffle on doc id.
+    Near-dup lookup = Hamming distance on the fingerprints (tested in
+    pytest; pairs of hamming<=k via banding the 16 bits if needed).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else (fp + bit)
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit fingerprints (popcount of
+    XOR via bit_count — built-in, codegen'd)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def minhash_lsh_ml(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 5,
+    jaccard_distance: float = 0.5,
+    n: int = 3,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Production-scale near-dup via MLlib MinHashLSH (seeded):
+    HashingTF shingle sets -> MinHash signatures -> approxSimilarityJoin.
+    Randomized signatures => no cross-engine oracle; validated by
+    set-level properties in tests."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col), word_ngrams_from(tokens(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    tf = HashingTF(
+        inputCol="grams", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

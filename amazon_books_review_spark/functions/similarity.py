@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same output contract (query_id, neighbor_id, rank, sim):
+
+- :func:`cosine_topk` — brute force, exact.  The probe set is small
+  and broadcast; the corpus side streams through one projection (dot
+  product + norms are Catalyst higher-order array functions — no
+  Python, no shuffle of the corpus).  At 100 TB this is one map stage
+  + a per-probe top-k (window over rank), which is the right exact
+  baseline.
+- :func:`lsh_bucketed_topk` — random-hyperplane (sign) LSH buckets:
+  candidates = corpus rows sharing the probe's bucket (equi-join on a
+  short bit-signature), then exact re-rank within candidates.  Linear
+  candidate generation, tunable recall via n_planes/n_tables.  The
+  hyperplanes are derived deterministically from md5 — reproducible
+  across runs and engines.
+
+Norms/dots are computed in double regardless of the (float32) storage
+type; sums fold sequentially in array order => deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product via zip_with + aggregate."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per probe (self-matches excluded).
+
+    Similarity is rounded before ranking so that sub-ulp float noise
+    can never flip an order; ties break on neighbor id ascending.
+    """
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                sim_decimals,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )
+
+
+def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    """Reproducible pseudo-random hyperplanes: component (p, d) is
+    ``md5("{table}|{p}|{d}")``'s first 8 hex chars scaled to [-1, 1).
+    Computed driver-side with hashlib (md5 is md5 everywhere), so the
+    exact same constants can be embedded in an external oracle."""
+    import hashlib
+
+    def comp(p: int, d: int) -> float:
+        h = hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:8]
+        return int(h, 16) / float(16**8) * 2.0 - 1.0
+
+    return [[comp(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def hyperplane_signature(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
+    """Sign-LSH signature: the integer of sign bits of the projections
+    onto :func:`deterministic_planes`.  A pure projection — constant
+    plane arrays, no shuffle, no UDF."""
+    v = _as_double(vec)
+    planes = deterministic_planes(n_planes, dim, table)
+    bits = []
+    for p, plane in enumerate(planes):
+        comps = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(v, comps, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH bucket join + exact re-rank.
+
+    Multiple tables union their candidate sets (recall booster); the
+    candidate join is an equi-join on (table, signature) — linear in
+    corpus size, no cross join anywhere.  Output contract matches
+    :func:`cosine_topk`; recall vs the exact baseline is a test
+    property, not a constant.
+    """
+    def signed(df: DataFrame, role: str) -> DataFrame:
+        out = []
+        for t in range(n_tables):
+            out.append(
+                df.select(
+                    F.col(id_col).alias(f"{role}_id"),
+                    F.col(vec_col).alias(f"_{role}v"),
+                    F.lit(t).alias("table_id"),
+                    hyperplane_signature(F.col(vec_col), n_planes, dim, t).alias("sig"),
+                )
+            )
+        u = out[0]
+        for extra in out[1:]:
+            u = u.unionByName(extra)
+        return u
+
+    cand = (
+        signed(corpus, "neighbor")
+        .join(F.broadcast(signed(probes, "query")), ["table_id", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "_queryv", "neighbor_id", "_neighborv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "sim",
+        F.round(
+            dot(F.col("_queryv"), F.col("_neighborv"))
+            / (l2_norm(F.col("_queryv")) * l2_norm(F.col("_neighborv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )

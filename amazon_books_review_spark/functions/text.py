@@ -1,0 +1,160 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All Catalyst-native (no Python UDFs): tokenization, n-grams, quality
+scoring, language ID and fingerprinting run inside whole-stage codegen
+over the `documents` table — at 100 TB these are the per-document map
+stages that must never cross the Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword inventories for the n-gram/stopword
+#: language-ID heuristic.  Deliberately small and deterministic —
+#: the operator shape (per-language evidence scores -> argmax) is what
+#:  matters; swap in real CLD-style tables for production.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+#: Stopwords used by the quality score (English-ish).
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (split on one-or-more whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND on
+    letter/digit/punctuation class changes (a cheap BPE-flavored
+    proxy; real BPE needs a vocab).  Pure regex -> codegen-friendly."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_replace(
+        c, r"(\d+|[^\w\s]+)", r" $1 "
+    )
+    return F.size(F.split(F.trim(pieces), "\\s+"))
+
+
+def word_ngrams(tokens_col: str | Column, n: int) -> Column:
+    """Word n-grams from a token array, via transform+sequence (array
+    subscripts are 0-based in Spark SQL expressions)."""
+    name = tokens_col if isinstance(tokens_col, str) else None
+    if name is None:
+        raise ValueError("word_ngrams needs a column NAME for expr()")
+    parts = ", ".join(f"{name}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size({name}) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, length
+    moments — one projection, no shuffle."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+        (F.length(text_col) / F.size(toks)).alias("avg_token_len"),
+        bpe_ish_token_count(text_col).cast("long").alias("n_subword_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: blends length saturation,
+    alpha ratio, stopword presence and repetition (distinct ratio) —
+    the standard cheap pre-filter shape for pretraining corpora."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]))
+    ).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1.0))
+    len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        0.3 * len_sat
+        + 0.3 * alpha_ratio
+        + 0.2 * F.least(stop_hits / F.lit(3.0), F.lit(1.0))
+        + 0.2 * distinct_ratio,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-evidence language ID: count stopword hits per
+    language, argmax with deterministic tie-break on language code.
+
+    Shape note: evidence scoring stays a per-row projection (array
+    intersections against literal arrays — no join, no shuffle); at
+    100 TB this is a pure map stage.
+    """
+    toks = tokens(text_col)
+    scores = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    # argmax via a struct array sort: (-hits, lang) ascending.
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"hits_{lang}")).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    best = F.sort_array(pairs).getItem(0)
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}").cast("long") for lang in sorted(LANG_STOPWORDS)],
+        best.getField("lang").alias("lang_guess"),
+        (-best.getField("neg_hits")).cast("long").alias("lang_evidence"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprints:
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text (content
+      identity for exact dedup across formatting).
+    - ``fp_rolling``: 63-bit polynomial rolling hash over the md5s of
+      the tokens (order-sensitive, composable per-chunk — the shape a
+      chunked 100 TB ingest wants, since it can merge per-split).
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = tokens(text_col)
+    rolling = F.expr(
+        "aggregate(transform({t}, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)), "
+        "cast(1469598103934665603 as bigint), "
+        "(acc, h) -> (acc * 31 + h) & 9223372036854775807)".format(
+            t=f"split(trim({text_col}), '\\\\s+')"
+        )
+    )
+    _ = toks
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )

@@ -1,0 +1,436 @@
+"""North-star catalog queries: dedup, similarity, text analysis, multimodal.
+
+The training-data-pipeline operator suite over `documents` and
+`embeddings` (BASELINE.json extensions).  Everything hash-based uses
+md5 so DuckDB oracles verify the *mechanics* (signatures, bands,
+buckets), not just row counts.  The driver's sf0.01 documents table
+contains planted near-duplicates (max 2-gram Jaccard ~0.99 vs ~0.10
+background), so threshold 0.5 cleanly isolates true pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.functions import dedup, multimodal, similarity, text
+from amazon_books_review_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard pairs (the verification stage)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 2
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    )) AS shingle
+    FROM docs
+), sizes AS (
+    SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       sa.set_size AS size_a,
+       sb.set_size AS size_b,
+       round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash signatures + LSH banding (the scale path)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+BANDS = 2
+_ROWS_PER_BAND = N_HASHES // BANDS
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=NGRAM_N, n_hashes=N_HASHES, bands=BANDS
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    )) AS shingle
+    FROM docs
+), sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a
+JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash16(docs, "doc_id", "text")
+
+
+def _simhash_oracle() -> str:
+    # hex( md5(token)[0:4] ) -> int via char-position arithmetic.
+    hex_digit = (
+        lambda i: f"(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"
+    )
+    h4 = f"((({hex_digit(1)} * 16 + {hex_digit(2)}) * 16 + {hex_digit(3)}) * 16 + {hex_digit(4)})"
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id, {h4} AS h FROM toks
+), sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: exact cosine top-k + sign-LSH bucketed variant
+# ---------------------------------------------------------------------------
+
+TOPK_K = 5
+N_PROBES = 10
+LSH_PLANES = 6
+LSH_TABLES = 2
+EMB_DIM = 64
+
+
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=TOPK_K)
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), probes AS (
+    SELECT * FROM v WHERE vec_id < {N_PROBES}
+), scored AS (
+    SELECT p.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           round(list_inner_product(p.e, c.e) / (p.nrm * c.nrm), 6) AS sim
+    FROM probes p
+    JOIN v c ON c.vec_id <> p.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+           sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.lsh_bucketed_topk(
+        emb, probes, "vec_id", "embedding",
+        k=TOPK_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=EMB_DIM,
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    """Sign-LSH oracle with the SAME md5-derived hyperplane constants
+    (similarity.deterministic_planes), inlined as SQL arrays."""
+    table_sigs = []
+    for t in range(LSH_TABLES):
+        planes = similarity.deterministic_planes(LSH_PLANES, EMB_DIM, t)
+        bits = " + ".join(
+            f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(planes)
+        )
+        table_sigs.append(f"SELECT vec_id, e, nrm, {t} AS table_id, ({bits}) AS sig FROM v")
+    signed = "\n    UNION ALL\n    ".join(table_sigs)
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), signed AS (
+    {signed}
+), cand AS (
+    SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM signed p
+    JOIN signed c ON p.table_id = c.table_id AND p.sig = c.sig
+    WHERE p.vec_id < {N_PROBES} AND c.vec_id <> p.vec_id
+), scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_inner_product(pq.e, cv.e) / (pq.nrm * cv.nrm), 6) AS sim
+    FROM cand
+    JOIN v pq ON pq.vec_id = query_id
+    JOIN v cv ON cv.vec_id = neighbor_id
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+           sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text")
+
+
+TOKEN_STATS_ORACLE = r"""
+WITH docs AS (
+    SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars_measured,
+       len(text) * 1.0 / len(words) AS avg_token_len,
+       CAST(len(string_split(trim(regexp_replace(text, '(\d+|[^\w\s]+)', ' \1 ', 'g')), ' ')) AS BIGINT)
+           AS n_subword_tokens
+FROM docs
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    hits = ",\n       ".join(
+        "CAST(len(list_intersect(words, {words!r})) AS BIGINT) AS hits_{lang}".format(
+            words=list(text.LANG_STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    # argmax with alphabetical tie-break: greatest() + first-match CASE
+    # over langs in sorted order (mirrors Spark's sort_array argmax).
+    max_hits = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    guess = (
+        "CASE "
+        + " ".join(f"WHEN hits_{lang} = {max_hits} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), scored AS (
+    SELECT doc_id,
+       {hits}
+    FROM docs
+)
+SELECT doc_id, {', '.join('hits_' + lang for lang in langs)},
+       {guess} AS lang_guess,
+       CAST({max_hits} AS BIGINT) AS lang_evidence
+FROM scored
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+QUALITY_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents
+), m AS (
+    SELECT doc_id,
+           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+               / greatest(len(text), 1) AS alpha_ratio,
+           CAST(len(list_intersect(words, {list(text.QUALITY_STOPWORDS)!r})) AS DOUBLE)
+               AS stop_hits,
+           len(list_distinct(words)) * 1.0 / greatest(len(words), 1.0) AS distinct_ratio,
+           least(len(words) / 100.0, 1.0) AS len_sat
+    FROM docs
+)
+SELECT doc_id,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(0.3 * len_sat + 0.3 * alpha_ratio
+             + 0.2 * least(stop_hits / 3.0, 1.0)
+             + 0.2 * distinct_ratio, 4) AS quality
+FROM m
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # fp_rolling has no portable SQL oracle (hex->int conv chains);
+    # its properties are pytest-verified. Oracle checks fp_md5.
+    return text.fingerprint(docs, "doc_id", "text").select("doc_id", "fp_md5")
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def word_count_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic explode+count wordcount, restricted to words seen
+    >= 100 times (deterministic filter instead of a ties-prone LIMIT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+WORD_COUNT_ORACLE = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+GROUP BY word
+HAVING count(*) >= 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata via the Catalyst-native path (the
+    mapInPandas decode stage is pytest-verified; its fake decode has
+    no SQL analog)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.binary_meta(with_payload, "doc_id")
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode stage (deterministic fake decode) —
+    rows-only in the driver; exact outputs asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.decode_image_meta(with_payload, "doc_id")
+
+
+NORTHSTAR_QUERIES = [
+    ("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_ORACLE,
+     "exact dedup: canonical id per md5(text)"),
+    ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE,
+     "exact word-bigram Jaccard near-dup pairs (>= 0.5)"),
+    ("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
+     "MinHash(md5)x8 -> 2-band LSH candidate pairs"),
+    ("dedup_simhash", dedup_simhash, _simhash_oracle(),
+     "16-bit SimHash fingerprints"),
+    ("similarity_cosine_topk", similarity_cosine_topk, COSINE_TOPK_ORACLE,
+     "brute-force cosine top-5 for 10 probes"),
+    ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
+     "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
+    ("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE,
+     "per-doc token stats incl. BPE-ish subword count"),
+    ("text_lang_id", text_lang_id, _lang_id_oracle(),
+     "stopword-evidence language ID with argmax"),
+    ("text_quality_scores", text_quality_scores, QUALITY_ORACLE,
+     "heuristic quality scoring"),
+    ("doc_fingerprints", doc_fingerprints, FINGERPRINT_ORACLE,
+     "md5 content fingerprint (rolling hash pytest-only)"),
+    ("word_count_top", word_count_top, WORD_COUNT_ORACLE,
+     "explode+count wordcount"),
+    ("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_META_ORACLE,
+     "binary payload size/checksum metadata (Catalyst-native)"),
+    ("multimodal_decode_meta", multimodal_decode_meta, None,
+     "mapInPandas decode stage with deterministic fake decode"),
+]

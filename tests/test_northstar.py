@@ -1,0 +1,146 @@
+"""Property tests for the north-star ops that have no SQL oracle:
+MLlib MinHashLSH, rolling-hash fingerprints, LSH recall, multimodal
+decode.  Driver-testdata-based where useful (the documents table has
+planted near-duplicates), synthetic rows where sharper."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.functions import dedup, multimodal, similarity, text
+from amazon_books_review_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+class TestDedupProperties:
+    def test_jaccard_pairs_symmetric_bounds(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+        rows = pairs.collect()
+        assert rows, "sf0.001 documents should contain planted near-dups"
+        for r in rows:
+            assert r.id_a < r.id_b
+            assert 0.5 <= r.jaccard <= 1.0
+            assert r.n_common <= min(r.size_a, r.size_b)
+
+    def test_lsh_candidates_cover_true_pairs(self, spark, docs):
+        """Every high-Jaccard pair should be an LSH candidate (s^r per
+        band is ~0.66 at s=0.9 with r=4; two bands push coverage high
+        — for the PLANTED pairs, which sit at s~0.99, expect all)."""
+        true_pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=0.9
+            ).collect()
+        }
+        cand = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", n=2, n_hashes=8, bands=2
+            ).collect()
+        }
+        assert true_pairs, "expected planted >=0.9 pairs"
+        missed = true_pairs - cand
+        assert not missed, f"LSH missed near-identical pairs: {missed}"
+
+    def test_simhash_near_dups_close(self, spark, docs):
+        """Planted near-dup pairs should have small SimHash Hamming
+        distance; random pairs should average much larger."""
+        fp = dedup.simhash16(docs, "doc_id", "text")
+        true_pairs = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.9
+        )
+        a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+        joined = true_pairs.join(a, "id_a").join(b, "id_b").select(
+            dedup.hamming16(F.col("sh_a"), F.col("sh_b")).alias("d")
+        )
+        dists = [r.d for r in joined.collect()]
+        assert dists and max(dists) <= 4
+
+    def test_mllib_minhash_finds_planted_pairs(self, spark, docs):
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=0.9
+            ).collect()
+        }
+        ml_pairs = dedup.minhash_lsh_ml(
+            docs, "doc_id", "text", num_hash_tables=5, jaccard_distance=0.4, n=2
+        )
+        found = {(r.id_a, r.id_b) for r in ml_pairs.collect()}
+        assert exact <= found
+
+    def test_exact_dedup_partition_of_input(self, spark, docs):
+        out = dedup.dedup_exact(docs, "doc_id", "text")
+        total = out.agg(F.sum("n_copies")).first()[0]
+        assert total == docs.count()
+
+
+class TestSimilarityProperties:
+    def test_lsh_topk_recall_vs_exact(self, spark):
+        emb = load_table(spark, SF, "embeddings").cache()
+        probes = emb.filter(F.col("vec_id") < 10)
+        exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+        approx = similarity.lsh_bucketed_topk(
+            emb, probes, "vec_id", "embedding", k=5, n_planes=4, n_tables=4, dim=64
+        )
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.3, f"sign-LSH recall collapsed: {recall}"
+
+    def test_cosine_topk_self_excluded_and_ranked(self, spark):
+        emb = load_table(spark, SF, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 3)
+        out = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=5).collect()
+        by_q: dict = {}
+        for r in out:
+            assert r.query_id != r.neighbor_id
+            by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+        for q, rows in by_q.items():
+            rows.sort()
+            sims = [s for _, s in rows]
+            assert sims == sorted(sims, reverse=True)
+            assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+
+
+class TestFingerprints:
+    def test_rolling_hash_deterministic_and_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="c b a"),
+             Row(doc_id=3, text="a b c")]
+        )
+        out = {r.doc_id: r.fp_rolling for r in
+               text.fingerprint(df, "doc_id", "text").collect()}
+        assert out[1] == out[3]  # deterministic
+        assert out[1] != out[2]  # order-sensitive
+        assert all(v >= 0 for v in out.values())  # masked to non-negative
+
+
+class TestMultimodal:
+    def test_decode_meta_deterministic_fake(self, spark, docs):
+        with_payload = multimodal.attach_payload(docs.limit(20), "doc_id", "text")
+        meta = multimodal.decode_image_meta(with_payload, "doc_id").collect()
+        src = {r.doc_id: r.text for r in docs.limit(20).collect()}
+        assert len(meta) == 20
+        for r in meta:
+            raw = src[r.doc_id].encode()
+            assert r.payload_bytes == len(raw)
+            assert r.fake_width == len(raw) % 640 + 1
+            assert r.fake_height == len(raw) % 480 + 1
+            import hashlib
+            assert r.checksum == hashlib.md5(raw).hexdigest()
+
+    def test_strict_decode_raises(self, spark, docs):
+        with_payload = multimodal.attach_payload(docs.limit(5), "doc_id", "text")
+        strict = multimodal.decode_image_meta(with_payload, "doc_id", strict=True)
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            strict.collect()
