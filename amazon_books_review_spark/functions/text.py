@@ -44,15 +44,18 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 
 
 def word_ngrams(tokens_col: str | Column, n: int) -> Column:
-    """Word n-grams from a token array, via transform+sequence (array
-    subscripts are 0-based in Spark SQL expressions)."""
-    name = tokens_col if isinstance(tokens_col, str) else None
-    if name is None:
-        raise ValueError("word_ngrams needs a column NAME for expr()")
-    parts = ", ".join(f"{name}[i + {j}]" for j in range(n))
-    return F.expr(
-        f"transform(sequence(0, size({name}) - {n}), i -> concat_ws(' ', {parts}))"
-    )
+    """Word n-grams from a token array via slice + zip_with (the
+    element_at-in-lambda form re-evaluates the token expression per
+    element — see functions/dedup.py:word_ngrams_from for the full
+    note; this is the same collapse-proof construction)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    length = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return grams
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -128,6 +128,66 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def dedup_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_verified_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _lsh_verified_oracle() -> str:
+    """Candidates from the MinHash oracle, verified with exact
+    list_intersect Jaccard — mirrors dedup.lsh_verified_pairs."""
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), sets AS (
+    SELECT doc_id, list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    ) AS shingle_set
+    FROM docs
+), sh AS (
+    SELECT doc_id, unnest(shingle_set) AS shingle FROM sets
+), sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    {bands_sql}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+), verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingle_set, sb.shingle_set)) AS n_common,
+           len(sa.shingle_set) AS size_a,
+           len(sb.shingle_set) AS size_b
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, n_common, size_a, size_b,
+       round(n_common * 1.0 / (size_a + size_b - n_common), 6) AS jaccard
+FROM verified
+WHERE round(n_common * 1.0 / (size_a + size_b - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash fingerprints
 # ---------------------------------------------------------------------------
@@ -413,6 +473,8 @@ NORTHSTAR_QUERIES = [
      "exact word-bigram Jaccard near-dup pairs (>= 0.5)"),
     ("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
      "MinHash(md5)x8 -> 2-band LSH candidate pairs"),
+    ("dedup_neardup_lsh_verified", dedup_neardup_lsh_verified, _lsh_verified_oracle(),
+     "two-stage near-dup: LSH candidates + exact Jaccard verify (scale path)"),
     ("dedup_simhash", dedup_simhash, _simhash_oracle(),
      "16-bit SimHash fingerprints"),
     ("similarity_cosine_topk", similarity_cosine_topk, COSINE_TOPK_ORACLE,

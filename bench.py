@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver), which measures the engine, not result
+transfer.  Each query is timed once after a shared session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: The headline workload: the reference's analytical core, the TPC-H
+#: shapes, and one of each north-star family.
+HEADLINE = [
+    "flagship_gold_rollup",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "top_orders_per_customer",
+    "asof_join_events_orders",
+    # the SCALE-PATH near-dup operator benches here; the exact
+    # all-pairs variant (dedup_ngram_jaccard) stays correctness-only —
+    # its quadratic shingle self-join is precisely what the two-stage
+    # operator exists to avoid.
+    "dedup_neardup_lsh_verified",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_token_stats",
+    "word_count_top",
+    "streaming_windowed_counts",
+]
+
+
+def main() -> None:
+    from amazon_books_review_spark.session import get_session
+    from amazon_books_review_spark.plans.catalog import all_queries
+
+    spark = get_session(
+        app_name="abr-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm up the JVM + file listing with one tiny action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
