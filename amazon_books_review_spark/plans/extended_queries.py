@@ -1,0 +1,288 @@
+"""Extended catalog queries: SQL surface, pivot, sliding windows,
+sessionization (batch window-function form + streaming stateful form).
+
+These round out the engine's API surface beyond the reference
+inventory: the temp-view+SQL bridge the reference leans on (C1-C3),
+wide-format pivots, event-time sliding windows in BATCH mode (the
+same F.window the streaming layer uses — unified API), and
+sessionization both as a window-function composition (oracle-able)
+and as an applyInPandasWithState streaming operator (rows-only;
+pytest asserts it matches the batch sessionizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.io import load_table, load_tables
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+SESSION_GAP_MIN = 30
+
+
+# ---------------------------------------------------------------------------
+# C1-C3 — the temp-view + SQL surface (the reference's dominant idiom)
+# ---------------------------------------------------------------------------
+
+
+def flagship_via_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query expressed through the SQL surface: register
+    temp views (MA:14-25 idiom), then spark.sql.  Same Catalyst plan
+    as the DataFrame form — proves the two surfaces interoperate."""
+    load_tables(spark, sf_dir, ("orders", "customer"), register_views=True)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(customer) */
+               c_mktsegment,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               count(o_orderkey) AS users_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= '1996-01-01'
+        GROUP BY c_mktsegment, year(o_orderdate)
+        """
+    )
+
+
+FLAGSHIP_SQL_ORACLE = """
+SELECT c_mktsegment,
+       year(o_orderdate) AS order_year,
+       count(o_orderkey) AS users_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_mktsegment, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot — wide-format conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per day pivoted by type.  The value list is EXPLICIT:
+    at 100 TB an implicit pivot runs an extra distinct job over the
+    whole input just to discover the columns."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+PIVOT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ST6 — sliding event-time windows, batch mode (unified API)
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24h windows sliding every 12h — the same F.window expression
+    runs unchanged on a stream (streaming/queries.py uses the tumbling
+    form); each event lands in exactly 2 windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SLIDING_WINDOW_ORACLE = """
+WITH starts AS (
+    SELECT event_type, ts,
+           unnest([
+               CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT),
+               CAST(floor(epoch(ts) / 43200) * 43200 - 43200 AS BIGINT)
+           ]) AS start_epoch
+    FROM events
+)
+SELECT strftime(make_timestamp(start_epoch * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — window-function composition (oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap: lag ->
+    new-session flag -> running sum = session index -> per-session agg.
+    Two window passes over one shuffle partition key (user_id) — the
+    canonical batch sessionizer; the streaming analog is
+    :func:`sessionize_events_stateful`."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        events.withColumn("prev_ts", F.lag("ts").over(by_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > SESSION_GAP_MIN * 60
+                )
+            ).cast("long"),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(by_user))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts))
+                        > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       strftime(min(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS duration_s
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator — applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = "last_ts long, session_idx long"
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_idx bigint, n_events bigint, "
+    "session_start string, duration_s bigint"
+)
+
+
+def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState — the
+    custom-stateful-operator surface (the one operator family Spark
+    doesn't ship built-in).  State per user: (last event epoch,
+    running session index).  With an availableNow drain over a bounded
+    input and a final timeout flush, output matches the batch
+    sessionizer (asserted in tests/test_extended.py).
+
+    Driver check is rows-only: the incremental emission protocol has
+    no SQL analog.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = SESSION_GAP_MIN * 60
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("epoch_s")
+        if state.exists:
+            last_ts, session_idx = state.get
+        else:
+            last_ts, session_idx = None, 0
+        out = []
+        cur_start = cur_end = None
+        cur_n = 0
+
+        def flush():
+            if cur_n:
+                out.append((user_id, session_idx, cur_n, cur_start, cur_end - cur_start))
+
+        for epoch_s in rows["epoch_s"]:
+            if last_ts is None or epoch_s - last_ts > gap_s:
+                flush()
+                session_idx += 1
+                cur_start, cur_n = epoch_s, 0
+            cur_n += 1
+            cur_end = epoch_s
+            last_ts = epoch_s
+        flush()
+        state.update((int(last_ts), int(session_idx)))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_idx", "n_events", "_start_epoch", "duration_s"],
+        ).assign(
+            session_start=lambda d: pd.to_datetime(d["_start_epoch"], unit="s").dt.strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        )[["user_id", "session_idx", "n_events", "session_start", "duration_s"]]
+
+    import tempfile
+
+    from amazon_books_review_spark.streaming.queries import _events_stream
+    from amazon_books_review_spark.sources.io import read_parquet, write_stream
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("epoch_s")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = tempfile.mkdtemp(prefix="abr_sessions_")
+    q = write_stream(
+        sessions, f"{out}/data", f"{out}/ckpt", query_name="stateful_sessions"
+    )
+    q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
+EXTENDED_QUERIES = [
+    ("flagship_via_sql", flagship_via_sql, FLAGSHIP_SQL_ORACLE,
+     "C1-C3: temp views + spark.sql surface (same plan as DataFrame form)"),
+    ("pivot_event_counts", pivot_event_counts, PIVOT_ORACLE,
+     "pivot with explicit value list"),
+    ("sliding_window_counts", sliding_window_counts, SLIDING_WINDOW_ORACLE,
+     "ST6: sliding event-time windows (batch mode, unified API)"),
+    ("sessionize_events", sessionize_events, SESSIONIZE_ORACLE,
+     "sessionization via lag + running-sum windows"),
+    ("sessionize_events_stateful", sessionize_events_stateful, None,
+     "applyInPandasWithState streaming sessionizer (== batch, pytest-checked)"),
+]

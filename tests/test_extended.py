@@ -1,0 +1,53 @@
+"""Tests for the extended surface: stateful streaming sessionizer vs
+the batch window sessionizer, and CSV source round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructType
+
+from amazon_books_review_spark.plans.extended_queries import (
+    sessionize_events,
+    sessionize_events_stateful,
+)
+from amazon_books_review_spark.sources.io import read_csv, write_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_sessionizer_matches_batch(spark):
+    """Stream-batch equivalence for the custom stateful operator:
+    applyInPandasWithState over a bounded drain == the window-function
+    batch sessionizer."""
+    batch = {
+        (r.user_id, r.session_idx): (r.n_events, r.session_start, r.duration_s)
+        for r in sessionize_events(spark, SF).collect()
+    }
+    stateful = {
+        (r.user_id, r.session_idx): (r.n_events, r.session_start, r.duration_s)
+        for r in sessionize_events_stateful(spark, SF).collect()
+    }
+    assert batch == stateful
+
+
+def test_csv_source_explicit_schema(spark, tmp_path):
+    """S1 — CSV scan with an explicit schema: no inference pass, types
+    stable, garbage -> NULL under the engine's non-ANSI casts."""
+    p = str(tmp_path / "books.csv")
+    with open(p, "w") as f:
+        f.write("title,year\nA,2001\nB,xx\n")
+    schema = (
+        StructType()
+        .add("title", StringType())
+        .add("year", IntegerType())
+    )
+    df = read_csv(spark, p, schema=schema)
+    rows = {r.title: r.year for r in df.collect()}
+    assert rows == {"A": 2001, "B": None}
+
+    out = str(tmp_path / "books_parquet")
+    write_parquet(df, out, partition_by=["year"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    # partitioned layout -> partition pruning applies on year filters
+    assert back.filter(F.col("year") == 2001).count() == 1
