@@ -130,6 +130,38 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: left rows scatter across ``n_salts``
+    sub-keys, right rows replicate to all of them, the join runs on
+    (key, salt).  Result is row-identical to the plain join for
+    inner/left joins; the hot key's rows now land on n_salts reducers
+    instead of one.
+
+    AQE's skew-join splitting handles most cases at runtime; explicit
+    salting remains for the pathologically hot key (one Title with
+    10% of all reviews — the silver join's known skew, SURVEY §4.1)
+    and for stateful streaming joins where AQE doesn't apply.
+
+    ``salt_source`` must be deterministic per row (default: hash of
+    the whole row) — ``rand()`` would break retry semantics: a task
+    retry re-rolls the salt and rows silently vanish or duplicate.
+    """
+    if salt_source is None:
+        salt_source = F.hash(*[F.col(c) for c in left.columns])
+    salted_left = left.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts)))
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -457,6 +457,99 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Statistical moments from exact decimal sums (order-independent)
+# ---------------------------------------------------------------------------
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample-stddev / correlation per return flag, computed
+    from DECIMAL-exact power sums so the result is independent of both
+    partitioning and engine (built-in stddev/corr stream doubles in
+    arbitrary order -> nondeterministic low bits; the closed-form over
+    exact sums is bit-stable AND still one aggregation pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    var_q = (n * F.col("sqq") - F.col("sq") * F.col("sq")) / (n * (n - 1))
+    var_p = (n * F.col("spp") - F.col("sp") * F.col("sp")) / (n * (n - 1))
+    corr = (n * F.col("sqp") - F.col("sq") * F.col("sp")) / (
+        F.sqrt(n * F.col("sqq") - F.col("sq") * F.col("sq"))
+        * F.sqrt(n * F.col("spp") - F.col("sp") * F.col("sp"))
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sq") / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var_q), 6).alias("std_qty"),
+        F.round(F.col("sp") / n, 4).alias("mean_price"),
+        F.round(F.sqrt(var_p), 4).alias("std_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+STATS_MOMENTS_ORACLE = """
+WITH sums AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       round(sq / n, 6) AS mean_qty,
+       round(sqrt((n * sqq - sq * sq) / (n * (n - 1.0))), 6) AS std_qty,
+       round(sp / n, 4) AS mean_price,
+       round(sqrt((n * spp - sp * sp) / (n * (n - 1.0))), 4) AS std_price,
+       round((n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percentiles: exact (oracle) — approx_percentile is the scale path
+# ---------------------------------------------------------------------------
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of event value per type (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` definition).  The 100 TB
+    path is ``approx_percentile`` (t-digest-style sketch, single pass,
+    mergeable) — benched as rows-only since sketches differ by engine."""
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return events.groupBy("event_type").agg(
+        F.round(pct.getItem(0), 4).alias("p25"),
+        F.round(pct.getItem(1), 4).alias("p50"),
+        F.round(pct.getItem(2), 4).alias("p75"),
+    )
+
+
+VALUE_PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events
+GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = [
     ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE,
      "TPC-H Q1 shape: scan + filter + wide aggregation"),
@@ -482,4 +575,8 @@ ANALYTICS_QUERIES = [
      "global top-k via TakeOrdered"),
     ("approx_distinct_users", approx_distinct_users, None,
      "HyperLogLog++ approximate distinct (rows-only: sketch differs by engine)"),
+    ("stats_moments", stats_moments, STATS_MOMENTS_ORACLE,
+     "mean/stddev/corr from exact decimal power sums (order-independent)"),
+    ("value_percentiles", value_percentiles, VALUE_PERCENTILES_ORACLE,
+     "exact interpolated quartiles per group"),
 ]

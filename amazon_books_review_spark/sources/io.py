@@ -98,6 +98,33 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-bucketed by join key, optionally
+    sorted within buckets).
+
+    The 100 TB play: two fact tables bucketed on the same key with the
+    same bucket count join WITHOUT any Exchange — the shuffle happened
+    once at write time and is amortized over every subsequent join.
+    Requires table-format writes (``saveAsTable``); plain ``.parquet``
+    paths can't carry bucket metadata.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table: ``{sf_dir}/{name}.parquet``.
 

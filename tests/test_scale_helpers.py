@@ -1,0 +1,80 @@
+"""Tests for the scale helpers: salted joins, bucketed co-located
+joins, single-pass observed metrics."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.operators import metrics
+from amazon_books_review_spark.operators.joins import salted_join
+from amazon_books_review_spark.sources.io import load_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", n_salts=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the join key is widened with the salt column
+    assert "_salt" in _plan(salted)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with ZERO Exchange nodes (broadcast disabled to force the
+    shuffle question)."""
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        n = joined.count()
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_observation_single_pass_metrics(spark):
+    """The BD probe pattern (7 recomputing counts) as ONE pass."""
+    orders = load_table(spark, SF, "orders")
+    df, obs = metrics.with_observation(
+        orders,
+        {
+            "rows": metrics.row_count_metric(),
+            "null_status": metrics.null_count_metric("o_orderstatus"),
+            "total": F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+        },
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == orders.count()
+    assert got["null_status"] == 0
+    assert got["total"] > 0
