@@ -91,6 +91,103 @@ def cosine_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame, vec_col: str, label_col: str, dim: int, decimals: int = 6
+) -> DataFrame:
+    """Per-cell centroids (elementwise mean), the IVF coarse index.
+
+    Computed as ``dim`` scalar AVG aggregations in ONE groupBy — no
+    explode, one shuffle on the (tiny-cardinality) label key.
+    Components are rounded so centroid values are reproducible across
+    engines/partitionings (double avg is order-dependent in the last
+    ulps); at 100 TB the rounding also makes the coarse index stable
+    across incremental rebuilds.
+    """
+    avgs = [
+        F.round(F.avg(F.col(vec_col).getItem(i).cast("double")), decimals)
+        for i in range(dim)
+    ]
+    return corpus.groupBy(F.col(label_col).alias("cell")).agg(
+        F.array(*avgs).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: route each probe to its ``nprobe`` nearest cell
+    centroids, search exactly within those cells only.
+
+    The scale shape: the corpus is partitioned by cell (at 100 TB:
+    physically partitioned parquet by cell id — partition pruning
+    turns each query into an nprobe-cell scan); centroids are a
+    broadcast-size table; the candidate join is an equi-join on cell.
+    Recall is tunable via nprobe; output contract matches
+    :func:`cosine_topk`.
+    """
+    cents = label_centroids(corpus, vec_col, label_col, dim)
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    routed = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_csim",
+            F.round(
+                dot(F.col("_qv"), F.col("centroid"))
+                / (F.col("_qn") * l2_norm(F.col("centroid"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        routed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", "_qn", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        F.col(label_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )
+
+
 def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes: component (p, d) is
     ``md5("{table}|{p}|{d}")``'s first 8 hex chars scaled to [-1, 1).

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from amazon_books_review_spark.operators import aggregates as agg
 from amazon_books_review_spark.operators import joins, windows
-from amazon_books_review_spark.sources.io import load_table
+from amazon_books_review_spark.sources.io import load_table, load_tables
 
 D = "decimal(12,2)"  # lossless for the 2-decimal testdata money columns
 
@@ -446,6 +446,147 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Outer / semi / anti joins (the join-type matrix beyond J1)
+# ---------------------------------------------------------------------------
+
+
+def outer_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER customers->orders: per-customer order counts with
+    zero-order customers retained (count over the right key, so
+    unmatched rows count 0, not 1)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        joins.equi_join(
+            cust, orders, F.col("c_custkey") == F.col("o_custkey"), how="left"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+OUTER_JOIN_ORACLE = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti as EXISTS / NOT EXISTS: customers with
+    1998 orders vs without, tagged and unioned."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders98 = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    with_o = joins.semi_join(cust, orders98, cond).select(
+        "c_custkey", F.lit("active_1998").alias("cohort")
+    )
+    without = joins.anti_join(cust, orders98, cond).select(
+        "c_custkey", F.lit("inactive_1998").alias("cohort")
+    )
+    return with_o.unionByName(without)
+
+
+SEMI_ANTI_ORACLE = """
+WITH o98 AS (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT c_custkey, 'active_1998' AS cohort FROM customer
+WHERE EXISTS (SELECT 1 FROM o98 WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'inactive_1998' AS cohort FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM o98 WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + CUBE (completing the multi-grouping matrix)
+# ---------------------------------------------------------------------------
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (the DataFrame
+    API exposes only rollup/cube): per (status), per (priority), and
+    grand total — with grouping_id to disambiguate NULL group keys."""
+    load_tables(spark, sf_dir, ("orders",), register_views=True)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return agg.cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            agg.exact_sum("o_totalprice").alias("total_price"),
+        ],
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# from_json — typed struct extraction (beyond get_json_object)
+# ---------------------------------------------------------------------------
+
+
+def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse props into a typed struct ONCE, then use fields — at
+    scale this beats N get_json_object calls (one parse vs N)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "props_struct", F.from_json(F.col("props"), "k BIGINT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("props_struct.k").alias("k"),
+        (F.col("props_struct.k").isNotNull()).alias("parsed_ok"),
+    )
+
+
+JSON_STRUCT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS parsed_ok
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct — rows-only (HLL sketches differ across engines)
 # ---------------------------------------------------------------------------
 
@@ -579,4 +720,14 @@ ANALYTICS_QUERIES = [
      "mean/stddev/corr from exact decimal power sums (order-independent)"),
     ("value_percentiles", value_percentiles, VALUE_PERCENTILES_ORACLE,
      "exact interpolated quartiles per group"),
+    ("outer_join_audit", outer_join_audit, OUTER_JOIN_ORACLE,
+     "LEFT OUTER join with zero-match retention"),
+    ("semi_anti_customers", semi_anti_customers, SEMI_ANTI_ORACLE,
+     "left_semi / left_anti as EXISTS / NOT EXISTS"),
+    ("grouping_sets_revenue", grouping_sets_revenue, GROUPING_SETS_ORACLE,
+     "explicit GROUPING SETS with grouping_id"),
+    ("cube_order_stats", cube_order_stats, CUBE_ORACLE,
+     "GROUP BY CUBE over two keys"),
+    ("json_struct_extract", json_struct_extract, JSON_STRUCT_ORACLE,
+     "from_json typed struct extraction (parse once, use fields)"),
 ]

@@ -312,6 +312,60 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+IVF_NPROBE = 2
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.ivf_topk(
+        emb, probes, "vec_id", "embedding", "label",
+        dim=EMB_DIM, k=TOPK_K, nprobe=IVF_NPROBE,
+    )
+
+
+IVF_TOPK_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), cent AS (
+    SELECT label AS cell,
+           list(round(avg_val, 6) ORDER BY i) AS centroid
+    FROM (
+        SELECT label, i, avg(e[i]) AS avg_val
+        FROM v, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY label, i
+    )
+    GROUP BY label
+), probes AS (
+    SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM v WHERE vec_id < {N_PROBES}
+), routed AS (
+    SELECT query_id, qv, qn, cell,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_inner_product(qv, centroid)
+                              / (qn * sqrt(list_inner_product(centroid, centroid))), 6) DESC,
+                        cell ASC
+           ) AS r
+    FROM probes, cent
+), probe_cells AS (
+    SELECT query_id, qv, qn, cell FROM routed WHERE r <= {IVF_NPROBE}
+), scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           round(list_inner_product(p.qv, c.e) / (p.qn * c.nrm), 6) AS sim
+    FROM probe_cells p
+    JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+           sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -481,6 +535,8 @@ NORTHSTAR_QUERIES = [
      "brute-force cosine top-5 for 10 probes"),
     ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
+    ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,
+     "IVF-style ANN: centroid routing (nprobe=2) + in-cell exact search"),
     ("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE,
      "per-doc token stats incl. BPE-ish subword count"),
     ("text_lang_id", text_lang_id, _lang_id_oracle(),

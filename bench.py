@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_neardup_lsh_verified",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
+    "similarity_ivf_topk",
     "text_token_stats",
     "word_count_top",
     "streaming_windowed_counts",
