@@ -147,7 +147,6 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       chunked 100 TB ingest wants, since it can merge per-split).
     """
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    toks = tokens(text_col)
     rolling = F.expr(
         "aggregate(transform({t}, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)), "
         "cast(1469598103934665603 as bigint), "
@@ -155,7 +154,6 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             t=f"split(trim({text_col}), '\\\\s+')"
         )
     )
-    _ = toks
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),

@@ -77,9 +77,6 @@ def asof_join(
     - If ``right`` has several rows at the identical (by, time), the
       one sorting last wins; pre-dedup right for full determinism.
     """
-    lcols = set(left.columns)
-    sides_schema_cols = [by, "_t", "_is_left"]
-
     tagged_left = left.select(
         F.col(by),
         F.col(left_time).alias("_t"),
@@ -126,7 +123,6 @@ def asof_join(
             cond = this if cond is None else (cond | this)
         if cond is not None:
             out = out.filter(cond)
-    _ = lcols, sides_schema_cols
     return out
 
 

@@ -1,0 +1,112 @@
+"""Hypothesis property tests: engine operators vs plain-Python
+reference implementations on adversarial generated inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from amazon_books_review_spark.operators import cleaning
+from amazon_books_review_spark.operators.joins import asof_join
+
+# Spark-session-per-example is too slow; generate WHOLE datasets as
+# one example and run a handful of examples.
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+fraction_strings = st.one_of(
+    st.builds(lambda a, b: f"{a}/{b}", st.integers(0, 99), st.integers(0, 99)),
+    st.sampled_from(["n/a", "", "7/", "/3", "x/y", "1/2/3"]),
+    st.none(),
+)
+
+
+def _py_ratio(frac: str | None) -> float | None:
+    """Plain-Python reference for the BR:42-52 helpfulness chain."""
+    if frac is None:
+        return None
+    parts = frac.split("/")
+    def to_f(s):
+        try:
+            return float(s)
+        except ValueError:
+            return None
+    num = to_f(parts[0]) if len(parts) >= 1 else None
+    den = to_f(parts[1]) if len(parts) >= 2 else None
+    if num is None or den is None or den == 0.0:
+        return None
+    return round(num / den * 100, 2)
+
+
+@given(st.lists(fraction_strings, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_ratio_percent_matches_python_reference(spark, fracs):
+    schema = StructType([StructField("frac", StringType(), True)])
+    df = spark.createDataFrame([Row(frac=f) for f in fracs], schema)
+    out = cleaning.split_fraction(df, "frac", "num", "den")
+    out = cleaning.ratio_percent(out, "num", "den", "pct")
+    got = [r.pct for r in out.collect()]
+    want = [_py_ratio(f) for f in fracs]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w is None:
+            assert g is None
+        else:
+            # float32 cast of inputs before the double division can
+            # shift the rounded value by one ulp of the 2nd decimal
+            assert g is not None and math.isclose(g, w, abs_tol=0.011)
+
+
+@given(
+    st.lists(  # left: (key, time)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right: (key, time, value) — unique (key, time)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [Row(k=k, t=t, lid=i) for i, (k, t) in enumerate(left_rows)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, t=t, v=v) for (k, t, v) in right_rows]
+    )
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(
+            left, right, by="k", left_time="t", right_time="t",
+            right_values=["v"], how="inner",
+        ).collect()
+    }
+    # brute force: latest right at-or-before, same key
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        if cands:
+            want[i] = max(cands)[1]
+    assert got == want
+
+
+@given(st.lists(st.text(alphabet="ab [']\\\"", min_size=0, max_size=12),
+                min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_strip_listish_matches_python(spark, strings):
+    schema = StructType([StructField("s", StringType(), True)])
+    df = spark.createDataFrame([Row(s=s) for s in strings], schema)
+    got = [r.s for r in cleaning.strip_listish(df, "s").collect()]
+    want = [s.replace("[", "").replace("]", "").replace("'", "") for s in strings]
+    assert got == want

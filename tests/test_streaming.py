@@ -55,6 +55,20 @@ def test_streaming_medallion_equals_batch(spark, tmp_path, cleaned_inputs, fidel
     assert _rows(out["gold"]) == _rows(batch_gold)
 
 
+def test_multi_batch_stream_equals_batch(spark, tmp_path, cleaned_inputs):
+    """maxFilesPerTrigger=1 over a multi-file input => several real
+    micro-batches; the drained result must still equal the batch
+    computation (determinism across batch boundaries)."""
+    details, ratings, d_path, r_path = cleaned_inputs
+    # split reviews into 3 files so the stream sees 3 micro-batches
+    r_multi = str(tmp_path / "reviews_multi")
+    ratings.repartition(3).write.mode("overwrite").parquet(r_multi)
+    paths = MedallionPaths(d_path, r_multi, str(tmp_path / "medallion_mb"))
+    out = run_streaming_medallion(spark, paths, max_files_per_trigger=1)
+    batch_gold = gold_users_count(silver_books_reviews(details, ratings))
+    assert _rows(out["gold"]) == _rows(batch_gold)
+
+
 def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs):
     """Re-running with NEW files processes only the increment
     (checkpointed offsets), and gold reflects the union — the
