@@ -188,6 +188,47 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    ``cos(a, b) >= threshold`` — exact, via the triangular self-join.
+
+    Scale note: exact all-pairs is O(n^2) dot products and is the
+    VERIFY stage; at 100 TB generate candidates first with the
+    sign-LSH buckets (:func:`lsh_bucketed_topk`'s ``signed`` shape:
+    self-join on (table, signature) — collision prob per plane is
+    1 - angle/pi, so near-dup pairs collide with high probability
+    while the bulk never meets) and verify only candidates, exactly
+    like dedup.lsh_verified_pairs does for Jaccard.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes: component (p, d) is
     ``md5("{table}|{p}|{d}")``'s first 8 hex chars scaled to [-1, 1).

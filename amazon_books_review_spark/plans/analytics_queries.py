@@ -197,6 +197,92 @@ GROUP BY r_name, n_name
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 shape — pure filter + scalar aggregate (pushdown showcase)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every predicate here reaches the parquet scan as a pushed
+    filter (range forms only); the aggregate is a single scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(D) * F.col("l_discount").cast(D)
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+TPCH_Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — HAVING over an aggregated subquery + re-join
+# ---------------------------------------------------------------------------
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds a threshold
+    (HAVING), re-joined to order/customer attributes.  The HAVING
+    subquery reduces before the join — never join-then-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(agg.exact_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+TPCH_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150
+)
+SELECT c_name,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Window top-k per key (extension §2.5)
 # ---------------------------------------------------------------------------
 
@@ -698,6 +784,10 @@ ANALYTICS_QUERIES = [
      "TPC-H Q3 shape: 3-way join + agg + global top-k window"),
     ("tpch_q5_regional_revenue", tpch_q5_regional_revenue, TPCH_Q5_ORACLE,
      "TPC-H Q5 shape: 5-way join, dims broadcast"),
+    ("tpch_q6_forecast_revenue", tpch_q6_forecast_revenue, TPCH_Q6_ORACLE,
+     "TPC-H Q6 shape: all-pushed filters + scalar aggregate"),
+    ("tpch_q18_large_orders", tpch_q18_large_orders, TPCH_Q18_ORACLE,
+     "TPC-H Q18 shape: HAVING subquery reduced before re-join"),
     ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE,
      "window top-k per key (row_number)"),
     ("customer_set_ops", customer_set_ops, SET_OPS_ORACLE,

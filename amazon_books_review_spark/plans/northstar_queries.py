@@ -312,6 +312,31 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+EMBEDDING_NEARDUP_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+FROM v a
+JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 IVF_NPROBE = 2
 
 
@@ -537,6 +562,8 @@ NORTHSTAR_QUERIES = [
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
     ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,
      "IVF-style ANN: centroid routing (nprobe=2) + in-cell exact search"),
+    ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE,
+     "embedding-cosine near-dup pairs (exact verify; LSH = scale path)"),
     ("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE,
      "per-doc token stats incl. BPE-ish subword count"),
     ("text_lang_id", text_lang_id, _lang_id_oracle(),
