@@ -494,6 +494,71 @@ FROM documents
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scored top terms per document — relational TF-IDF
+    (tf join df join N), no MLlib needed.
+
+    Plan shape: one explode, two aggregations (tf keyed on (doc,term),
+    df keyed on term), the N scalar broadcast via crossJoin, and a
+    per-doc top-k window.  At 100 TB the df table is the broadcast
+    side (vocabulary-sized) and tf never leaves its (doc,term)
+    partitioning until the final window.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, term, tf, df,
+           round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, term, tf, df, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def word_count_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic explode+count wordcount, restricted to words seen
     >= 100 times (deterministic filter instead of a ties-prone LIMIT)."""
@@ -574,6 +639,8 @@ NORTHSTAR_QUERIES = [
      "md5 content fingerprint (rolling hash pytest-only)"),
     ("word_count_top", word_count_top, WORD_COUNT_ORACLE,
      "explode+count wordcount"),
+    ("text_tfidf_top_terms", text_tfidf_top_terms, TFIDF_ORACLE,
+     "relational TF-IDF top-5 terms per doc (tf x broadcast df x N)"),
     ("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_META_ORACLE,
      "binary payload size/checksum metadata (Catalyst-native)"),
     ("multimodal_decode_meta", multimodal_decode_meta, None,
