@@ -356,6 +356,77 @@ FROM holey
 
 
 # ---------------------------------------------------------------------------
+# Scalar-function breadth: string / math / conditional showcase
+# ---------------------------------------------------------------------------
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection exercising the wider scalar surface a reference
+    user expects from a complete engine: case transforms, trim/pad,
+    substring/locate, translate, repeat/reverse, abs/ceil/floor/
+    pow/sqrt/exp/log10/sign/mod, CASE/coalesce/nullif/greatest/least.
+    All Catalyst built-ins — one codegen'd map stage, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.lpad(F.col("p_type"), 10, "_")).alias("type_padded"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.locate("o", F.col("p_name")).cast("long").alias("first_o"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_upper"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("x"), F.col("p_size")).alias("size_bar"),
+        F.abs(price - 1000).alias("price_dist_1000"),
+        F.ceil(price).cast("long").alias("price_ceil"),
+        F.floor(price).cast("long").alias("price_floor"),
+        F.round(F.pow(F.col("p_size").cast("double"), 2), 4).alias("size_sq"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log10(price + 1), 6).alias("price_log10"),
+        F.signum(price - 1000).alias("price_sign"),
+        (F.col("p_size") % 5).cast("long").alias("size_mod5"),
+        F.when(price > 1500, "premium")
+        .when(price > 800, "standard")
+        .otherwise("budget")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.lit("DEFAULT")).alias(
+            "type_or_default"
+        ),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("long").alias("size_floor10"),
+        F.least(F.col("p_size"), F.lit(40)).cast("long").alias("size_cap40"),
+    )
+
+
+SCALAR_SHOWCASE_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       trim(lpad(p_type, 10, '_')) AS type_padded,
+       substring(p_name, 1, 4) AS name_prefix,
+       CAST(strpos(p_name, 'o') AS BIGINT) AS first_o,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper,
+       reverse(p_brand) AS brand_rev,
+       repeat('x', p_size) AS size_bar,
+       abs(p_retailprice - 1000) AS price_dist_1000,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       round(pow(CAST(p_size AS DOUBLE), 2), 4) AS size_sq,
+       round(sqrt(p_retailprice), 6) AS price_sqrt,
+       round(log10(p_retailprice + 1), 6) AS price_log10,
+       CAST(sign(p_retailprice - 1000) AS DOUBLE) AS price_sign,
+       CAST(p_size % 5 AS BIGINT) AS size_mod5,
+       CASE WHEN p_retailprice > 1500 THEN 'premium'
+            WHEN p_retailprice > 800 THEN 'standard'
+            ELSE 'budget' END AS tier,
+       coalesce(nullif(p_type, 'ECONOMY'), 'DEFAULT') AS type_or_default,
+       CAST(greatest(p_size, 10) AS BIGINT) AS size_floor10,
+       CAST(least(p_size, 40) AS BIGINT) AS size_cap40
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry table: (name, fn, oracle, doc)
 # ---------------------------------------------------------------------------
 
@@ -378,4 +449,6 @@ REFERENCE_QUERIES = [
      "A4: dropDuplicates (BD:177)"),
     ("null_audit", null_audit, NULL_AUDIT_ORACLE,
      "A3/P5: null-count audit in one pass (BR:86)"),
+    ("scalar_functions_showcase", scalar_functions_showcase, SCALAR_SHOWCASE_ORACLE,
+     "string/math/conditional scalar breadth in one codegen'd projection"),
 ]

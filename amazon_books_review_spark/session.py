@@ -61,6 +61,14 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - builder-only conf
             pass
+    # A borrowed session still on Spark's stock 200 shuffle partitions
+    # gets a local-mode-sane default (AQE coalesces the rest); an
+    # explicitly configured value is respected.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:  # pragma: no cover
+        pass
     return spark
 
 
