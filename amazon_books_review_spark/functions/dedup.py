@@ -266,6 +266,64 @@ def lsh_verified_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (node,
+    cluster_id), where cluster_id is the minimum member id — the
+    canonical-document assignment that turns pairwise matches into
+    dedup groups.
+
+    Algorithm: min-label propagation.  Each round every node takes the
+    minimum label among itself and its neighbors; convergence in
+    O(component diameter) rounds (near-dup clusters are shallow — a
+    handful of rounds in practice).  Each round is one join + one
+    groupBy (two shuffles on the node key); labels are cached and the
+    lineage truncated per round so the plan doesn't grow with
+    iterations.  The per-round convergence check is a count on a
+    LIMIT 1 diff — the loop is driver-controlled but the data never
+    leaves the cluster.
+
+    At larger diameters, the large-star/small-star algorithm halves
+    round counts; same join/groupBy building blocks.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).cache()
+    labels.count()
+
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels, sym["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), F.col("label"))
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        new_labels.count()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over tokens.
 

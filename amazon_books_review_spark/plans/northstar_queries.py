@@ -188,6 +188,42 @@ WHERE round(n_common * 1.0 / (size_a + size_b - n_common), 6) >= {JACCARD_THRESH
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH-verified
+    pair list — each clustered doc mapped to its canonical (min) id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Transitive closure via recursive CTE over the same verified
+    pairs; cluster id = min reachable node."""
+    verified = _lsh_verified_oracle().strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{verified}
+), sym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.src, r.label
+    FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash fingerprints
 # ---------------------------------------------------------------------------
@@ -619,6 +655,8 @@ NORTHSTAR_QUERIES = [
      "MinHash(md5)x8 -> 2-band LSH candidate pairs"),
     ("dedup_neardup_lsh_verified", dedup_neardup_lsh_verified, _lsh_verified_oracle(),
      "two-stage near-dup: LSH candidates + exact Jaccard verify (scale path)"),
+    ("dedup_clusters", dedup_clusters, _dedup_clusters_oracle(),
+     "connected components over verified pairs -> canonical doc per cluster"),
     ("dedup_simhash", dedup_simhash, _simhash_oracle(),
      "16-bit SimHash fingerprints"),
     ("similarity_cosine_topk", similarity_cosine_topk, COSINE_TOPK_ORACLE,

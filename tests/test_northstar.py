@@ -78,6 +78,20 @@ class TestDedupProperties:
         found = {(r.id_a, r.id_b) for r in ml_pairs.collect()}
         assert exact <= found
 
+    def test_connected_components_properties(self, spark):
+        """Hand-built graph: two chains + a singleton pair; every edge
+        endpoint pair shares a cluster and cluster id = min member."""
+        from pyspark.sql import Row
+
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+             Row(id_a=10, id_b=11), Row(id_a=20, id_b=21), Row(id_a=21, id_b=22)]
+        )
+        got = {r.node: r.cluster_id
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
     def test_exact_dedup_partition_of_input(self, spark, docs):
         out = dedup.dedup_exact(docs, "doc_id", "text")
         total = out.agg(F.sum("n_copies")).first()[0]
