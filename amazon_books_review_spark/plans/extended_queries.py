@@ -190,6 +190,51 @@ GROUP BY user_id, session_idx
 """
 
 
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6's third window type: the built-in ``session_window``
+    (gap-merged event-time windows).  Semantically identical to the
+    lag/cumsum sessionizer for the same gap — the oracle is that
+    sessionizer's SQL, proving built-in and composed forms agree."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator — applyInPandasWithState
 # ---------------------------------------------------------------------------
@@ -283,6 +328,8 @@ EXTENDED_QUERIES = [
      "ST6: sliding event-time windows (batch mode, unified API)"),
     ("sessionize_events", sessionize_events, SESSIONIZE_ORACLE,
      "sessionization via lag + running-sum windows"),
+    ("session_window_counts", session_window_counts, SESSION_WINDOW_ORACLE,
+     "built-in session_window == composed sessionizer"),
     ("sessionize_events_stateful", sessionize_events_stateful, None,
      "applyInPandasWithState streaming sessionizer (== batch, pytest-checked)"),
 ]

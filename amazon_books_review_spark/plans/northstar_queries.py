@@ -299,6 +299,14 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy/Arrow physical strategy for the same logical query —
+    shares the exact-cosine oracle (results are value-identical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.cosine_topk_arrow(emb, probes, "vec_id", "embedding", k=TOPK_K)
+
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
@@ -661,6 +669,8 @@ NORTHSTAR_QUERIES = [
      "16-bit SimHash fingerprints"),
     ("similarity_cosine_topk", similarity_cosine_topk, COSINE_TOPK_ORACLE,
      "brute-force cosine top-5 for 10 probes"),
+    ("similarity_cosine_topk_arrow", similarity_cosine_topk_arrow, COSINE_TOPK_ORACLE,
+     "same query, numpy/Arrow mapInPandas strategy (per-task partial top-k)"),
     ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
     ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,

@@ -111,6 +111,21 @@ class TestSimilarityProperties:
         recall = len(e & a) / len(e)
         assert recall >= 0.3, f"sign-LSH recall collapsed: {recall}"
 
+    def test_arrow_cosine_equals_jvm_cosine(self, spark):
+        """The numpy mapInPandas path must produce exactly the JVM
+        expression path's results (same rounding, same tie-breaks)."""
+        emb = load_table(spark, SF, "embeddings").cache()
+        probes = emb.filter(F.col("vec_id") < 10)
+        jvm = sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.sim)
+            for r in similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=5).collect()
+        )
+        arrow = sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.sim)
+            for r in similarity.cosine_topk_arrow(emb, probes, "vec_id", "embedding", k=5).collect()
+        )
+        assert jvm == arrow
+
     def test_cosine_topk_self_excluded_and_ranked(self, spark):
         emb = load_table(spark, SF, "embeddings")
         probes = emb.filter(F.col("vec_id") < 3)
