@@ -215,6 +215,55 @@ def write_stream(
     return writer.start()
 
 
+def write_stream_update_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    available_now: bool = True,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Update-mode aggregate sink onto plain parquet via
+    foreachBatch key-upsert.
+
+    The scale-correct alternative to complete mode (SURVEY ST3-ST5):
+    with a watermark, update mode emits only the CHANGED aggregate
+    rows per micro-batch; this sink merges them into the target by
+    key (existing rows for re-emitted keys are replaced).  State and
+    per-batch write cost are O(changed keys), not O(all keys ever) —
+    complete mode rewrites the full result table every batch, which
+    is fatal at 100 TB key cardinalities.
+
+    OSS parquet has no MERGE; the upsert is read -> anti-join on keys
+    -> union -> overwrite.  On a table format with real MERGE
+    (Delta/Iceberg) ``_upsert`` becomes a one-line MERGE INTO — the
+    sink contract stays identical.
+    """
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        try:
+            existing = spark.read.parquet(path)
+            merged = existing.join(
+                batch_df.select(*keys), keys, "left_anti"
+            ).unionByName(batch_df)
+        except Exception:
+            merged = batch_df
+        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+
+    writer = (
+        df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_upsert)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_complete_to_parquet(
     df: DataFrame,
     path: str,

@@ -69,6 +69,51 @@ def test_multi_batch_stream_equals_batch(spark, tmp_path, cleaned_inputs):
     assert _rows(out["gold"]) == _rows(batch_gold)
 
 
+def test_update_mode_upsert_sink(spark, tmp_path):
+    """Watermark + update-mode upsert: per-batch output is only the
+    changed keys, and after two incremental drains the target equals
+    the batch aggregate of all input (ST3-ST5 improved design)."""
+    from pyspark.sql import Row
+
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream_update_upsert,
+    )
+
+    src = str(tmp_path / "events_src")
+    target = str(tmp_path / "upsert_target")
+    ckpt = str(tmp_path / "upsert_ckpt")
+
+    def rows(pairs):
+        return [Row(user_id=u, epoch_s=t) for u, t in pairs]
+
+    batch1 = spark.createDataFrame(rows([(1, 100), (1, 200), (2, 100)]))
+    batch1.write.mode("append").parquet(src)
+
+    def drain():
+        stream = read_stream_parquet(spark, src, batch1.schema)
+        agg = (
+            stream.withColumn("ts", F.timestamp_seconds("epoch_s"))
+            .withWatermark("ts", "10 days")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = write_stream_update_upsert(
+            agg, target, ckpt, keys=["user_id"], query_name="upsert_test"
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = {r.user_id: r.n for r in spark.read.parquet(target).collect()}
+    assert got1 == {1: 2, 2: 1}
+
+    # incremental drop: user 1 gets another event, user 3 appears
+    spark.createDataFrame(rows([(1, 300), (3, 50)])).write.mode("append").parquet(src)
+    drain()
+    got2 = {r.user_id: r.n for r in spark.read.parquet(target).collect()}
+    assert got2 == {1: 3, 2: 1, 3: 1}
+
+
 def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs):
     """Re-running with NEW files processes only the increment
     (checkpointed offsets), and gold reflects the union — the
