@@ -532,6 +532,42 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q13 shape — aggregate of an aggregate (customer order histogram)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count: left join -> per-key
+    count -> count-of-counts.  Two cascaded aggregations; the second
+    input is already tiny (|distinct counts| rows per partition after
+    partial agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+TPCH_Q13_ORACLE = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
 # Outer / semi / anti joins (the join-type matrix beyond J1)
 # ---------------------------------------------------------------------------
 
@@ -788,6 +824,8 @@ ANALYTICS_QUERIES = [
      "TPC-H Q6 shape: all-pushed filters + scalar aggregate"),
     ("tpch_q18_large_orders", tpch_q18_large_orders, TPCH_Q18_ORACLE,
      "TPC-H Q18 shape: HAVING subquery reduced before re-join"),
+    ("tpch_q13_order_histogram", tpch_q13_order_histogram, TPCH_Q13_ORACLE,
+     "TPC-H Q13 shape: aggregate of an aggregate (count-of-counts)"),
     ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE,
      "window top-k per key (row_number)"),
     ("customer_set_ops", customer_set_ops, SET_OPS_ORACLE,

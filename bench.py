@@ -32,6 +32,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
+    "tpch_q18_large_orders",
     "top_orders_per_customer",
     "asof_join_events_orders",
     # the SCALE-PATH near-dup operator benches here; the exact

@@ -62,6 +62,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
+    """Files from write_range_sorted carry disjoint min/max ranges on
+    the sort key (verified via parquet footer stats) — the property
+    row-group/file skipping depends on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from amazon_books_review_spark.sources.io import write_range_sorted
+
+    orders = load_table(spark, SF, "orders")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, ["o_totalprice"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_totalprice"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
 def test_observation_single_pass_metrics(spark):
     """The BD probe pattern (7 recomputing counts) as ONE pass."""
     orders = load_table(spark, SF, "orders")
