@@ -26,9 +26,9 @@ Modes:
   join (book details is a dimension, not an event stream — joining it
   as a stream forces Spark to hold every detail row in state store
   forever; as a static side it is just a broadcast per micro-batch),
-  the pushdown-friendly range predicate, and gold in update mode with
-  a watermark would complete the picture once review_Time is a real
-  timestamp (the reference keeps it a string — SURVEY §7.5.2).
+  the pushdown-friendly range predicate, and gold in UPDATE mode with
+  a key-upsert sink — each micro-batch writes only the changed
+  aggregate rows (complete mode rewrites the full table every batch).
 """
 
 from __future__ import annotations
@@ -47,6 +47,7 @@ from amazon_books_review_spark.sources.io import (
     read_stream_parquet,
     write_stream,
     write_stream_complete_to_parquet,
+    write_stream_update_upsert,
 )
 
 
@@ -140,17 +141,32 @@ def run_streaming_medallion(
     )
     q3.awaitTermination()
 
-    # --- gold (MA:153-183): complete-mode aggregate.
+    # --- gold (MA:153-183).
     silver_schema = read_parquet(spark, paths.silver).schema
     silver_stream = read_stream_parquet(
         spark, paths.silver, silver_schema, max_files_per_trigger
     )
-    q4 = write_stream_complete_to_parquet(
-        gold_users_count(silver_stream),
-        paths.gold,
-        paths.checkpoint("gold"),
-        query_name="gold_books_users_count",
-    )
+    gold_df = gold_users_count(silver_stream)
+    if fidelity:
+        # Reference shape: complete mode — the whole gold table is
+        # rewritten every micro-batch (MA:182).
+        q4 = write_stream_complete_to_parquet(
+            gold_df,
+            paths.gold,
+            paths.checkpoint("gold"),
+            query_name="gold_books_users_count",
+        )
+    else:
+        # Scale shape: update mode + key-upsert — each micro-batch
+        # writes only the aggregate rows that changed (O(changed
+        # keys) vs complete's O(all keys ever)).
+        q4 = write_stream_update_upsert(
+            gold_df,
+            paths.gold,
+            paths.checkpoint("gold"),
+            keys=["Title", "Year_of_publish", "categories"],
+            query_name="gold_books_users_count",
+        )
     q4.awaitTermination()
 
     return {
