@@ -532,6 +532,88 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q14 shape — conditional aggregation ratio (promo revenue share)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts in one window: conditional
+    sum over a join — sum(CASE)/sum in a single aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(D) * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(D)))
+            .cast("double")
+            / F.sum(rev).cast("double")
+            * 100,
+            6,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT round(
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           * 100, 6) AS promo_share_pct,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — EXISTS semi-join inside a date window
+# ---------------------------------------------------------------------------
+
+
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in a quarter having at least one late-shipped line
+    (EXISTS -> left_semi): the semi-join sends only the join key of
+    the subquery side across the wire."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    # "late" proxy on this schema (no l_commitdate): shipped > 60 days
+    # after the order date — a compound semi-join condition.
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 shape — aggregate of an aggregate (customer order histogram)
 # ---------------------------------------------------------------------------
 
@@ -826,6 +908,10 @@ ANALYTICS_QUERIES = [
      "TPC-H Q18 shape: HAVING subquery reduced before re-join"),
     ("tpch_q13_order_histogram", tpch_q13_order_histogram, TPCH_Q13_ORACLE,
      "TPC-H Q13 shape: aggregate of an aggregate (count-of-counts)"),
+    ("tpch_q14_promo_share", tpch_q14_promo_share, TPCH_Q14_ORACLE,
+     "TPC-H Q14 shape: conditional-aggregation revenue share"),
+    ("tpch_q4_priority_check", tpch_q4_priority_check, TPCH_Q4_ORACLE,
+     "TPC-H Q4 shape: EXISTS semi-join with compound time condition"),
     ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE,
      "window top-k per key (row_number)"),
     ("customer_set_ops", customer_set_ops, SET_OPS_ORACLE,
