@@ -98,6 +98,49 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_table_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-generic batch scan: parquet / orc / json / csv.
+
+    JSON and CSV should always get an explicit ``schema`` (inference
+    is an extra pass and run-dependent); parquet/orc are self-
+    describing.  All four support predicate pushdown except JSON/CSV
+    (row formats — at 100 TB convert to a columnar format at ingest,
+    which is exactly what the cleaning pipelines do).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for key, value in options.items():
+        reader = reader.option(key, value)
+    return reader.load(path)
+
+
+def write_table_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Format-generic sink (parquet / orc / json / csv), explicit
+    mode, optional partitioning.  Delta lands here unchanged when
+    ``delta-spark`` is on the classpath (``fmt="delta"``) — the
+    engine's sink abstraction is this function's signature."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for key, value in options.items():
+        writer = writer.option(key, value)
+    writer.save(path)
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,

@@ -30,6 +30,26 @@ def test_stateful_sessionizer_matches_batch(spark):
     assert batch == stateful
 
 
+def test_format_roundtrips(spark, tmp_path):
+    """orc and json sinks/scans round-trip values and schema (json
+    with explicit schema — row formats never infer at scale)."""
+    from amazon_books_review_spark.sources.io import (
+        load_table,
+        read_table_format,
+        write_table_format,
+    )
+
+    src = load_table(spark, SF, "nation")
+    for fmt in ("orc", "json"):
+        path = str(tmp_path / f"nation_{fmt}")
+        write_table_format(src, path, fmt=fmt)
+        back = read_table_format(
+            spark, path, fmt=fmt,
+            schema=src.schema if fmt == "json" else None,
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_csv_source_explicit_schema(spark, tmp_path):
     """S1 — CSV scan with an explicit schema: no inference pass, types
     stable, garbage -> NULL under the engine's non-ANSI casts."""
