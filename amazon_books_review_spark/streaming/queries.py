@@ -119,9 +119,72 @@ JOIN customer ON user_id = c_custkey
 """
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 — the improved-design stream-stream join: both sides
+    watermarked AND a time-range join condition, which is what lets
+    Spark EVICT join state (the reference's unwatermarked silver join
+    holds state forever, MA:116-121).
+
+    Shape: purchase events joined to the same user's view events from
+    the preceding hour.  State per side is bounded by
+    watermark + range (1h of events), independent of stream lifetime.
+    Oracle: the equivalent batch range join (availableNow over a
+    bounded input emits every in-range match).
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "view_id", "user_id")
+    out = tempfile.mkdtemp(prefix="abr_ss_join_")
+    q = write_stream(
+        joined, f"{out}/data", f"{out}/ckpt", query_name="stream_stream_join"
+    )
+    q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase'
+ AND v.event_type = 'view'
+ AND v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts < p.ts
+"""
+
+
 STREAMING_QUERIES = [
     ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
      "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
     ("streaming_stream_static_join", streaming_stream_static_join, STREAM_STATIC_JOIN_ORACLE,
      "ST7+J1: append-mode stream-static join == batch join"),
+    ("streaming_stream_stream_join", streaming_stream_stream_join, STREAM_STREAM_JOIN_ORACLE,
+     "ST4: watermarked stream-stream join with time-range state eviction"),
 ]
