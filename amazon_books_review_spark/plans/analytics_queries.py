@@ -313,6 +313,52 @@ SELECT * FROM ranked WHERE rank <= 3
 """
 
 
+def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/distribution/frame window matrix in one pass:
+    rank, dense_rank, ntile, percent_rank, cume_dist and a running
+    decimal-exact sum — all over ONE window partitioning (one shuffle;
+    Spark evaluates all six functions in a single Window operator)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+WINDOW_SHOWCASE_ORACLE = """
+SELECT o_custkey,
+       o_orderkey,
+       o_totalprice,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Set operations (extension §2.7)
 # ---------------------------------------------------------------------------
@@ -914,6 +960,8 @@ ANALYTICS_QUERIES = [
      "TPC-H Q4 shape: EXISTS semi-join with compound time condition"),
     ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE,
      "window top-k per key (row_number)"),
+    ("window_functions_showcase", window_functions_showcase, WINDOW_SHOWCASE_ORACLE,
+     "rank/dense_rank/ntile/percent_rank/cume_dist/running-sum in one window"),
     ("customer_set_ops", customer_set_ops, SET_OPS_ORACLE,
      "INTERSECT / EXCEPT / UNION"),
     ("orders_rollup", orders_rollup, ORDERS_ROLLUP_ORACLE,
