@@ -464,7 +464,8 @@ JSON_EXTRACT_ORACLE = """
 WITH src AS (
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
 )
-SELECT k % 10 AS k_mod, count(*) AS n_events, sum(k) AS k_sum
+SELECT k % 10 AS k_mod, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS k_sum
 FROM src
 GROUP BY k % 10
 """

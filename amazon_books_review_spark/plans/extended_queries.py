@@ -177,14 +177,15 @@ WITH ordered AS (
     FROM ordered
 ), numbered AS (
     SELECT user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
     FROM flagged
 )
 SELECT user_id, session_idx,
        count(*) AS n_events,
        strftime(min(date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
-       epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS duration_s
+       CAST(epoch(date_trunc('second', max(ts)))
+            - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_s
 FROM numbered
 GROUP BY user_id, session_idx
 """
@@ -216,9 +217,11 @@ WITH ordered AS (
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
     FROM events
 ), flagged AS (
+    -- >= (not >): Spark's session_window is [start, last_ts + gap) half-open,
+    -- so an event exactly `gap` after the previous one opens a NEW session.
     SELECT user_id, ts,
            CASE WHEN prev_ts IS NULL
-                     OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_MIN * 60}
+                     OR epoch(ts) - epoch(prev_ts) >= {SESSION_GAP_MIN * 60}
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ), numbered AS (

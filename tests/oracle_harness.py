@@ -51,6 +51,35 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return norm.sort_values(by=list(norm.columns), ignore_index=True)
 
 
+def _type_family(s: pd.Series) -> str:
+    """Coarse dtype family used to catch cross-engine typing drift.
+
+    The driver hashes *raw* values, so Spark LONG vs DuckDB
+    HUGEINT/DOUBLE (``1`` vs ``1.0``) is a hash mismatch even though
+    ``1 == 1.0``.  Comparing families locally makes that drift fail
+    here first (VERDICT r1 §What's wrong #1/#2/#4)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    # object columns: infer from the first non-null value (DuckDB
+    # HUGEINT can surface as object-dtype python ints)
+    non_null = s.dropna()
+    if len(non_null):
+        v = non_null.iloc[0]
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+    return "object"
+
+
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -77,6 +106,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     if s_cols != o_cols:
         problems.append(f"columns: spark={s_cols} oracle={o_cols}")
         return problems
+    if problems:
+        return problems
+    for col in s_cols:
+        fam_s = _type_family(spark_pdf[col])
+        fam_o = _type_family(oracle_pdf[col])
+        if fam_s != fam_o:
+            problems.append(
+                f"dtype family mismatch col {col}: spark={fam_s} "
+                f"({spark_pdf[col].dtype}) oracle={fam_o} ({oracle_pdf[col].dtype})"
+                " — the driver hashes raw values, cast the oracle"
+            )
     if problems:
         return problems
     s = _normalize(spark_pdf)
