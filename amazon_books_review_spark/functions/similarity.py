@@ -300,6 +300,74 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_neardup_lsh_verified(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage embedding near-dup: sign-LSH bucket candidates ->
+    exact cosine verify.  THE scale path for embedding all-pairs —
+    the registered catalog form; :func:`cosine_neardup_pairs` (exact
+    triangular self-join) is the sf0.01 verify stage only.
+
+    - Candidates: per-table self-equi-join on (table_id, signature).
+      Linear shuffle in |corpus| x n_tables; the only quadratic term
+      is within a bucket, and buckets hold ~n/2^n_planes vectors.
+    - Verify: join the (small) candidate pair list back to the vector
+      column and compute the exact cosine — same contract as the
+      two-stage Jaccard operator (dedup.lsh_verified_pairs).
+
+    Approximation contract: a pair at angle theta collides in one
+    table with probability (1 - theta/pi)^n_planes; n_tables union
+    their candidates, so recall = 1 - (1 - p)^n_tables.  At the
+    defaults (4 planes, 8 tables) pairs at cos >= 0.45 are examined
+    with probability ~0.79 and true near-dups (cos >= 0.9) with
+    ~0.9999.  Deterministic md5-derived hyperplanes => the full
+    mechanics are oracle-checkable, not just row counts.
+    """
+    sigs = None
+    for t in range(n_tables):
+        s = corpus.select(
+            F.col(id_col).alias("id"),
+            F.lit(t).alias("table_id"),
+            hyperplane_signature(F.col(vec_col), n_planes, dim, t).alias("sig"),
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    cand = (
+        sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
+        .join(sigs.select(F.col("id").alias("id_b"), "table_id", "sig"),
+              ["table_id", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"),
+                  F.col("_n").alias("_na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
+                  F.col("_n").alias("_nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes: component (p, d) is
     ``md5("{table}|{p}|{d}")``'s first 8 hex chars scaled to [-1, 1).

@@ -381,6 +381,58 @@ WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {COSINE_DUP_TH
 """
 
 
+NEARDUP_LSH_PLANES = 4
+NEARDUP_LSH_TABLES = 8
+
+
+def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup (VERDICT r1 §What's wrong
+    #3): sign-LSH bucket candidates -> exact cosine verify.  The exact
+    triangular self-join (:func:`embedding_neardup_pairs`) stays in
+    the catalog as the sf0.01 verify stage only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_lsh_verified(
+        emb, "vec_id", "embedding",
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=NEARDUP_LSH_PLANES, n_tables=NEARDUP_LSH_TABLES, dim=EMB_DIM,
+    )
+
+
+def _neardup_lsh_oracle() -> str:
+    """Mirrors the two-stage operator with the SAME md5-derived
+    hyperplane constants inlined as SQL arrays, so the LSH candidate
+    mechanics (not just the verify filter) are oracle-checked."""
+    table_sigs = []
+    for t in range(NEARDUP_LSH_TABLES):
+        planes = similarity.deterministic_planes(NEARDUP_LSH_PLANES, EMB_DIM, t)
+        bits = " + ".join(
+            f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(planes)
+        )
+        table_sigs.append(f"SELECT vec_id, {t} AS table_id, ({bits}) AS sig FROM v")
+    signed = "\n    UNION ALL\n    ".join(table_sigs)
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), signed AS (
+    {signed}
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM signed a
+    JOIN signed b ON a.table_id = b.table_id AND a.sig = b.sig
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_inner_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) AS sim
+FROM cand
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE round(list_inner_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 IVF_NPROBE = 2
 
 
@@ -676,7 +728,12 @@ NORTHSTAR_QUERIES = [
     ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,
      "IVF-style ANN: centroid routing (nprobe=2) + in-cell exact search"),
     ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE,
-     "embedding-cosine near-dup pairs (exact verify; LSH = scale path)"),
+     "embedding-cosine near-dup pairs (exact all-pairs — verify stage ONLY, "
+     "correctness-scale; never the default path)"),
+    ("embedding_neardup_lsh_verified", embedding_neardup_lsh_verified,
+     _neardup_lsh_oracle(),
+     "two-stage embedding near-dup: sign-LSH candidates + exact cosine "
+     "verify (scale path)"),
     ("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE,
      "per-doc token stats incl. BPE-ish subword count"),
     ("text_lang_id", text_lang_id, _lang_id_oracle(),

@@ -41,6 +41,9 @@ HEADLINE = [
     # operator exists to avoid.
     "dedup_neardup_lsh_verified",
     "dedup_minhash_lsh",
+    # likewise the embedding near-dup: the two-stage LSH-verified form
+    # benches; embedding_neardup_pairs (exact O(n^2)) is verify-only.
+    "embedding_neardup_lsh_verified",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "text_token_stats",
