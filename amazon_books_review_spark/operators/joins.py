@@ -76,13 +76,22 @@ def asof_join(
       pre-bucket by (key, time-range) first — the range join below.
     - If ``right`` has several rows at the identical (by, time), the
       one sorting last wins; pre-dedup right for full determinism.
+    - The right payload travels as ONE nullable struct, not one
+      column per value: ``last(col, ignorenulls=True)`` per column
+      would skip a NULL payload value in the matched row and pull
+      that column from an OLDER right row — mixing columns from
+      different right rows.  The struct is non-null whenever a right
+      row exists, so all ``_asof`` columns come from the same row.
     """
+    from pyspark.sql import types as T
+
+    r_struct = T.StructType([right.schema[c] for c in right_values])
     tagged_left = left.select(
         F.col(by),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in (by,)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_values],
+        F.lit(None).cast(r_struct).alias("_r"),
     )
     tagged_right = right.select(
         F.col(by),
@@ -93,7 +102,7 @@ def asof_join(
             for c in left.columns
             if c not in (by,)
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("_r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
@@ -105,25 +114,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_values
-        ],
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m")
     )
-    out = carried.filter(F.col("_is_left") == 1).select(
+    matched = carried.filter(F.col("_is_left") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    return matched.select(
         F.col(by),
         *[F.col(c) for c in left.columns if c not in (by,)],
-        *[F.col(f"_m_{c}").alias(f"{c}_asof") for c in right_values],
+        *[F.col("_m").getField(c).alias(f"{c}_asof") for c in right_values],
     )
-    if how == "inner":
-        cond = None
-        for c in right_values:
-            this = F.col(f"{c}_asof").isNotNull()
-            cond = this if cond is None else (cond | this)
-        if cond is not None:
-            out = out.filter(cond)
-    return out
 
 
 def salted_join(

@@ -306,6 +306,8 @@ def write_stream_update_upsert(
     """
 
     def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
         try:
@@ -313,7 +315,16 @@ def write_stream_update_upsert(
             merged = existing.join(
                 batch_df.select(*keys), keys, "left_anti"
             ).unionByName(batch_df)
-        except Exception:
+        except AnalysisException as exc:
+            # First batch only: the target doesn't exist yet.  Any
+            # OTHER failure (transient storage error, corrupt footer)
+            # must propagate — falling back here would silently
+            # overwrite the table with just this micro-batch and drop
+            # every previously upserted key.
+            if "PATH_NOT_FOUND" not in (exc.getErrorClass() or "") and (
+                "Path does not exist" not in str(exc)
+            ):
+                raise
             merged = batch_df
         merged.localCheckpoint().write.mode("overwrite").parquet(path)
 

@@ -101,6 +101,24 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
     assert got == want
 
 
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    # The matched (latest <=) right row has v1=NULL, v2=7; an OLDER
+    # right row has v1=5.  Per-column last(ignorenulls) would leak
+    # v1=5 from the older row; the struct carry must return the
+    # matched row as-is: (None, 7).
+    left = spark.createDataFrame([Row(k=1, t=10, lid=0)])
+    right = spark.createDataFrame(
+        [(1, 1, 5, 6), (1, 9, None, 7)], "k int, t int, v1 int, v2 int"
+    )
+    out = asof_join(
+        left, right, by="k", left_time="t", right_time="t",
+        right_values=["v1", "v2"], how="inner",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].v1_asof is None
+    assert out[0].v2_asof == 7
+
+
 @given(st.lists(st.text(alphabet="ab [']\\\"", min_size=0, max_size=12),
                 min_size=1, max_size=20))
 @settings(**_SETTINGS)
