@@ -72,6 +72,25 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def delta_session_confs() -> dict[str, str]:
+    """Builder-time confs that enable Delta Lake when ``delta-spark``
+    is importable (the reference's table format, MA:34-39); empty when
+    it isn't.  Builder-only: the SQL extension cannot be injected into
+    an already-running session, so pass these to :func:`get_session`'s
+    ``extra_confs`` (or merge into your own builder) before the first
+    ``getOrCreate``."""
+    import importlib.util
+
+    if importlib.util.find_spec("delta") is None:
+        return {}
+    return {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        ),
+    }
+
+
 def get_session(
     app_name: str = "amazon_books_review_spark",
     master: str | None = None,

@@ -49,6 +49,27 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def delta_available() -> bool:
+    """True when ``delta-spark`` is importable.
+
+    The reference's whole medallion persists to Delta (MA:34-39,
+    MA:73-78, MA:127-132, MA:178-183); this engine is format-generic
+    with parquet as the portable default and delta used end-to-end
+    when the package is present.  Sessions must also carry
+    :func:`~amazon_books_review_spark.session.delta_session_confs`
+    for the SQL extension/catalog to resolve the format.
+    """
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+def default_stream_format() -> str:
+    """The format streaming sinks use when the caller doesn't pin one:
+    delta if importable (reference fidelity), else parquet."""
+    return "delta" if delta_available() else "parquet"
+
+
 # ---------------------------------------------------------------------------
 # Batch
 # ---------------------------------------------------------------------------
@@ -230,23 +251,41 @@ def load_tables(
 # ---------------------------------------------------------------------------
 
 
+def read_stream_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S4 — the OSS replacement for Databricks Auto Loader (MA:9-14),
+    format-generic (parquet / delta / orc / json / csv).
+
+    The OSS *file* sources require a user-supplied schema — which is
+    the better engineering anyway (Auto Loader's
+    ``cloudFiles.schemaLocation`` exists to paper over inference).
+    Delta is self-describing, so ``schema`` is optional there (and
+    ignored by the delta source).  ``max_files_per_trigger`` is the
+    rate-control knob.
+    """
+    reader = spark.readStream.format(fmt)
+    if schema is not None and fmt != "delta":
+        reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
 def read_stream_parquet(
     spark: SparkSession,
     path: str,
     schema: StructType,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """S4 — the OSS replacement for Databricks Auto Loader (MA:9-14).
-
-    The OSS file source *requires* a user-supplied schema — which is
-    the better engineering anyway (Auto Loader's
-    ``cloudFiles.schemaLocation`` exists to paper over inference).
-    ``max_files_per_trigger`` is the rate-control knob.
-    """
-    reader = spark.readStream.format("parquet").schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    """S4, parquet-pinned form (the common call)."""
+    return read_stream_files(
+        spark, path, schema, "parquet", max_files_per_trigger
+    )
 
 
 def write_stream(
@@ -263,7 +302,7 @@ def write_stream(
     ``available_now=True`` gives deterministic drain-everything-then-stop
     semantics (the test idiom; production would pass False for a
     continuous micro-batch loop).  ``output_mode="complete"`` is only
-    valid for aggregations and is handled by :func:`write_stream_complete_to_parquet`
+    valid for aggregations and is handled by :func:`write_stream_complete`
     because the OSS file sink only supports append — the reference's
     complete-mode gold sink (MA:178-183) relies on Delta.
     """
@@ -287,9 +326,9 @@ def write_stream_update_upsert(
     keys: list[str],
     available_now: bool = True,
     query_name: str | None = None,
+    fmt: str = "parquet",
 ) -> StreamingQuery:
-    """Update-mode aggregate sink onto plain parquet via
-    foreachBatch key-upsert.
+    """Update-mode aggregate sink via foreachBatch key-upsert.
 
     The scale-correct alternative to complete mode (SURVEY ST3-ST5):
     with a watermark, update mode emits only the CHANGED aggregate
@@ -299,11 +338,29 @@ def write_stream_update_upsert(
     complete mode rewrites the full result table every batch, which
     is fatal at 100 TB key cardinalities.
 
-    OSS parquet has no MERGE; the upsert is read -> anti-join on keys
-    -> union -> overwrite.  On a table format with real MERGE
-    (Delta/Iceberg) ``_upsert`` becomes a one-line MERGE INTO — the
-    sink contract stays identical.
+    ``fmt="delta"`` uses a real transactional MERGE INTO
+    (whenMatchedUpdateAll / whenNotMatchedInsertAll) — the
+    reference's actual gold idiom.  Plain parquet has no MERGE; the
+    portable fallback is read -> anti-join on keys -> union ->
+    overwrite.  The sink contract is identical either way.
     """
+
+    def _upsert_delta(batch_df: DataFrame, _batch_id: int) -> None:
+        from delta.tables import DeltaTable
+
+        spark = batch_df.sparkSession
+        if not DeltaTable.isDeltaTable(spark, path):
+            batch_df.write.format("delta").mode("overwrite").save(path)
+            return
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(batch_df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -321,7 +378,8 @@ def write_stream_update_upsert(
             # must propagate — falling back here would silently
             # overwrite the table with just this micro-batch and drop
             # every previously upserted key.
-            if "PATH_NOT_FOUND" not in (exc.getErrorClass() or "") and (
+            condition = getattr(exc, "getCondition", exc.getErrorClass)() or ""
+            if "PATH_NOT_FOUND" not in condition and (
                 "Path does not exist" not in str(exc)
             ):
                 raise
@@ -331,7 +389,7 @@ def write_stream_update_upsert(
     writer = (
         df.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(_upsert)
+        .foreachBatch(_upsert_delta if fmt == "delta" else _upsert)
     )
     if query_name:
         writer = writer.queryName(query_name)
@@ -340,24 +398,26 @@ def write_stream_update_upsert(
     return writer.start()
 
 
-def write_stream_complete_to_parquet(
+def write_stream_complete(
     df: DataFrame,
     path: str,
     checkpoint: str,
     available_now: bool = True,
     query_name: str | None = None,
+    fmt: str = "parquet",
 ) -> StreamingQuery:
-    """S6 — complete-mode aggregate sink onto plain parquet.
+    """S6 — complete-mode aggregate sink.
 
     The OSS parquet sink cannot take ``complete`` output directly
     (that needs a table format with overwrite, i.e. Delta — MA:182).
     Portable equivalent: ``foreachBatch`` overwriting the target per
-    micro-batch.  Same observable behavior: the sink always holds the
-    full current aggregate.
+    micro-batch.  ``fmt="delta"`` writes the same overwrite
+    transactionally.  Same observable behavior either way: the sink
+    always holds the full current aggregate.
     """
 
     def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(path)
+        batch_df.write.format(fmt).mode("overwrite").save(path)
 
     writer = (
         df.writeStream.outputMode("complete")

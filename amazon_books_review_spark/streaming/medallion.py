@@ -43,10 +43,11 @@ from amazon_books_review_spark.plans.books_pipeline import (
     silver_books_reviews,
 )
 from amazon_books_review_spark.sources.io import (
-    read_parquet,
-    read_stream_parquet,
+    default_stream_format,
+    read_stream_files,
+    read_table_format,
     write_stream,
-    write_stream_complete_to_parquet,
+    write_stream_complete,
     write_stream_update_upsert,
 )
 
@@ -84,6 +85,7 @@ def run_streaming_medallion(
     paths: MedallionPaths,
     fidelity: bool = True,
     max_files_per_trigger: int | None = None,
+    fmt: str | None = None,
 ) -> dict[str, DataFrame]:
     """Drain the full medallion with availableNow triggers.
 
@@ -92,68 +94,81 @@ def run_streaming_medallion(
     checkpointed; re-running with the same paths processes only new
     files, exactly like the reference's incremental Auto Loader runs).
 
+    ``fmt`` picks the bronze/silver/gold table format; the default is
+    delta when ``delta-spark`` is importable (the reference's actual
+    sink format, MA:34-39) and parquet otherwise.  Gold semantics are
+    identical across formats — the pytest gate runs both when delta
+    is present.
+
     Returns the materialized bronze/silver/gold tables as batch
     DataFrames.
     """
+    fmt = fmt or default_stream_format()
     # --- bronze: schema comes from a batch peek at the inputs (the
     # OSS file source requires an explicit schema; MA leaned on
-    # cloudFiles.schemaLocation for the same thing).
-    details_schema = read_parquet(spark, paths.details_in).schema
-    reviews_schema = read_parquet(spark, paths.reviews_in).schema
+    # cloudFiles.schemaLocation for the same thing).  Inputs are the
+    # raw parquet drop zone regardless of the table format.
+    details_schema = read_table_format(spark, paths.details_in).schema
+    reviews_schema = read_table_format(spark, paths.reviews_in).schema
 
     q1 = write_stream(
-        read_stream_parquet(spark, paths.details_in, details_schema,
-                            max_files_per_trigger),
+        read_stream_files(spark, paths.details_in, details_schema,
+                          "parquet", max_files_per_trigger),
         paths.details_bronze,
         paths.checkpoint("details_bronze"),
+        fmt=fmt,
         query_name="books_details_bronze",
     )
     q1.awaitTermination()
     q2 = write_stream(
-        read_stream_parquet(spark, paths.reviews_in, reviews_schema,
-                            max_files_per_trigger),
+        read_stream_files(spark, paths.reviews_in, reviews_schema,
+                          "parquet", max_files_per_trigger),
         paths.reviews_bronze,
         paths.checkpoint("reviews_bronze"),
+        fmt=fmt,
         query_name="books_reviews_bronze",
     )
     q2.awaitTermination()
 
     # --- silver (MA:116-132)
-    reviews_stream = read_stream_parquet(
-        spark, paths.reviews_bronze, reviews_schema, max_files_per_trigger
+    reviews_stream = read_stream_files(
+        spark, paths.reviews_bronze, reviews_schema, fmt, max_files_per_trigger
     )
     if fidelity:
         # Reference shape: BOTH sides streamed, unwatermarked inner
         # join -> unbounded state (MA:116-121).
-        details_side: DataFrame = read_stream_parquet(
-            spark, paths.details_bronze, details_schema, max_files_per_trigger
+        details_side: DataFrame = read_stream_files(
+            spark, paths.details_bronze, details_schema, fmt,
+            max_files_per_trigger,
         )
     else:
         # Scale shape: details is a static dimension side; zero join
         # state, re-snapshotted per micro-batch.
-        details_side = read_parquet(spark, paths.details_bronze)
+        details_side = read_table_format(spark, paths.details_bronze, fmt)
     silver_df = silver_books_reviews(details_side, reviews_stream, fidelity=fidelity)
     q3 = write_stream(
         silver_df,
         paths.silver,
         paths.checkpoint("silver"),
+        fmt=fmt,
         query_name="amazon_books_reviews_silver",
     )
     q3.awaitTermination()
 
     # --- gold (MA:153-183).
-    silver_schema = read_parquet(spark, paths.silver).schema
-    silver_stream = read_stream_parquet(
-        spark, paths.silver, silver_schema, max_files_per_trigger
+    silver_schema = read_table_format(spark, paths.silver, fmt).schema
+    silver_stream = read_stream_files(
+        spark, paths.silver, silver_schema, fmt, max_files_per_trigger
     )
     gold_df = gold_users_count(silver_stream)
     if fidelity:
         # Reference shape: complete mode — the whole gold table is
         # rewritten every micro-batch (MA:182).
-        q4 = write_stream_complete_to_parquet(
+        q4 = write_stream_complete(
             gold_df,
             paths.gold,
             paths.checkpoint("gold"),
+            fmt=fmt,
             query_name="gold_books_users_count",
         )
     else:
@@ -166,12 +181,13 @@ def run_streaming_medallion(
             paths.checkpoint("gold"),
             keys=["Title", "Year_of_publish", "categories"],
             query_name="gold_books_users_count",
+            fmt=fmt,
         )
     q4.awaitTermination()
 
     return {
-        "bronze_details": read_parquet(spark, paths.details_bronze),
-        "bronze_reviews": read_parquet(spark, paths.reviews_bronze),
-        "silver": read_parquet(spark, paths.silver),
-        "gold": read_parquet(spark, paths.gold),
+        "bronze_details": read_table_format(spark, paths.details_bronze, fmt),
+        "bronze_reviews": read_table_format(spark, paths.reviews_bronze, fmt),
+        "silver": read_table_format(spark, paths.silver, fmt),
+        "gold": read_table_format(spark, paths.gold, fmt),
     }

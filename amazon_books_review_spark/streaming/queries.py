@@ -25,7 +25,7 @@ from amazon_books_review_spark.sources.io import (
     load_table,
     read_parquet,
     write_stream,
-    write_stream_complete_to_parquet,
+    write_stream_complete,
 )
 
 
@@ -70,7 +70,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = tempfile.mkdtemp(prefix="abr_stream_gold_")
-    q = write_stream_complete_to_parquet(
+    q = write_stream_complete(
         agg, f"{out}/data", f"{out}/ckpt", query_name="windowed_counts"
     )
     q.awaitTermination()

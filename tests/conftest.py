@@ -11,7 +11,10 @@ REPO = Path(__file__).resolve().parents[1]
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from amazon_books_review_spark.session import get_session  # noqa: E402
+from amazon_books_review_spark.session import (  # noqa: E402
+    delta_session_confs,
+    get_session,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
@@ -27,6 +30,9 @@ def spark():
             "spark.ui.enabled": "false",
             "spark.driver.memory": "4g",
             "spark.sql.warehouse.dir": "/tmp/abr-warehouse",
+            # no-op unless delta-spark is importable; with it, the
+            # whole suite's session can read/write delta tables
+            **delta_session_confs(),
         },
     )
     yield spark

@@ -16,6 +16,7 @@ from amazon_books_review_spark.plans.books_pipeline import (
     gold_users_count,
     silver_books_reviews,
 )
+from amazon_books_review_spark.sources.io import delta_available
 from amazon_books_review_spark.streaming.medallion import (
     MedallionPaths,
     run_streaming_medallion,
@@ -40,11 +41,22 @@ def cleaned_inputs(spark, tmp_path):
     return details, ratings, d_path, r_path
 
 
+FORMATS = ["parquet"] + (["delta"] if delta_available() else [])
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
 @pytest.mark.parametrize("fidelity", [True, False])
-def test_streaming_medallion_equals_batch(spark, tmp_path, cleaned_inputs, fidelity):
+def test_streaming_medallion_equals_batch(
+    spark, tmp_path, cleaned_inputs, fidelity, fmt
+):
+    """Identical gold across table formats: the medallion is
+    format-generic (parquet always; delta — the reference's actual
+    sink, MA:34-39 — whenever delta-spark is importable)."""
     details, ratings, d_path, r_path = cleaned_inputs
-    paths = MedallionPaths(d_path, r_path, str(tmp_path / f"medallion_{fidelity}"))
-    out = run_streaming_medallion(spark, paths, fidelity=fidelity)
+    paths = MedallionPaths(
+        d_path, r_path, str(tmp_path / f"medallion_{fidelity}_{fmt}")
+    )
+    out = run_streaming_medallion(spark, paths, fidelity=fidelity, fmt=fmt)
 
     batch_silver = silver_books_reviews(details, ratings, fidelity=fidelity)
     batch_gold = gold_users_count(batch_silver)
@@ -112,6 +124,84 @@ def test_update_mode_upsert_sink(spark, tmp_path):
     drain()
     got2 = {r.user_id: r.n for r in spark.read.parquet(target).collect()}
     assert got2 == {1: 3, 2: 1, 3: 1}
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_update_mode_upsert_sink_delta(spark, tmp_path):
+    """Same upsert contract on the Delta MERGE INTO path."""
+    from pyspark.sql import Row
+
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream_update_upsert,
+    )
+
+    src = str(tmp_path / "events_src")
+    target = str(tmp_path / "upsert_delta")
+    ckpt = str(tmp_path / "upsert_delta_ckpt")
+    batch1 = spark.createDataFrame(
+        [Row(user_id=u, epoch_s=t) for u, t in [(1, 100), (1, 200), (2, 100)]]
+    )
+    batch1.write.mode("append").parquet(src)
+
+    def drain():
+        stream = read_stream_parquet(spark, src, batch1.schema)
+        agg = (
+            stream.withColumn("ts", F.timestamp_seconds("epoch_s"))
+            .withWatermark("ts", "10 days")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        write_stream_update_upsert(
+            agg, target, ckpt, keys=["user_id"], fmt="delta"
+        ).awaitTermination()
+
+    drain()
+    spark.createDataFrame(
+        [Row(user_id=u, epoch_s=t) for u, t in [(1, 300), (3, 50)]]
+    ).write.mode("append").parquet(src)
+    drain()
+    got = {
+        r.user_id: r.n
+        for r in spark.read.format("delta").load(target).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_schema_drift_added_column_is_ignored(spark, tmp_path):
+    """Auto Loader's ``cloudFiles.schemaLocation`` (MA:12) tracks an
+    EVOLVING schema; this engine's deliberate stance is an explicit,
+    fixed stream schema.  A new column appearing mid-stream is
+    therefore IGNORED (the parquet reader projects only declared
+    columns) and the stream keeps running — drift never silently
+    changes downstream schemas.  Evolution is an operator decision:
+    re-declare the schema and restart with the same checkpoint."""
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream,
+    )
+
+    src = str(tmp_path / "drift_src")
+    sink = str(tmp_path / "drift_sink")
+    ckpt = str(tmp_path / "drift_ckpt")
+    declared = "id long, v string"
+    spark.createDataFrame([(1, "a")], declared).write.mode("append").parquet(src)
+
+    def drain():
+        stream = read_stream_parquet(
+            spark, src, spark.createDataFrame([], declared).schema
+        )
+        write_stream(stream, sink, ckpt).awaitTermination()
+
+    drain()
+    # drift: a producer starts writing an extra column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, extra double"
+    ).write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink)
+    assert sorted(out.columns) == ["id", "v"]
+    assert sorted(r.id for r in out.collect()) == [1, 2]
 
 
 def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs):
