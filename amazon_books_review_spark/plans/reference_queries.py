@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amazon_books_review_spark.operators import cleaning
+from amazon_books_review_spark.plans.flagship import (
+    FLAGSHIP_ORACLE_SQL as _FLAGSHIP_ORACLE,
+)
 from amazon_books_review_spark.sources.io import load_table
 
 
@@ -427,6 +430,28 @@ FROM part
 
 
 # ---------------------------------------------------------------------------
+# Catalog-persistent tables (C1-C4 beyond temp views)
+# ---------------------------------------------------------------------------
+
+
+def catalog_persisted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C4 — ``saveAsTable`` -> ``spark.table`` round-trip, the
+    reference's metastore idiom (MA:39 persist, MA:99-101 read-back,
+    MA:88 DESCRIBE EXTENDED is pytest-locked in
+    tests/test_table_catalog.py).  Persists the flagship gold rollup
+    as a managed parquet table and returns the catalog read — same
+    rows as flagship_gold_rollup, so it shares that oracle.
+    Overwrite mode keeps re-runs idempotent (the reference's
+    ``.table(...)`` sinks fail on re-run)."""
+    from amazon_books_review_spark.plans.flagship import flagship_gold_rollup
+    from amazon_books_review_spark.sources import table_catalog
+
+    gold = flagship_gold_rollup(spark, sf_dir)
+    table_catalog.save_as_table(gold, "abr_gold_rollup_persisted")
+    return table_catalog.read_table(spark, "abr_gold_rollup_persisted")
+
+
+# ---------------------------------------------------------------------------
 # Registry table: (name, fn, oracle, doc)
 # ---------------------------------------------------------------------------
 
@@ -451,4 +476,6 @@ REFERENCE_QUERIES = [
      "A3/P5: null-count audit in one pass (BR:86)"),
     ("scalar_functions_showcase", scalar_functions_showcase, SCALAR_SHOWCASE_ORACLE,
      "string/math/conditional scalar breadth in one codegen'd projection"),
+    ("catalog_persisted_rollup", catalog_persisted_rollup, _FLAGSHIP_ORACLE,
+     "C1-C4: saveAsTable -> spark.table metastore round-trip (MA:39/99)"),
 ]

@@ -1,0 +1,70 @@
+"""Catalog-persistent tables (C1-C4): saveAsTable / spark.table /
+DESCRIBE EXTENDED — the reference's metastore idiom (MA:39, MA:88,
+MA:99-101) on OSS Spark."""
+
+from __future__ import annotations
+
+import pytest
+
+from amazon_books_review_spark.sources import table_catalog as tc
+
+
+@pytest.fixture()
+def persisted(spark):
+    df = spark.createDataFrame(
+        [(1, "AUTOMOBILE", 10), (2, "BUILDING", 20), (3, "AUTOMOBILE", 30)],
+        "id long, segment string, amount long",
+    )
+    tc.save_as_table(df, "tc_test_table", partition_by=["segment"])
+    yield df
+    tc.drop_table(spark, "tc_test_table")
+
+
+def test_save_and_read_back(spark, persisted):
+    got = tc.read_table(spark, "tc_test_table")
+    assert sorted(map(tuple, got.select("id", "segment", "amount").collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+
+
+def test_describe_extended_shape(spark, persisted):
+    rows = tc.describe_extended(spark, "tc_test_table").collect()
+    # standard 3-column relation
+    assert [f.name for f in tc.describe_extended(spark, "tc_test_table").schema] == [
+        "col_name",
+        "data_type",
+        "comment",
+    ]
+    col_names = {r.col_name for r in rows}
+    # column section lists every column, detailed section follows
+    assert {"id", "segment", "amount"} <= col_names
+    assert "# Detailed Table Information" in col_names
+    detail = {r.col_name: r.data_type for r in rows if r.col_name}
+    assert detail.get("Provider") == "parquet"
+    assert "tc_test_table" in (detail.get("Table") or detail.get("Name") or "")
+
+
+def test_table_details_parsed(spark, persisted):
+    info = tc.table_details(spark, "tc_test_table")
+    assert info["name"] == "tc_test_table"
+    assert info["table_type"] == "MANAGED"
+    assert info["is_temporary"] is False
+    assert info["columns"]["id"] == "bigint"
+    assert info["partition_columns"] == ["segment"]
+    assert info["provider"] == "parquet"
+    assert info["location"]  # managed tables still expose a location
+
+
+def test_overwrite_is_idempotent(spark, persisted):
+    df2 = spark.createDataFrame([(9, "X", 99)], "id long, segment string, amount long")
+    tc.save_as_table(df2, "tc_test_table", partition_by=["segment"])
+    assert [tuple(r) for r in tc.read_table(spark, "tc_test_table")
+            .select("id", "segment", "amount").collect()] == [(9, "X", 99)]
+
+
+def test_drop_table(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    tc.save_as_table(df, "tc_drop_me")
+    assert spark.catalog.tableExists("tc_drop_me")
+    tc.drop_table(spark, "tc_drop_me")
+    assert not spark.catalog.tableExists("tc_drop_me")
