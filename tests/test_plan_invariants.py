@@ -79,3 +79,48 @@ def test_map_only_queries_have_no_exchange(spark, name):
     """Pure per-row analysis stages must never shuffle."""
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} acquired a shuffle"
+
+
+# ---------------------------------------------------------------------------
+# Per-headline-query plan snapshots (VERDICT r1 next-step #6)
+#
+# Budgets are the measured `explain("formatted")` operator counts at
+# sf0.001 under AQE (which prints initial+final, hence the even
+# numbers).  A regression — a dropped broadcast hint degrading to
+# SortMergeJoin, an extra Exchange from a lost partitioning reuse —
+# breaks the budget and fails here before it ships.
+# ---------------------------------------------------------------------------
+
+#: name -> (max Exchange count, min BroadcastHashJoin count,
+#:          max BroadcastNestedLoopJoin count)
+PLAN_BUDGETS: dict[str, tuple[int, int, int]] = {
+    "flagship_gold_rollup": (4, 2, 0),
+    "tpch_q1_pricing_summary": (2, 0, 0),
+    "tpch_q3_shipping_priority": (6, 4, 0),
+    "tpch_q5_regional_revenue": (12, 10, 0),
+    "tpch_q18_large_orders": (6, 4, 0),
+    "top_orders_per_customer": (2, 0, 0),
+    "asof_join_events_orders": (4, 0, 0),
+    "dedup_neardup_lsh_verified": (14, 6, 0),
+    "dedup_minhash_lsh": (10, 2, 0),
+    "embedding_neardup_lsh_verified": (8, 6, 0),
+    # the probe cross-join is the intended (bounded) nested loop
+    "similarity_cosine_topk": (4, 0, 2),
+    "similarity_ivf_topk": (10, 2, 2),
+    "text_token_stats": (0, 0, 0),
+    "word_count_top": (2, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
+def test_headline_plan_budget(spark, name):
+    max_ex, min_bhj, max_bnlj = PLAN_BUDGETS[name]
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} grew a cartesian join"
+    assert "SortMergeJoin" not in plan, f"{name} degraded to sort-merge join"
+    ex = plan.count("Exchange")
+    bhj = plan.count("BroadcastHashJoin")
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert ex <= max_ex, f"{name}: {ex} Exchanges (budget {max_ex})"
+    assert bhj >= min_bhj, f"{name}: {bhj} BroadcastHashJoins (need >= {min_bhj})"
+    assert bnlj <= max_bnlj, f"{name}: {bnlj} BNLJs (budget {max_bnlj})"
