@@ -271,6 +271,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Connected components over a near-dup pair list -> (node,
     cluster_id), where cluster_id is the minimum member id — the
@@ -287,16 +288,24 @@ def connected_components(
     LIMIT 1 diff — the loop is driver-controlled but the data never
     leaves the cluster.
 
-    At larger diameters, the large-star/small-star algorithm halves
-    round counts; same join/groupBy building blocks.
+    ``algorithm="star"`` switches to large-star/small-star
+    (:func:`connected_components_star`) — O(log n) rounds instead of
+    O(diameter), the right choice for deep/chained clusters; both
+    produce identical (node, min-id) output (property-tested).
     """
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iter)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).cache()
-    labels.count()
+    # localCheckpoint: truncates lineage per round (cache alone keeps
+    # the full recursive plan, which explodes after ~10 rounds)
+    sym = sym.localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 
     for _ in range(max_iter):
         nbr_labels = sym.join(
@@ -307,9 +316,8 @@ def connected_components(
             .unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
-        new_labels.count()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -317,11 +325,100 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — a public MapReduce/Spark-folklore algorithm).
+
+    Each round is two groupBy+join passes; the edge set contracts
+    toward a forest of stars (every node pointing at its component
+    minimum) in O(log n) rounds — label propagation needs O(diameter)
+    rounds, which on a 100 TB near-dup graph with chained duplicates
+    (doc A ~ B ~ C ~ ...) can be hundreds.  Per round the edge set is
+    cached and lineage truncated, so the plan stays flat.
+
+    - large-star: for each node u, connect every LARGER neighbor to
+      m = min(N(u) + {u}).  Keeps inter-level edges, shrinks tall
+      chains.
+    - small-star: for each node u (edges oriented big->small), connect
+      all smaller neighbors and u itself to the minimum.  Flattens
+      local stars.
+
+    Convergence: the oriented edge set is a fixpoint.  Output contract
+    matches :func:`connected_components`: (node, cluster_id = min
+    member id).
+    """
+    raw = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # orient big -> small; the star loop maintains this invariant
+    # localCheckpoint (not cache): it TRUNCATES lineage, so the plan
+    # stays O(1) deep across rounds — cache alone keeps the full
+    # recursive plan and the tree explodes after ~10 iterations.
+    edges = (
+        raw.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_min_nbr"))
+        m = F.least(F.col("_min_nbr"), F.col("src")).alias("m")
+        with_m = sym.join(mins, "src").select("src", "dst", m)
+        return (
+            with_m.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is oriented big -> small, so per src ALL neighbors are <=
+        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = e.join(mins, "src")
+        return (
+            joined.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins.select("src", F.col("m").alias("dst")))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if same:
+            break
+
+    roots = edges.select(F.col("dst").alias("node")).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+        .unionByName(roots.select("node", F.col("node").alias("cluster_id")))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return labels
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -92,6 +92,44 @@ class TestDedupProperties:
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                        20: 20, 21: 20, 22: 20}
 
+    def test_star_cc_matches_label_prop_handbuilt(self, spark):
+        from pyspark.sql import Row
+
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+             Row(id_a=10, id_b=11), Row(id_a=20, id_b=21), Row(id_a=21, id_b=22)]
+        )
+        got = {r.node: r.cluster_id
+               for r in dedup.connected_components(pairs, algorithm="star").collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_star_cc_matches_label_prop_random_graphs(self, spark):
+        """Deterministic pseudo-random graphs (seeded): the two CC
+        algorithms must agree exactly — including deep chains, the
+        case star exists for."""
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(4):
+            n = rng.randint(2, 40)
+            m = rng.randint(1, 60)
+            edges = [
+                (rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(m)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            # force a deep chain so diameter >> 1
+            chain = list(range(50, 50 + rng.randint(5, 15)))
+            edges += list(zip(chain, chain[1:]))
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            lp = {r.node: r.cluster_id
+                  for r in dedup.connected_components(
+                      pairs, max_iter=100).collect()}
+            star = {r.node: r.cluster_id
+                    for r in dedup.connected_components(
+                        pairs, algorithm="star").collect()}
+            assert star == lp, f"trial {trial}: star != label_prop"
+
     def test_exact_dedup_partition_of_input(self, spark, docs):
         out = dedup.dedup_exact(docs, "doc_id", "text")
         total = out.agg(F.sum("n_copies")).first()[0]
