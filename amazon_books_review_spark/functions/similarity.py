@@ -337,6 +337,14 @@ def cosine_neardup_lsh_verified(
             hyperplane_signature(F.col(vec_col), n_planes, dim, t).alias("sig"),
         )
         sigs = s if sigs is None else sigs.unionByName(s)
+    # Materialize the (id, table, sig) table once — it's 3 narrow
+    # columns x n_tables*|corpus| rows.  Without this, the self-join
+    # recomputes the n_planes*dim projection folds for BOTH sides
+    # (measured 2x on the whole query at sf0.1).  The per-table union
+    # deliberately stays: each branch is a small codegen unit and the
+    # branches execute as parallel stages — one fused
+    # 32-fold-projection measured ~40% slower here.
+    sigs = sigs.localCheckpoint()
     cand = (
         sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
         .join(sigs.select(F.col("id").alias("id_b"), "table_id", "sig"),
@@ -344,6 +352,13 @@ def cosine_neardup_lsh_verified(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+    # Numbered repartition (preserved by AQE): the candidate list is
+    # BYTE-small but each row costs an interpreted dim-length dot
+    # product in the verify stage — AQE's size-based coalescing would
+    # serialize that compute onto a couple of tasks.
+    cand = cand.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     v = corpus.select(
         F.col(id_col).alias("id"),

@@ -942,6 +942,306 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q7 / Q8 / Q10 shapes (round 2 — correlated-subquery
+# decorrelation and multi-dimension join breadth)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery + 4-dim join chain.
+
+    The testdata has no ``partsupp`` table; the part<->supplier link
+    is lineitem's (l_partkey, l_suppkey) with supply cost := min
+    l_extendedprice observed for the pair.  Same plan shape as the
+    original: the correlated ``cost = (SELECT min(...) WHERE same
+    part)`` subquery is decorrelated the way Catalyst would — min per
+    part over the region-filtered pairs, equality back-join.
+
+    Scale notes: the part filter lands BEFORE the min-per-part
+    aggregate (legal because the subquery is correlated only on
+    partkey, so dropping other parts can't change each part's min) —
+    the big pair table reduces first, and min_cost is then small
+    enough to broadcast for the back-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eu = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_type")
+    ps_eu = (
+        ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    min_cost = ps_eu.groupBy("l_partkey").agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        ps_eu.join(F.broadcast(min_cost), "l_partkey")
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(l_extendedprice) AS supplycost
+    FROM lineitem GROUP BY 1, 2
+), eu AS (
+    SELECT s_suppkey, s_acctbal, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+FROM part
+JOIN ps ON p_partkey = ps.partkey
+JOIN eu ON eu.s_suppkey = ps.suppkey
+WHERE p_size = 15 AND p_type = 'LARGE'
+  AND supplycost = (SELECT min(ps2.supplycost)
+                    FROM ps ps2 JOIN eu e2 ON e2.s_suppkey = ps2.suppkey
+                    WHERE ps2.partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    Scale notes: both nation filters are pushed INTO the supplier and
+    customer dimensions before the fact joins (a semi-reduction — the
+    lineitem x orders join output only carries rows that can survive
+    the pair predicate), and the asymmetric pair condition is applied
+    post-join.  Dimensions broadcast; lineitem shuffles once for the
+    orders join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    the_two = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp2 = supp.join(
+        F.broadcast(the_two.select(F.col("n_nationkey").alias("_sk"),
+                                   F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_sk"),
+    ).select("s_suppkey", "supp_nation")
+    cust2 = cust.join(
+        F.broadcast(the_two.select(F.col("n_nationkey").alias("_ck"),
+                                   F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("_ck"),
+    ).select("c_custkey", "cust_nation")
+
+    revenue = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    )
+    df = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust2), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return df.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+TPCH_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share of PROMO-part revenue
+    sold into AMERICA, by order year — conditional-sum ratio over a
+    7-table join.
+
+    Scale notes: the two selective dimension filters (p_type, r_name)
+    reduce their dimensions BEFORE broadcast, so the fact side
+    inner-joins against already-filtered build sides; the ratio is a
+    single grouped pass (two conditional sums, no second join).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    promo_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    america_cust = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("_nk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_nk"),
+    ).select("s_suppkey", "supp_nation")
+
+    volume = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    )
+    df = (
+        li.join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(america_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+        F.lit(0).cast(D)
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(volume).cast("double").alias("total_volume"),
+        )
+    )
+
+
+TPCH_Q8_ORACLE = """
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             6) AS mkt_share,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.
+
+    Scale notes: both fact filters (return flag, order-date quarter)
+    are range/equality forms that reach the scans as pushed filters;
+    customer and nation broadcast; the top-k is a global sort of an
+    already-small aggregate (one row per customer with returns in the
+    quarter).  Ordering ties broken by c_custkey => deterministic
+    LIMIT in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    revenue = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    )
+    df = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        df.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = [
     ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE,
      "TPC-H Q1 shape: scan + filter + wide aggregation"),
@@ -955,6 +1255,14 @@ ANALYTICS_QUERIES = [
      "TPC-H Q18 shape: HAVING subquery reduced before re-join"),
     ("tpch_q13_order_histogram", tpch_q13_order_histogram, TPCH_Q13_ORACLE,
      "TPC-H Q13 shape: aggregate of an aggregate (count-of-counts)"),
+    ("tpch_q2_min_cost_supplier", tpch_q2_min_cost_supplier, TPCH_Q2_ORACLE,
+     "TPC-H Q2 shape: correlated MIN subquery decorrelated + 4-dim chain"),
+    ("tpch_q7_nation_volume", tpch_q7_nation_volume, TPCH_Q7_ORACLE,
+     "TPC-H Q7 shape: bidirectional nation-pair volume, dims pre-filtered"),
+    ("tpch_q8_market_share", tpch_q8_market_share, TPCH_Q8_ORACLE,
+     "TPC-H Q8 shape: conditional-sum market-share ratio over 7 tables"),
+    ("tpch_q10_returned_items", tpch_q10_returned_items, TPCH_Q10_ORACLE,
+     "TPC-H Q10 shape: returns revenue top-20 with deterministic ties"),
     ("tpch_q14_promo_share", tpch_q14_promo_share, TPCH_Q14_ORACLE,
      "TPC-H Q14 shape: conditional-aggregation revenue share"),
     ("tpch_q4_priority_check", tpch_q4_priority_check, TPCH_Q4_ORACLE,

@@ -33,6 +33,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
     "tpch_q18_large_orders",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
     "top_orders_per_customer",
     "asof_join_events_orders",
     # the SCALE-PATH near-dup operator benches here; the exact

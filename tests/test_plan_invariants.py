@@ -109,6 +109,10 @@ PLAN_BUDGETS: dict[str, tuple[int, int, int]] = {
     "similarity_ivf_topk": (10, 2, 2),
     "text_token_stats": (0, 0, 0),
     "word_count_top": (2, 0, 0),
+    "tpch_q2_min_cost_supplier": (24, 18, 0),
+    "tpch_q7_nation_volume": (12, 10, 0),
+    "tpch_q8_market_share": (16, 14, 0),
+    "tpch_q10_returned_items": (8, 6, 0),
 }
 
 
