@@ -1,0 +1,84 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+Every decision here is a pure function of (salt, id) via md5 — no
+``rand()`` anywhere, so assignments are reproducible across runs,
+partitionings, engines and retries (``rand()`` breaks task-retry
+determinism and can't be oracle-checked).  All operators are linear
+map/filter stages: zero shuffle, trivially scalable.
+
+The md5 hash family matches the engine's dedup/LSH machinery (md5 is
+md5 everywhere), so the DuckDB oracle can reproduce every bucket
+assignment with hex-digit arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 100
+
+
+def hash_bucket(id_col: Column, salt: str, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic [0, buckets) assignment: the first 7 hex chars of
+    ``md5(salt|id)`` (28 bits — exact in a long) mod ``buckets``.
+    The primitive under :func:`train_val_test_split` and
+    :func:`stratified_sample`; different salts give independent
+    assignments (split membership never correlates with sampling)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), id_col.cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % buckets
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test assignment (80/10/10 default).
+
+    Output: input columns + ``bucket`` (0-99) + ``split``.  Being
+    hash-of-id based, the split is stable under any re-partitioning,
+    re-ordering, incremental append, or engine change — the property
+    a 100 TB corpus needs so that later data drops never shuffle
+    examples across splits.
+    """
+    b = hash_bucket(F.col(id_col), salt)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select("*", b.alias("bucket"), split.alias("split"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls below the stratum's percentage rate.
+
+    The training-mixture primitive (e.g. keep 50% of English, 10% of
+    everything else): rates are exact in expectation and, because the
+    bucket is a pure hash of the id, the SAME rows are kept on every
+    run — resumable pipelines sample identically after a crash.
+    """
+    b = hash_bucket(F.col(id_col), salt)
+    rate = None
+    for value, pct in sorted(rates_pct.items()):
+        cond = F.col(stratum_col) == value
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
+    return df.filter(b < rate)

@@ -26,6 +26,42 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
 
 
+# --- PII redaction ---------------------------------------------------------
+#
+# Patterns are kept in the Java-regex/RE2 COMMON subset (no
+# backreferences, no lookaround) so the DuckDB oracle can run the
+# exact same expressions.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ()-]{7,}\d"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrub for training corpora: count and redact emails, IPv4
+    addresses and international-format phone numbers.
+
+    Pure ``regexp_count`` + chained ``regexp_replace`` — codegen'd,
+    zero shuffle, linear map stage (the shape every corpus-wide scrub
+    must have at 100 TB).  Counts are taken on the ORIGINAL text, then
+    redaction applies email -> ip -> phone so earlier placeholders
+    can't be re-matched.  Returns (id, n_emails, n_ips, n_phones,
+    redacted_md5) — the md5 keeps the oracle compact while still
+    value-checking the full redacted string.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (split on one-or-more whitespace)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amazon_books_review_spark.functions import dedup, multimodal, similarity, text
+from amazon_books_review_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from amazon_books_review_spark.sources.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -689,6 +695,115 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_meta(with_payload, "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# PII redaction + deterministic splits/sampling (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents.  The corpus is synthetic prose, so
+    deterministic fake PII is injected first (same CASE in both
+    engines) to make the counts non-trivial; the operator itself
+    (:func:`functions.text.redact_pii`) is the deliverable."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = (
+        F.when(d % 5 == 0, F.concat(
+            F.col("text"), F.lit(" Contact: user"), d.cast("string"),
+            F.lit("@example.com now")))
+        .when(d % 5 == 1, F.concat(
+            F.col("text"), F.lit(" server 10.0."), (d % 256).cast("string"),
+            F.lit("."), (d % 200).cast("string"), F.lit(" logged")))
+        .when(d % 5 == 2, F.concat(
+            F.col("text"), F.lit(" call +1 555 010 "),
+            (1000 + d % 9000).cast("string"), F.lit(" now")))
+        .otherwise(F.col("text"))
+    )
+    return text.redact_pii(
+        docs.select("doc_id", aug.alias("text")), "doc_id", "text"
+    )
+
+
+def _pii_oracle() -> str:
+    email, ipv4, phone = text.PII_EMAIL, text.PII_IPV4, text.PII_PHONE
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                WHEN doc_id % 5 = 1 THEN text || ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) || ' logged'
+                WHEN doc_id % 5 = 2 THEN text || ' call +1 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now'
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{ipv4}', '<IP>', 'g'),
+           '{phone}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def train_val_test_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+
+
+STRATA_RATES = {"en": 50, "zh": 20}
+STRATA_DEFAULT = 10
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs.select("doc_id", "lang", "source"), "doc_id", "lang",
+        rates_pct=STRATA_RATES, default_pct=STRATA_DEFAULT,
+    )
+
+
+def _bucket_duckdb(salt: str) -> str:
+    """DuckDB twin of sampling.hash_bucket: first 7 hex chars of
+    md5(salt|id) via char-position arithmetic (no conv())."""
+    digit = (
+        lambda i: f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    )
+    val = digit(1)
+    for i in range(2, 8):
+        val = f"({val} * 16 + {digit(i)})"
+    return (
+        f"SELECT doc_id, ({val}) % 100 AS bucket FROM "
+        f"(SELECT doc_id, md5('{salt}|' || CAST(doc_id AS VARCHAR)) AS h FROM documents)"
+    )
+
+
+def _split_oracle() -> str:
+    return f"""
+WITH b AS ({_bucket_duckdb("split")})
+SELECT d.doc_id, d.lang, b.bucket,
+       CASE WHEN b.bucket < 80 THEN 'train'
+            WHEN b.bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d JOIN b ON d.doc_id = b.doc_id
+"""
+
+
+def _stratified_oracle() -> str:
+    rate_cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+    )
+    return f"""
+WITH b AS ({_bucket_duckdb("sample")})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN b ON d.doc_id = b.doc_id
+WHERE b.bucket < CASE d.lang {rate_cases} ELSE {STRATA_DEFAULT} END
+"""
+
+
 MULTIMODAL_META_ORACLE = """
 SELECT doc_id,
        'image/fake' AS media_type,
@@ -750,4 +865,10 @@ NORTHSTAR_QUERIES = [
      "binary payload size/checksum metadata (Catalyst-native)"),
     ("multimodal_decode_meta", multimodal_decode_meta, None,
      "mapInPandas decode stage with deterministic fake decode"),
+    ("text_pii_redaction", text_pii_redaction, _pii_oracle(),
+     "PII scrub: count + redact emails/IPv4s/phones, codegen'd regex chain"),
+    ("train_val_test_assignment", train_val_test_assignment, _split_oracle(),
+     "deterministic md5-bucket train/val/test split (80/10/10)"),
+    ("stratified_sample_docs", stratified_sample_docs, _stratified_oracle(),
+     "per-language deterministic downsampling (training mixture)"),
 ]
