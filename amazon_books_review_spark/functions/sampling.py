@@ -59,6 +59,46 @@ def train_val_test_split(
     return df.select("*", b.alias("bucket"), split.alias("split"))
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget
+    bin (the pretraining dataset-assembly step that concatenates
+    documents into ~`budget`-token training sequences).
+
+    Relational first-fit-in-order: within each group (ordered by id),
+    ``seq_bin = floor(exclusive-running-token-sum / budget)``.  One
+    window pass — a single shuffle on the group key.  Bins can
+    overflow by at most one document (exact greedy packing is
+    inherently sequential state; this is the standard streaming
+    approximation, and a doc longer than ``budget`` occupies its own
+    bin(s) boundary).
+
+    At 100 TB: ``group_cols`` should include a hash bucket (e.g.
+    :func:`hash_bucket` of the id) so no single window partition
+    holds the whole corpus; packing is embarrassingly parallel across
+    groups by construction.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [F.col(c) for c in (group_cols or [])]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_tokens = F.coalesce(
+        F.sum(F.col(tokens_col)).over(w), F.lit(0).cast("long")
+    )
+    return df.select(
+        "*", F.floor(prev_tokens / F.lit(budget)).cast("long").alias("seq_bin")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -138,6 +138,38 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition — the standard boilerplate/loop
+    detector for pretraining corpora (repeated lines and duplicated
+    word trigrams are the classic symptoms of templated or
+    model-generated junk).
+
+    All array-native (split / distinct / size): a per-row projection,
+    no explode, no shuffle.  Returns per-doc:
+    - ``dup_line_ratio``: 1 - distinct/total over newline-split lines
+    - ``dup_trigram_ratio``: 1 - distinct/total over word trigrams
+    """
+    lines = F.split(F.col(text_col), "\\n")
+    n_lines = F.size(lines).cast("double")
+    dup_lines = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.greatest(n_lines, F.lit(1.0)),
+        4,
+    )
+    grams = word_ngrams(tokens(text_col), 3)
+    n_grams = F.size(grams).cast("double")
+    dup_grams = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(n_grams, F.lit(1.0)),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        dup_lines.alias("dup_line_ratio"),
+        F.size(grams).cast("long").alias("n_trigrams"),
+        dup_grams.alias("dup_trigram_ratio"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-evidence language ID: count stopword hits per
     language, argmax with deterministic tie-break on language code.

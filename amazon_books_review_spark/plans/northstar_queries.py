@@ -804,6 +804,65 @@ WHERE b.bucket < CASE d.lang {rate_cases} ELSE {STRATA_DEFAULT} END
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
+
+
+REPETITION_ORACLE = r"""
+WITH docs AS (
+    SELECT doc_id, text,
+           string_split(text, chr(10)) AS lines,
+           string_split(trim(text), ' ') AS words
+    FROM documents
+), grams AS (
+    SELECT doc_id, lines,
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            for i in range(1, len(words) - 1)] AS trigrams
+    FROM docs
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round(1.0 - len(list_distinct(lines)) / greatest(len(lines) * 1.0, 1.0), 4)
+           AS dup_line_ratio,
+       CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+       round(1.0 - len(list_distinct(trigrams)) / greatest(len(trigrams) * 1.0, 1.0), 4)
+           AS dup_trigram_ratio
+FROM grams
+"""
+
+
+PACK_BUDGET = 4096
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over documents, grouped by language (at scale
+    the group key would also carry a hash bucket — see
+    sampling.pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", "lang", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        with_counts, "doc_id", "n_tokens", PACK_BUDGET, group_cols=["lang"]
+    )
+
+
+PACK_ORACLE = f"""
+WITH counts AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_BUDGET}) AS BIGINT) AS seq_bin
+FROM counts
+"""
+
+
 MULTIMODAL_META_ORACLE = """
 SELECT doc_id,
        'image/fake' AS media_type,
@@ -871,4 +930,8 @@ NORTHSTAR_QUERIES = [
      "deterministic md5-bucket train/val/test split (80/10/10)"),
     ("stratified_sample_docs", stratified_sample_docs, _stratified_oracle(),
      "per-language deterministic downsampling (training mixture)"),
+    ("text_repetition_stats", text_repetition_stats, REPETITION_ORACLE,
+     "within-doc repetition: dup line + dup trigram ratios, shuffle-free"),
+    ("pack_token_budget", pack_token_budget, PACK_ORACLE,
+     "sequence packing: token-budget bins via one window pass per group"),
 ]

@@ -180,6 +180,48 @@ JOIN events v
 """
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 + A4 — streaming exactly-once repair for an at-least-once
+    source: the event stream is unioned with itself (every event
+    delivered twice, the classic redelivery shape) and
+    ``dropDuplicatesWithinWatermark("event_id")`` restores one row
+    per event.
+
+    The watermark-bounded form is the 100 TB-safe dedup: plain
+    streaming ``dropDuplicates`` keeps every key in state forever,
+    while this evicts a key's state once the watermark passes its
+    event time — state is O(redelivery window), not O(stream
+    lifetime).  Oracle: the batch distinct (event_id is unique in the
+    source, so dedup must reproduce the input exactly).
+    """
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="abr_stream_dedup_")
+    q = write_stream(
+        deduped, f"{out}/data", f"{out}/ckpt", query_name="stream_dedup"
+    )
+    q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+"""
+
+
 STREAMING_QUERIES = [
     ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
      "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
@@ -187,4 +229,6 @@ STREAMING_QUERIES = [
      "ST7+J1: append-mode stream-static join == batch join"),
     ("streaming_stream_stream_join", streaming_stream_stream_join, STREAM_STREAM_JOIN_ORACLE,
      "ST4: watermarked stream-stream join with time-range state eviction"),
+    ("streaming_dedup_events", streaming_dedup_events, STREAM_DEDUP_ORACLE,
+     "ST4+A4: dropDuplicatesWithinWatermark repairs at-least-once delivery"),
 ]

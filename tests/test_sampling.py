@@ -51,6 +51,32 @@ def test_stratified_sample_rates(spark):
     assert again == {r.doc_id for r in out.collect()}  # deterministic
 
 
+def test_pack_sequences_properties(spark):
+    """Bins fill in id order; each bin's token total stays under
+    budget + one document (the documented overflow bound); every doc
+    is assigned exactly once."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "g%d" % (i % 3), rng.randint(1, 900)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = sampling.pack_sequences(
+        df, "doc_id", "n_tokens", budget=2048, group_cols=["grp"]
+    ).collect()
+    assert len(out) == 500
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r.grp, r.seq_bin), []).append((r.doc_id, r.n_tokens))
+    max_doc = max(t for _, _, t in rows)
+    for (_, _bin), members in by_bin.items():
+        assert sum(t for _, t in members) < 2048 + max_doc
+    # bins are contiguous runs in id order within each group
+    for grp in {"g0", "g1", "g2"}:
+        seq = sorted((r.doc_id, r.seq_bin) for r in out if r.grp == grp)
+        bins = [b for _, b in seq]
+        assert bins == sorted(bins)
+
+
 def test_redact_pii_handcrafted(spark):
     df = spark.createDataFrame(
         [
