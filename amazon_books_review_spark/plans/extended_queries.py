@@ -322,6 +322,53 @@ def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, f"{out}/data")
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout (Morton codes) — multi-column clustering
+# ---------------------------------------------------------------------------
+
+
+def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton encoding behind functions/layout.write_zordered,
+    oracle-checked end-to-end (min-max normalize both columns onto
+    16-bit ints, interleave bits).  The physical file-skipping payoff
+    is pytest-asserted in tests/test_layout.py."""
+    from amazon_books_review_spark.functions import layout
+
+    events = load_table(spark, sf_dir, "events")
+    coded = layout.zorder_by(
+        events.select("event_id", "user_id", "value"), "user_id", "value"
+    )
+    return coded.select("event_id", F.col("_zorder").alias("zorder"))
+
+
+def _zorder_oracle() -> str:
+    def norm(col: str, lo: str, hi: str) -> str:
+        return (
+            f"least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / "
+            f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1 END) * 65535) "
+            f"AS BIGINT), 0), 65535)"
+        )
+
+    interleave = " + ".join(
+        f"((na // {1 << i}) % 2) * {1 << (2 * i + 1)} + "
+        f"((nb // {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(16)
+    )
+    return f"""
+WITH b AS (
+    SELECT CAST(min(user_id) AS DOUBLE) AS lo_a, CAST(max(user_id) AS DOUBLE) AS hi_a,
+           CAST(min(value) AS DOUBLE) AS lo_b, CAST(max(value) AS DOUBLE) AS hi_b
+    FROM events
+), n AS (
+    SELECT event_id,
+           {norm("user_id", "lo_a", "hi_a")} AS na,
+           {norm("value", "lo_b", "hi_b")} AS nb
+    FROM events, b
+)
+SELECT event_id, CAST({interleave} AS BIGINT) AS zorder FROM n
+"""
+
+
 EXTENDED_QUERIES = [
     ("flagship_via_sql", flagship_via_sql, FLAGSHIP_SQL_ORACLE,
      "C1-C3: temp views + spark.sql surface (same plan as DataFrame form)"),
@@ -335,4 +382,6 @@ EXTENDED_QUERIES = [
      "built-in session_window == composed sessionizer"),
     ("sessionize_events_stateful", sessionize_events_stateful, None,
      "applyInPandasWithState streaming sessionizer (== batch, pytest-checked)"),
+    ("zorder_morton_codes", zorder_morton_codes, _zorder_oracle(),
+     "Z-order layout: min-max normalize + Morton bit-interleave"),
 ]

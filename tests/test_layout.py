@@ -1,0 +1,101 @@
+"""Z-order layout: Morton correctness + the file-skipping payoff."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.functions import layout
+
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    )
+    got = [
+        r.m
+        for r in df.select(
+            layout.morton_interleave(F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    ]
+
+    def py_morton(a: int, b: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i + 1)
+            out |= ((b >> i) & 1) << (2 * i)
+        return out
+
+    assert got == [py_morton(a, b) for a, b in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    assert got[-1] == (1 << 32) - 1  # full 32-bit envelope
+
+
+def _files_overlapping(path: str, col: str, lo, hi) -> int:
+    """Count parquet files whose [min, max] stats for `col` intersect
+    [lo, hi] — the files a stats-pruning scan must read."""
+    n = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                c = meta.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is not None and not (fmax < lo or fmin > hi):
+            n += 1
+    return n
+
+
+def test_zorder_skips_files_on_both_columns(spark, tmp_path):
+    """Z-ordered layout keeps BOTH columns selective: a narrow range
+    predicate on either column overlaps only a minority of files.
+    A single-column sort layout keeps only its sort key selective —
+    the secondary column overlaps (nearly) every file."""
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7919) % 1000).alias("b"),
+    )
+    z_path = str(tmp_path / "zordered")
+    s_path = str(tmp_path / "sorted_a")
+    layout.write_zordered(df, z_path, "a", "b", num_files=16)
+    df.repartitionByRange(16, F.col("a")).sortWithinPartitions("a").write.mode(
+        "overwrite"
+    ).parquet(s_path)
+
+    total_z = len(glob.glob(os.path.join(z_path, "*.parquet")))
+    assert total_z >= 8
+
+    # point-ish ranges on each dimension (5% of each domain)
+    za = _files_overlapping(z_path, "a", 100, 109)
+    zb = _files_overlapping(z_path, "b", 500, 549)
+    sa = _files_overlapping(s_path, "a", 100, 109)
+    sb = _files_overlapping(s_path, "b", 500, 549)
+
+    # the single-sort layout is perfect on its key, blind on the other
+    assert sa <= 3
+    assert sb >= 14  # ~every file overlaps the secondary column
+    # z-order is selective on BOTH
+    assert za <= total_z // 2
+    assert zb <= total_z // 2
+
+
+def test_write_zordered_roundtrip_preserves_rows(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 10).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    )
+    path = str(tmp_path / "z")
+    layout.write_zordered(df, path, "a", "b", num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["a", "b", "rid"]
+    assert back.agg(F.sum("rid")).first()[0] == 1000 * 999 // 2
