@@ -92,3 +92,81 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", strict: bool = Fals
             )
 
     return df.mapInPandas(_decode_batch, schema=DECODE_META_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage.
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stride: int = 10,
+    strict: bool = False,
+) -> DataFrame:
+    """Video-style frame sampling: ``mapInPandas`` with per-row
+    FAN-OUT — each payload emits one row per sampled frame (every
+    ``stride``-th of its frames).  This is the variable-output batch
+    shape a real video pipeline needs (a fixed-rate sampler over
+    ffmpeg-decoded frames); the codec itself is stubbed exactly like
+    :func:`decode_image_meta`.
+
+    Deterministic fake: frame count = payload_bytes % 240 + 1; a
+    frame's content hash = md5(md5(payload) + ':' + idx) — cheap (the
+    payload is hashed once, not per frame) and reproducible in any
+    engine, so the full fan-out mechanics are oracle-checkable.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real frame sampling requires a video codec; "
+                    "install one and replace this branch"
+                )
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                base = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = len(payload) % 240 + 1
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(f"{base}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def chunk_payload(df: DataFrame, id_col: str, chunk_bytes: int = 1024) -> DataFrame:
+    """Audio-style fixed-size chunking — Catalyst-NATIVE (sequence +
+    explode + substring on the binary column): splitting bytes needs
+    no decoding, so it must not pay the Python/Arrow boundary.  The
+    contrast with :func:`sample_frames` is deliberate: chunking is
+    pure byte arithmetic (JVM), sampling needs a codec (Pandas UDF).
+
+    Emits (id, chunk_idx, chunk_len, chunk_md5); chunk boundaries are
+    deterministic byte offsets, so downstream (e.g. per-chunk feature
+    extraction, resumable ingest) can re-derive any chunk.
+    """
+    n_chunks = F.ceil(F.length("payload") / F.lit(chunk_bytes)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    chunked = df.select(F.col(id_col), F.col("payload"), idx)
+    chunk = F.substring(
+        F.col("payload"), F.col("chunk_idx") * chunk_bytes + 1, chunk_bytes
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

@@ -872,6 +872,63 @@ FROM documents
 """
 
 
+FRAME_STRIDE = 10
+CHUNK_BYTES = 1024
+
+
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas FAN-OUT stage (one row per sampled frame) with the
+    deterministic fake codec — the oracle reproduces frame counts,
+    stride and per-frame hashes exactly, so the Python-boundary
+    mechanics (not just row counts) are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.sample_frames(with_payload, "doc_id", stride=FRAME_STRIDE)
+
+
+FRAME_SAMPLES_ORACLE = f"""
+WITH meta AS (
+    SELECT doc_id, md5(text) AS base,
+           octet_length(CAST(text AS BLOB)) % 240 + 1 AS n_frames
+    FROM documents
+), frames AS (
+    SELECT doc_id, base,
+           unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+    FROM meta
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(base || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM frames
+"""
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-native byte chunking of the payload column (sequence
+    + explode + binary substring) — no Python boundary.  Oracle works
+    on VARCHAR because the synthetic corpus is pure ASCII (byte slice
+    == char slice; asserted across SFs before this was written)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.chunk_payload(with_payload, "doc_id", chunk_bytes=CHUNK_BYTES)
+
+
+AUDIO_CHUNKS_ORACLE = f"""
+WITH n AS (
+    SELECT doc_id, text,
+           CAST(ceil(length(text) * 1.0 / {CHUNK_BYTES}) AS BIGINT) AS n_chunks
+    FROM documents
+), c AS (
+    SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id,
+       chunk_idx,
+       CAST(length(substring(text, CAST(chunk_idx * {CHUNK_BYTES} + 1 AS BIGINT), {CHUNK_BYTES})) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(chunk_idx * {CHUNK_BYTES} + 1 AS BIGINT), {CHUNK_BYTES})) AS chunk_md5
+FROM c
+"""
+
+
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode stage (deterministic fake decode) —
     rows-only in the driver; exact outputs asserted in pytest."""
@@ -934,4 +991,8 @@ NORTHSTAR_QUERIES = [
      "within-doc repetition: dup line + dup trigram ratios, shuffle-free"),
     ("pack_token_budget", pack_token_budget, PACK_ORACLE,
      "sequence packing: token-budget bins via one window pass per group"),
+    ("multimodal_frame_samples", multimodal_frame_samples, FRAME_SAMPLES_ORACLE,
+     "mapInPandas fan-out frame sampling (stubbed codec, mechanics oracle-checked)"),
+    ("multimodal_audio_chunks", multimodal_audio_chunks, AUDIO_CHUNKS_ORACLE,
+     "Catalyst-native fixed-size byte chunking (no Python boundary)"),
 ]
