@@ -1242,6 +1242,155 @@ LIMIT 20
 """
 
 
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is under
+    20% of their part's average — a correlated AVG subquery
+    decorrelated into avg-per-part + back-join.
+
+    Scale notes: the selective part filter (brand+type, broadcast)
+    lands BEFORE the per-part average, so the aggregate runs over the
+    filtered fact subset only (legal: the subquery correlates on
+    partkey alone).  Decimal-exact sums keep the scalar output
+    order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    parts = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    filtered = li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = filtered.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(D)) / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        filtered.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(D)).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+TPCH_Q17_ORACLE = """
+WITH parts AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+), filtered AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN parts ON l_partkey = p_partkey
+), avg_qty AS (
+    SELECT l_partkey,
+           sum(CAST(l_quantity AS DECIMAL(12,2))) / count(*) AS avg_qty
+    FROM filtered GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
+           AS avg_yearly,
+       count(*) AS n_rows
+FROM filtered f JOIN avg_qty a ON f.l_partkey = a.l_partkey
+WHERE f.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose predicate is an OR of
+    brand/size/quantity conjunctions.  Catalyst splits the common
+    equi-key (partkey) out of the disjunction, so this stays a hash
+    join with a post-join filter — never a nested loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    case1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    case2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    case3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    )
+    return j.filter(case1 | case2 | case3).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+TPCH_Q19_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + anti-join.  Rich
+    customers (balance above the positive-balance average) with no
+    RECENT orders ("no orders ever" is empty on this data), grouped
+    by nation.
+
+    Scale notes: the scalar average joins in as a broadcast 1-row
+    aggregate (never collect()); the anti-join's right side reduces
+    to the filtered orders' custkeys before shuffling.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(D)) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast(D) > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("total_bal"),
+        )
+    )
+
+
+TPCH_Q22_ORACLE = """
+WITH avg_bal AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) / count(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+"""
+
+
 ANALYTICS_QUERIES = [
     ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE,
      "TPC-H Q1 shape: scan + filter + wide aggregation"),
@@ -1263,6 +1412,14 @@ ANALYTICS_QUERIES = [
      "TPC-H Q8 shape: conditional-sum market-share ratio over 7 tables"),
     ("tpch_q10_returned_items", tpch_q10_returned_items, TPCH_Q10_ORACLE,
      "TPC-H Q10 shape: returns revenue top-20 with deterministic ties"),
+    ("tpch_q17_small_quantity_revenue", tpch_q17_small_quantity_revenue,
+     TPCH_Q17_ORACLE,
+     "TPC-H Q17 shape: correlated AVG subquery decorrelated per part"),
+    ("tpch_q19_disjunctive_revenue", tpch_q19_disjunctive_revenue,
+     TPCH_Q19_ORACLE,
+     "TPC-H Q19 shape: OR-of-conjunctions join predicate, still hash join"),
+    ("tpch_q22_dormant_customers", tpch_q22_dormant_customers, TPCH_Q22_ORACLE,
+     "TPC-H Q22 shape: scalar AVG subquery + anti-join on recent orders"),
     ("tpch_q14_promo_share", tpch_q14_promo_share, TPCH_Q14_ORACLE,
      "TPC-H Q14 shape: conditional-aggregation revenue share"),
     ("tpch_q4_priority_check", tpch_q4_priority_check, TPCH_Q4_ORACLE,

@@ -37,6 +37,9 @@ HEADLINE = [
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
     "top_orders_per_customer",
     "asof_join_events_orders",
     # the SCALE-PATH near-dup operator benches here; the exact

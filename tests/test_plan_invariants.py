@@ -113,6 +113,10 @@ PLAN_BUDGETS: dict[str, tuple[int, int, int]] = {
     "tpch_q7_nation_volume": (12, 10, 0),
     "tpch_q8_market_share": (16, 14, 0),
     "tpch_q10_returned_items": (8, 6, 0),
+    "tpch_q17_small_quantity_revenue": (10, 6, 0),
+    "tpch_q19_disjunctive_revenue": (4, 2, 0),
+    # the 2 BNLJs are the intended broadcast of the 1-row scalar AVG
+    "tpch_q22_dormant_customers": (10, 4, 2),
 }
 
 
