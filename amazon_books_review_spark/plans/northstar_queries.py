@@ -937,6 +937,68 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_meta(with_payload, "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation — the operators composed as ONE plan
+# ---------------------------------------------------------------------------
+
+QUALITY_CUTOFF = 0.5
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep as one declarative plan — quality
+    scoring -> cutoff filter -> exact dedup (min-id canonical per
+    md5) -> deterministic split assignment.  This is the query shape
+    a real 100 TB corpus run executes nightly; Catalyst fuses the
+    scoring projections, the dedup is one 16-byte-key shuffle, and
+    the split is a pure hash projection — two exchanges total.
+
+    Output: one row per surviving (unique, good-quality) document
+    with its split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    good = docs.join(scored, "doc_id").filter(F.col("quality") >= QUALITY_CUTOFF)
+    canon = dedup.dedup_exact(good, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id"), "n_copies"
+    )
+    kept = good.join(canon, "doc_id")
+    return sampling.train_val_test_split(
+        kept.select("doc_id", "lang", "quality", "n_copies"), "doc_id"
+    ).select("doc_id", "lang", "quality", "n_copies", "bucket", "split")
+
+
+def _corpus_prep_oracle() -> str:
+    bucket = _bucket_duckdb("split")
+    return f"""
+WITH docs AS (
+    SELECT doc_id, lang, text, string_split(trim(text), ' ') AS words FROM documents
+), m AS (
+    SELECT doc_id, lang, text,
+           round(0.3 * least(len(words) / 100.0, 1.0)
+                 + 0.3 * (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                          / greatest(len(text), 1))
+                 + 0.2 * least(CAST(len(list_intersect(words,
+                       {list(text.QUALITY_STOPWORDS)!r})) AS DOUBLE) / 3.0, 1.0)
+                 + 0.2 * (len(list_distinct(words)) * 1.0 / greatest(len(words), 1.0)),
+                 4) AS quality
+    FROM docs
+), good AS (
+    SELECT * FROM m WHERE quality >= {QUALITY_CUTOFF}
+), canon AS (
+    SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM good GROUP BY md5(text)
+), kept AS (
+    SELECT g.doc_id, g.lang, g.quality, c.n_copies
+    FROM good g JOIN canon c ON g.doc_id = c.doc_id
+), b AS ({bucket})
+SELECT k.doc_id, k.lang, k.quality, k.n_copies, b.bucket,
+       CASE WHEN b.bucket < 80 THEN 'train'
+            WHEN b.bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM kept k JOIN b ON k.doc_id = b.doc_id
+"""
+
+
 NORTHSTAR_QUERIES = [
     ("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_ORACLE,
      "exact dedup: canonical id per md5(text)"),
@@ -995,4 +1057,6 @@ NORTHSTAR_QUERIES = [
      "mapInPandas fan-out frame sampling (stubbed codec, mechanics oracle-checked)"),
     ("multimodal_audio_chunks", multimodal_audio_chunks, AUDIO_CHUNKS_ORACLE,
      "Catalyst-native fixed-size byte chunking (no Python boundary)"),
+    ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),
+     "end-to-end corpus prep: quality cutoff -> exact dedup -> split, one plan"),
 ]

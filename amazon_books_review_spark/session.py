@@ -91,6 +91,21 @@ def delta_session_confs() -> dict[str, str]:
     }
 
 
+#: Streaming state-store confs for large-state jobs.  The default
+#: HDFS-backed provider keeps all state on the JVM heap — fine for
+#: tests, fatal for 100 TB key cardinalities.  RocksDB (bundled with
+#: OSS Spark since 3.2) spills state to local disk with changelog
+#: checkpointing.  Session-scoped: set BEFORE starting the streaming
+#: query (safe to flip per query).
+STREAMING_SCALE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # bound memory: let RocksDB use its own block cache, not the heap
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+}
+
+
 def get_session(
     app_name: str = "amazon_books_review_spark",
     master: str | None = None,

@@ -204,6 +204,51 @@ def test_schema_drift_added_column_is_ignored(spark, tmp_path):
     assert sorted(r.id for r in out.collect()) == [1, 2]
 
 
+def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
+    """The 100 TB state backend: the same watermarked aggregate runs
+    (and produces identical results) under the RocksDB state-store
+    provider — large state lives on local disk, not the JVM heap."""
+    from pyspark.sql import Row
+
+    from amazon_books_review_spark.session import STREAMING_SCALE_CONFS
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream_update_upsert,
+    )
+
+    src = str(tmp_path / "rocks_src")
+    target = str(tmp_path / "rocks_target")
+    ckpt = str(tmp_path / "rocks_ckpt")
+    data = spark.createDataFrame(
+        [Row(user_id=u, epoch_s=t) for u, t in
+         [(1, 100), (1, 200), (2, 100), (3, 50), (3, 60)]]
+    )
+    data.write.mode("append").parquet(src)
+
+    old = {k: spark.conf.get(k, None) for k in STREAMING_SCALE_CONFS}
+    for k, v in STREAMING_SCALE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        stream = read_stream_parquet(spark, src, data.schema)
+        agg = (
+            stream.withColumn("ts", F.timestamp_seconds("epoch_s"))
+            .withWatermark("ts", "10 days")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        write_stream_update_upsert(
+            agg, target, ckpt, keys=["user_id"]
+        ).awaitTermination()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {r.user_id: r.n for r in spark.read.parquet(target).collect()}
+    assert got == {1: 2, 2: 1, 3: 2}
+
+
 def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs):
     """Re-running with NEW files processes only the increment
     (checkpointed offsets), and gold reflects the union — the
