@@ -108,10 +108,16 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document quality in [0,1]: blends length saturation,
     alpha ratio, stopword presence and repetition (distinct ratio) —
-    the standard cheap pre-filter shape for pretraining corpora."""
+    the standard cheap pre-filter shape for pretraining corpora.
+
+    ``keep`` passes extra columns through, so pipelines can score and
+    filter WITHOUT joining the scores back to the source (a self-join
+    Catalyst would plan as a sort-merge join)."""
     toks = tokens(text_col)
     n_tok = F.size(toks).cast("double")
     alpha_ratio = (
@@ -132,6 +138,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
         score.alias("quality"),

@@ -953,11 +953,14 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split is a pure hash projection — two exchanges total.
 
     Output: one row per surviving (unique, good-quality) document
-    with its split.
+    with its split.  Plan shape: scoring+filter fuse into the scan
+    projection (``keep=`` passthrough, no score-join-back), the dedup
+    is one 16-byte-md5 shuffle, and the canonical join is the single
+    id join; the split is a pure hash projection.
     """
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
-    good = docs.join(scored, "doc_id").filter(F.col("quality") >= QUALITY_CUTOFF)
+    scored = text.quality_score(docs, "doc_id", "text", keep=("lang", "text"))
+    good = scored.filter(F.col("quality") >= QUALITY_CUTOFF)
     canon = dedup.dedup_exact(good, "doc_id", "text").select(
         F.col("canonical_id").alias("doc_id"), "n_copies"
     )

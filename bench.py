@@ -55,6 +55,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_token_stats",
     "word_count_top",
+    "corpus_prep_pipeline",
     "streaming_windowed_counts",
 ]
 

@@ -117,6 +117,7 @@ PLAN_BUDGETS: dict[str, tuple[int, int, int]] = {
     "tpch_q19_disjunctive_revenue": (4, 2, 0),
     # the 2 BNLJs are the intended broadcast of the 1-row scalar AVG
     "tpch_q22_dormant_customers": (10, 4, 2),
+    "corpus_prep_pipeline": (4, 2, 0),
 }
 
 
