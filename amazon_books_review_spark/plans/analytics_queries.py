@@ -970,29 +970,35 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("supplycost")
-    )
+    parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_type")
     eu = (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    parts = part.filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
-    ).select("p_partkey", "p_type")
-    ps_eu = (
-        ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-    )
+    # Both selective dims join BELOW the pair aggregate: the broadcast
+    # part filter prunes ~all of lineitem before the (part, supp)
+    # groupBy ever shuffles (legal — the correlated min is per part,
+    # so dropping other parts/suppliers can't change it).
+    filtered = li.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    ps_eu = filtered.groupBy(
+        "l_partkey", "p_type", "l_suppkey", "s_acctbal", "s_name", "n_name"
+    ).agg(F.min("l_extendedprice").alias("supplycost"))
     min_cost = ps_eu.groupBy("l_partkey").agg(
         F.min("supplycost").alias("min_cost")
     )
     return (
         ps_eu.join(F.broadcast(min_cost), "l_partkey")
         .filter(F.col("supplycost") == F.col("min_cost"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "p_type", "supplycost",
+        )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
