@@ -99,6 +99,49 @@ def pack_sequences(
     )
 
 
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """EXACT greedy first-fit packing (no bin ever exceeds ``budget``
+    unless a single document alone does) — the sequential-state
+    complement of :func:`pack_sequences`.
+
+    Greedy packing is inherently order-dependent state, which is
+    precisely what ``applyInPandas`` is for: each group arrives as
+    one Arrow batch, the Python loop packs it in id order, and groups
+    pack in parallel across the cluster.  Same schema contract as
+    the relational variant (input + seq_bin).
+
+    Use the relational form when overflow-by-one-doc is tolerable
+    (zero Python); use this when the budget is a hard cap.
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, seq_bin long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins, cur_bin, cur_tokens = [], 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if cur_tokens > 0 and cur_tokens + t > budget:
+                cur_bin += 1
+                cur_tokens = 0
+            bins.append(cur_bin)
+            cur_tokens += t
+        pdf["seq_bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(_pack, schema=schema)
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

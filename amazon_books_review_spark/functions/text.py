@@ -62,6 +62,53 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# --- HTML / URL hygiene ----------------------------------------------------
+
+URL_PATTERN = r"https?://[A-Za-z0-9./_%-]+"
+HTML_TAG_PATTERN = r"<[^>]+>"
+
+#: decode order matters: named/numeric entities first, ``&amp;`` LAST
+#: (else "&amp;lt;" would double-decode).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pull every http(s) URL out of a document (link-density is a
+    standard corpus-quality signal; the URL list feeds domain
+    frequency/blocklist stages).  Pure regexp_extract_all."""
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        urls.alias("urls"),
+        F.array_join(urls, " ").alias("urls_joined"),
+        F.size(urls).cast("long").alias("n_urls"),
+    )
+
+
+def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Markup hygiene: drop tags, decode the common entities,
+    collapse whitespace.  A chained-replace projection (codegen'd,
+    shuffle-free) — the first stage of any web-scrape ingest.
+    Returns (id, clean_len, clean_md5); callers wanting the cleaned
+    text inline can lift the same expressions."""
+    t = F.regexp_replace(F.col(text_col), HTML_TAG_PATTERN, " ")
+    for entity, char in HTML_ENTITIES:
+        t = F.replace(t, F.lit(entity), F.lit(char))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("clean_len"),
+        F.md5(t).alias("clean_md5"),
+    )
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization (split on one-or-more whitespace)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -938,6 +938,78 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML / URL hygiene (web-scrape ingest stages)
+# ---------------------------------------------------------------------------
+
+
+def _augmented_web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dressed up as web scrapes (deterministic, mirrored in
+    the oracles): some get tags + a URL, some get entities."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit("</p> see https://example.com/doc/"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(
+            F.lit('<div class="x">'), F.col("text"),
+            F.lit("</div> &amp; more &lt;raw&gt;")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+_WEB_AUG_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN '<p>' || text || '</p> see https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 4 = 1
+                THEN '<div class="x">' || text || '</div> &amp; more &lt;raw&gt;'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def text_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-facing projection drops the raw array column
+    (scalar outputs only — the driver's value-hash comparator is
+    only known-good on scalars) and keeps the joined string, which
+    carries identical information for a value check."""
+    return text.extract_urls(
+        _augmented_web_docs(spark, sf_dir), "doc_id", "text"
+    ).select("doc_id", "urls_joined", "n_urls")
+
+
+EXTRACT_URLS_ORACLE = f"""
+WITH aug AS ({_WEB_AUG_SQL})
+SELECT doc_id,
+       coalesce(list_aggregate(regexp_extract_all(text, '{text.URL_PATTERN}'),
+                               'string_agg', ' '), '') AS urls_joined,
+       CAST(len(regexp_extract_all(text, '{text.URL_PATTERN}')) AS BIGINT) AS n_urls
+FROM aug
+"""
+
+
+def text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.strip_html(_augmented_web_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _strip_html_oracle() -> str:
+    expr = f"regexp_replace(text, '{text.HTML_TAG_PATTERN}', ' ', 'g')"
+    for entity, char in text.HTML_ENTITIES:
+        char_sql = char.replace("'", "''")
+        expr = f"replace({expr}, '{entity}', '{char_sql}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+WITH aug AS ({_WEB_AUG_SQL})
+SELECT doc_id,
+       CAST(length({expr}) AS BIGINT) AS clean_len,
+       md5({expr}) AS clean_md5
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus preparation — the operators composed as ONE plan
 # ---------------------------------------------------------------------------
 
@@ -1062,4 +1134,8 @@ NORTHSTAR_QUERIES = [
      "Catalyst-native fixed-size byte chunking (no Python boundary)"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),
      "end-to-end corpus prep: quality cutoff -> exact dedup -> split, one plan"),
+    ("text_extract_urls", text_extract_urls, EXTRACT_URLS_ORACLE,
+     "URL extraction (link-density / domain-frequency input)"),
+    ("text_strip_html", text_strip_html, _strip_html_oracle(),
+     "HTML hygiene: tag strip + entity decode + whitespace collapse"),
 ]

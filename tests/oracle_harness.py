@@ -44,8 +44,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[col] = pd.to_datetime(s).dt.tz_localize(None)
         else:
+            import numpy as np
+
             out[col] = s.astype(object).map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
     norm = pd.DataFrame(out)
     return norm.sort_values(by=list(norm.columns), ignore_index=True)

@@ -77,6 +77,42 @@ def test_pack_sequences_properties(spark):
         assert bins == sorted(bins)
 
 
+def test_pack_sequences_greedy_hard_cap(spark):
+    """The applyInPandas greedy packer: budget is a HARD cap (except
+    single oversized docs), ids stay in order, result matches a pure
+    Python reference exactly."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, "g%d" % (i % 2), rng.randint(100, 900)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = sampling.pack_sequences_greedy(
+        df, "doc_id", "n_tokens", budget=2048, group_cols=["grp"]
+    ).collect()
+    assert len(out) == 300
+
+    def reference(group_rows):
+        bins, cur, tot = {}, 0, 0
+        for doc_id, t in sorted(group_rows):
+            if tot > 0 and tot + t > 2048:
+                cur += 1
+                tot = 0
+            bins[doc_id] = cur
+            tot += t
+        return bins
+
+    for grp in ("g0", "g1"):
+        want = reference([(d, t) for d, g, t in rows if g == grp])
+        got = {r.doc_id: r.seq_bin for r in out if r.grp == grp}
+        assert got == want
+        # hard cap holds
+        totals: dict = {}
+        for d, g, t in rows:
+            if g == grp:
+                totals[want[d]] = totals.get(want[d], 0) + t
+        assert all(v <= 2048 for v in totals.values())
+
+
 def test_redact_pii_handcrafted(spark):
     df = spark.createDataFrame(
         [
