@@ -329,21 +329,43 @@ def cosine_neardup_lsh_verified(
     ~0.9999.  Deterministic md5-derived hyperplanes => the full
     mechanics are oracle-checkable, not just row counts.
     """
-    sigs = None
-    for t in range(n_tables):
-        s = corpus.select(
-            F.col(id_col).alias("id"),
-            F.lit(t).alias("table_id"),
-            hyperplane_signature(F.col(vec_col), n_planes, dim, t).alias("sig"),
-        )
-        sigs = s if sigs is None else sigs.unionByName(s)
+    # Signatures via a DATA-DRIVEN plane join, not inlined literal
+    # arrays: n_tables x n_planes literal-heavy fold expressions cost
+    # seconds of whole-stage CODEGEN alone on their first execution
+    # (measured ~2.5s of the one-shot query time at 32 planes).
+    # Instead the planes are 32 broadcast rows, the corpus fans out
+    # against them with ONE small zip_with/aggregate lambda, and a
+    # groupBy((id, table)) sums the sign bits back into signatures.
+    # Bit weights are distinct powers of two, so the sum is
+    # order-independent — deterministic under any partitioning.
+    spark = corpus.sparkSession
+    plane_rows = [
+        (t, p, plane)
+        for t in range(n_tables)
+        for p, plane in enumerate(deterministic_planes(n_planes, dim, t))
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "table_id int, plane_idx int, comps array<double>"
+    )
+    proj = F.aggregate(
+        F.zip_with(_as_double(F.col("_v")), F.col("comps"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bit = F.when(
+        proj >= 0, F.expr("cast(shiftleft(1L, plane_idx) as long)")
+    ).otherwise(F.lit(0).cast("long"))
+    sigs = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(planes_df))
+        .select("id", "table_id", bit.alias("_bit"))
+        .groupBy("id", "table_id")
+        .agg(F.sum("_bit").cast("long").alias("sig"))
+    )
     # Materialize the (id, table, sig) table once — it's 3 narrow
     # columns x n_tables*|corpus| rows.  Without this, the self-join
-    # recomputes the n_planes*dim projection folds for BOTH sides
-    # (measured 2x on the whole query at sf0.1).  The per-table union
-    # deliberately stays: each branch is a small codegen unit and the
-    # branches execute as parallel stages — one fused
-    # 32-fold-projection measured ~40% slower here.
+    # recomputes the projection folds for BOTH sides (measured 2x on
+    # the whole query at sf0.1).
     sigs = sigs.localCheckpoint()
     cand = (
         sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
@@ -353,13 +375,9 @@ def cosine_neardup_lsh_verified(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Numbered repartition (preserved by AQE): the candidate list is
-    # BYTE-small but each row costs an interpreted dim-length dot
-    # product in the verify stage — AQE's size-based coalescing would
-    # serialize that compute onto a couple of tasks.
-    cand = cand.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    # (No explicit repartition here: the verify kernel below is a
+    # vectorized numpy batch — AQE's size-based coalescing is fine
+    # for it, and the extra shuffle cost more than it bought.)
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
@@ -369,18 +387,35 @@ def cosine_neardup_lsh_verified(
                   F.col("_n").alias("_na"))
     vb = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
                   F.col("_n").alias("_nb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "sim",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ),
-        )
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
-    )
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    # Verify with an Arrow/numpy batch kernel: the candidate list is
+    # large (LSH at a low threshold passes many moderately-similar
+    # pairs) and an interpreted per-pair fold was the measured
+    # bottleneck; one vectorized (va*vb).sum per batch is memory-
+    # bandwidth-bound.  Same determinism argument as
+    # cosine_topk_arrow: float64 + round-to-6 before the threshold
+    # (driver-hash-green against the sequential-sum oracle).
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va_m = np.stack(pdf["_va"].values).astype(np.float64)
+            vb_m = np.stack(pdf["_vb"].values).astype(np.float64)
+            sim = np.round(
+                (va_m * vb_m).sum(axis=1)
+                / (pdf["_na"].values * pdf["_nb"].values),
+                6,
+            )
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "sim": sim}
+            )
+            yield out[out["sim"] >= threshold]
+
+    return paired.mapInPandas(_verify, schema="id_a long, id_b long, sim double")
 
 
 def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
