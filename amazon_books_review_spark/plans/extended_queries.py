@@ -369,6 +369,51 @@ SELECT event_id, CAST({interleave} AS BIGINT) AS zorder FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality validation (single-pass expectations gate)
+# ---------------------------------------------------------------------------
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All expectations in ONE scan of lineitem (conditional-sum
+    aggregate, map-side combined) -> (rule, n_violations) report.
+    The clean testdata makes most counters zero — the oracle checks
+    the counters, not just the plumbing, via rules that DO fire
+    (quantity ceiling, discount band)."""
+    from amazon_books_review_spark.operators import validation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_positive": F.col("l_quantity") <= 0,
+        "qty_under_45": F.col("l_quantity") >= 45,
+        "discount_in_band": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08),
+        "price_positive": F.col("l_extendedprice") <= 0,
+        "shipdate_present": F.col("l_shipdate").isNull(),
+        "returnflag_known": ~F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    return validation.violation_counts(li, rules)
+
+
+DATA_QUALITY_ORACLE = """
+WITH wide AS (
+    SELECT
+        CAST(sum(CASE WHEN coalesce(l_discount < 0 OR l_discount > 0.08, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_band,
+        CAST(sum(CASE WHEN coalesce(l_extendedprice <= 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+        CAST(sum(CASE WHEN coalesce(l_quantity <= 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS qty_positive,
+        CAST(sum(CASE WHEN coalesce(l_quantity >= 45, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS qty_under_45,
+        CAST(sum(CASE WHEN coalesce(NOT l_returnflag IN ('A','N','R'), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_known,
+        CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_present
+    FROM lineitem
+)
+SELECT 'discount_in_band' AS rule, discount_in_band AS n_violations FROM wide
+UNION ALL SELECT 'price_positive', price_positive FROM wide
+UNION ALL SELECT 'qty_positive', qty_positive FROM wide
+UNION ALL SELECT 'qty_under_45', qty_under_45 FROM wide
+UNION ALL SELECT 'returnflag_known', returnflag_known FROM wide
+UNION ALL SELECT 'shipdate_present', shipdate_present FROM wide
+"""
+
+
 EXTENDED_QUERIES = [
     ("flagship_via_sql", flagship_via_sql, FLAGSHIP_SQL_ORACLE,
      "C1-C3: temp views + spark.sql surface (same plan as DataFrame form)"),
@@ -384,4 +429,6 @@ EXTENDED_QUERIES = [
      "applyInPandasWithState streaming sessionizer (== batch, pytest-checked)"),
     ("zorder_morton_codes", zorder_morton_codes, _zorder_oracle(),
      "Z-order layout: min-max normalize + Morton bit-interleave"),
+    ("data_quality_report", data_quality_report, DATA_QUALITY_ORACLE,
+     "single-pass expectations gate: all rules in one conditional-sum agg"),
 ]
