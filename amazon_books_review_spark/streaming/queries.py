@@ -222,6 +222,111 @@ FROM events
 """
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas serializes state via the Python
+    ``protobuf`` package; gate on it being importable (it is not in
+    every runtime — this container lacks it)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's second-generation stateful API
+    (``transformWithStateInPandas``): a per-user running aggregate
+    held in typed ValueState, emitted in update mode per micro-batch.
+    Requires (and demonstrates) the RocksDB state-store provider —
+    the documented backend for large state (session.py
+    STREAMING_SCALE_CONFS).
+
+    Determinism: values are 2-decimal money, accumulated as integer
+    CENTS (exact, order-independent) — a float running sum would
+    drift from the oracle's sequential sum in the last ulp.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from amazon_books_review_spark.session import STREAMING_SCALE_CONFS
+    from amazon_books_review_spark.sources.io import write_stream_update_upsert
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("v_cents", LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n, cents = (0, 0)
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.rint(pdf["value"].values * 100).astype("int64").sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "v_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    old = {k: spark.conf.get(k, None) for k in STREAMING_SCALE_CONFS}
+    for k, v in STREAMING_SCALE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        stream = _events_stream(spark, sf_dir).select("user_id", "value")
+        totals = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = tempfile.mkdtemp(prefix="abr_tws_")
+        q = write_stream_update_upsert(
+            totals, f"{out}/data", f"{out}/ckpt",
+            keys=["user_id"], query_name="running_totals_tws",
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return read_parquet(spark, f"{out}/data")
+
+
+RUNNING_TOTALS_TWS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES = [
     ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
      "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
@@ -232,3 +337,14 @@ STREAMING_QUERIES = [
     ("streaming_dedup_events", streaming_dedup_events, STREAM_DEDUP_ORACLE,
      "ST4+A4: dropDuplicatesWithinWatermark repairs at-least-once delivery"),
 ]
+
+# transformWithStateInPandas needs the python protobuf package for
+# state serialization; register its query only where that exists
+# (the applyInPandasWithState sessionizer covers arbitrary state
+# everywhere else).
+if tws_available():
+    STREAMING_QUERIES.append(
+        ("streaming_running_totals_tws", streaming_running_totals_tws,
+         RUNNING_TOTALS_TWS_ORACLE,
+         "transformWithStateInPandas running totals (RocksDB state, int cents)")
+    )

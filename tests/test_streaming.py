@@ -249,6 +249,36 @@ def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
     assert got == {1: 2, 2: 1, 3: 2}
 
 
+def test_transform_with_state_running_totals(spark):
+    """Second-gen stateful API == batch aggregate over a bounded
+    drain (runs only where python protobuf exists)."""
+    from amazon_books_review_spark.streaming.queries import (
+        streaming_running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs python protobuf")
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.v_cents)
+        for r in streaming_running_totals_tws(spark, sf).collect()
+    }
+    from amazon_books_review_spark.sources.io import load_table
+
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs):
     """Re-running with NEW files processes only the increment
     (checkpointed offsets), and gold reflects the union — the
