@@ -1397,6 +1397,77 @@ GROUP BY n_name
 """
 
 
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation and
+    order year.  Like Q2, the absent ``partsupp`` supply cost is
+    derived from lineitem (min observed price per (part, supplier)),
+    which keeps the signature plan: derived-aggregate re-join on a
+    two-column key + fact join + broadcast dims + two-level grouping.
+
+    Scale notes: the selective part filter broadcasts FIRST, so both
+    the cost aggregate and the re-join run over the reduced fact
+    subset; decimal-exact arithmetic keeps the profit sums
+    order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    red_parts = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    li_red = li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+    costs = li_red.groupBy(
+        F.col("l_partkey").alias("c_partkey"), F.col("l_suppkey").alias("c_suppkey")
+    ).agg(F.min("l_extendedprice").alias("supplycost"))
+    profit = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+        - F.col("supplycost").cast(D) * F.col("l_quantity").cast(D)
+    )
+    return (
+        li_red.join(
+            costs,
+            (F.col("l_partkey") == F.col("c_partkey"))
+            & (F.col("l_suppkey") == F.col("c_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+TPCH_Q9_ORACLE = """
+WITH red AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+), li_red AS (
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount
+    FROM lineitem JOIN red ON l_partkey = p_partkey
+), costs AS (
+    SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+           min(l_extendedprice) AS supplycost
+    FROM li_red GROUP BY 1, 2
+)
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                - CAST(supplycost AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+            AS DOUBLE) AS profit
+FROM li_red
+JOIN costs   ON l_partkey = c_partkey AND l_suppkey = c_suppkey
+JOIN orders  ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation  ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = [
     ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE,
      "TPC-H Q1 shape: scan + filter + wide aggregation"),
@@ -1426,6 +1497,8 @@ ANALYTICS_QUERIES = [
      "TPC-H Q19 shape: OR-of-conjunctions join predicate, still hash join"),
     ("tpch_q22_dormant_customers", tpch_q22_dormant_customers, TPCH_Q22_ORACLE,
      "TPC-H Q22 shape: scalar AVG subquery + anti-join on recent orders"),
+    ("tpch_q9_product_profit", tpch_q9_product_profit, TPCH_Q9_ORACLE,
+     "TPC-H Q9 shape: derived supply cost re-join + profit rollup"),
     ("tpch_q14_promo_share", tpch_q14_promo_share, TPCH_Q14_ORACLE,
      "TPC-H Q14 shape: conditional-aggregation revenue share"),
     ("tpch_q4_priority_check", tpch_q4_priority_check, TPCH_Q4_ORACLE,

@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_dormant_customers",
+    "tpch_q9_product_profit",
     "top_orders_per_customer",
     "asof_join_events_orders",
     # the SCALE-PATH near-dup operator benches here; the exact

@@ -123,6 +123,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # the 2 BNLJs are the intended broadcast of the 1-row scalar AVG
     "tpch_q22_dormant_customers": (10, 4, 2),
     "corpus_prep_pipeline": (4, 2, 0),
+    # derived-cost re-join on (part, supp) is SMJ by design — the
+    # aggregate side matches the fact side's scale
+    "tpch_q9_product_profit": (16, 10, 0, 2),
 }
 
 
