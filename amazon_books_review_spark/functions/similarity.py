@@ -364,8 +364,8 @@ def cosine_neardup_lsh_verified(
     )
     # Materialize the (id, table, sig) table once — it's 3 narrow
     # columns x n_tables*|corpus| rows.  Without this, the self-join
-    # recomputes the projection folds for BOTH sides (measured 2x on
-    # the whole query at sf0.1).
+    # recomputes the plane join + groupBy for BOTH sides (measured
+    # ~1s slower warm AND colder one-shot).
     sigs = sigs.localCheckpoint()
     cand = (
         sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
