@@ -950,7 +950,8 @@ def _augmented_web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = (
         F.when(d % 4 == 0, F.concat(
             F.lit("<p>"), F.col("text"),
-            F.lit("</p> see https://example.com/doc/"), d.cast("string")))
+            F.lit("</p> see https://site"), (d % 7).cast("string"),
+            F.lit(".example.com/doc/"), d.cast("string")))
         .when(d % 4 == 1, F.concat(
             F.lit('<div class="x">'), F.col("text"),
             F.lit("</div> &amp; more &lt;raw&gt;")))
@@ -962,7 +963,8 @@ def _augmented_web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEB_AUG_SQL = """
     SELECT doc_id,
            CASE WHEN doc_id % 4 = 0
-                THEN '<p>' || text || '</p> see https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                THEN '<p>' || text || '</p> see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
                 WHEN doc_id % 4 = 1
                 THEN '<div class="x">' || text || '</div> &amp; more &lt;raw&gt;'
                 ELSE text END AS text
@@ -987,6 +989,31 @@ SELECT doc_id,
                                'string_agg', ' '), '') AS urls_joined,
        CAST(len(regexp_extract_all(text, '{text.URL_PATTERN}')) AS BIGINT) AS n_urls
 FROM aug
+"""
+
+
+def url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-frequency table (the blocklist/source-mix input):
+    explode extracted URLs, parse the host with the built-in
+    ``parse_url`` (JVM, codegen'd), count per domain."""
+    urls = text.extract_urls(_augmented_web_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        urls.select(F.explode("urls").alias("url"))
+        .select(F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+URL_DOMAIN_ORACLE = f"""
+WITH aug AS ({_WEB_AUG_SQL}),
+u AS (
+    SELECT unnest(regexp_extract_all(text, '{text.URL_PATTERN}')) AS url FROM aug
+)
+SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+       count(*) AS n_urls
+FROM u
+GROUP BY 1
 """
 
 
@@ -1138,4 +1165,6 @@ NORTHSTAR_QUERIES = [
      "URL extraction (link-density / domain-frequency input)"),
     ("text_strip_html", text_strip_html, _strip_html_oracle(),
      "HTML hygiene: tag strip + entity decode + whitespace collapse"),
+    ("url_domain_counts", url_domain_counts, URL_DOMAIN_ORACLE,
+     "domain frequency via parse_url (blocklist/source-mix input)"),
 ]
