@@ -129,6 +129,36 @@ PLAN_BUDGETS: dict[str, tuple] = {
 }
 
 
+def test_budget_gate_catches_lost_broadcast(spark):
+    """Meta-test: the budget gate detects real degradation.  The
+    flagship join WITHOUT its broadcast hint and with auto-broadcast
+    disabled plans as a SortMergeJoin — exactly the regression
+    signature the budgets forbid — so removing the hint in the
+    product code would fail test_headline_plan_budget."""
+    import contextlib
+    import io
+
+    from amazon_books_review_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF, "orders")
+        customer = load_table(spark, SF, "customer")
+        degraded = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("o_orderkey").alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            degraded.explain("formatted")
+        assert "SortMergeJoin" in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 @pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
 def test_headline_plan_budget(spark, name):
     budget = PLAN_BUDGETS[name]
