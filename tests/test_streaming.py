@@ -249,6 +249,24 @@ def test_rocksdb_state_store_windowed_agg(spark, tmp_path):
     assert got == {1: 2, 2: 1, 3: 2}
 
 
+def test_medallion_recovers_after_partial_failure(spark, tmp_path, cleaned_inputs):
+    """Crash-recovery: wipe gold (data + checkpoint) after a full run
+    — as if the job died between silver and gold — and re-run.  The
+    checkpointed bronze/silver stages replay nothing; gold rebuilds
+    from the silver table; the result is identical."""
+    import shutil
+
+    details, ratings, d_path, r_path = cleaned_inputs
+    paths = MedallionPaths(d_path, r_path, str(tmp_path / "medallion_crash"))
+    first = run_streaming_medallion(spark, paths)
+    want = _rows(first["gold"])
+
+    shutil.rmtree(paths.gold)
+    shutil.rmtree(paths.checkpoint("gold"))
+    second = run_streaming_medallion(spark, paths)
+    assert _rows(second["gold"]) == want
+
+
 def test_transform_with_state_running_totals(spark):
     """Second-gen stateful API == batch aggregate over a bounded
     drain (runs only where python protobuf exists)."""
