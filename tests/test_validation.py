@@ -43,6 +43,34 @@ def test_uniqueness_violations(spark):
     assert dups == {(1, "a"): 2}
 
 
+def test_approx_distinct_within_rsd_bound(spark):
+    """HLL sketch accuracy: approx_count_distinct at rsd=0.02 lands
+    within a generous multiple of the bound against the exact count
+    (the no-oracle catalog row's missing property check)."""
+    from amazon_books_review_spark.plans.analytics_queries import (
+        approx_distinct_users,
+    )
+    from amazon_books_review_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: r.n_distinct_approx
+        for r in approx_distinct_users(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(5, 5 * 0.02 * n), (
+            f"{et}: approx {approx[et]} vs exact {n}"
+        )
+
+
 def test_assert_valid_raises_with_report(spark):
     df = spark.createDataFrame([(1,), (-2,)], "v long")
     validation.assert_valid(df, {"never": F.lit(False)})  # passes
