@@ -164,6 +164,36 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_hash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """(id, band_id, band_hash) — the persistable LSH index rows.
+    At 100 TB this table IS the dedup index: store it partitioned by
+    band_hash prefix, and each new ingest batch equi-joins against it
+    (see :func:`dedup_incremental_neardup`)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    return banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -181,22 +211,7 @@ def minhash_lsh_pairs(
     16-byte key: linear shuffle, no pairwise blow-up beyond true
     near-duplicate clusters.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, n_hashes)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
-
+    banded = band_hash_table(df, id_col, text_col, n, n_hashes, bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -263,6 +278,88 @@ def lsh_verified_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_incremental_exact(
+    new_df: DataFrame, index_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental exact dedup: the survivors of a NEW batch against
+    an existing corpus index.
+
+    The production shape — a 100 TB corpus is never re-deduped whole;
+    each ingest batch (a) dedups within itself (min-id canonical per
+    md5) and (b) anti-joins the historical fingerprint set.  Both
+    steps shuffle 16-byte md5 keys only; the index side reduces to
+    its fingerprint column before the join.
+
+    Returns (id, text_md5) for documents that should be ADDED to the
+    corpus (and whose fingerprints then extend the index).
+    """
+    idx = index_df.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
+    within = (
+        new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return within.join(idx, "text_md5", "left_anti").select(id_col, "text_md5")
+
+
+def dedup_incremental_neardup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup filter: new documents with no verified
+    near-duplicate already in the index.
+
+    Same two-stage shape as :func:`lsh_verified_pairs`, but the
+    candidate join is new-bands x INDEX-bands (the persistable
+    :func:`band_hash_table`), so cost scales with the increment, not
+    the corpus.  Candidates verify by exact shingle-set Jaccard
+    against the matched index docs; matched new ids anti-join away.
+
+    Within-increment near-dups are deliberately NOT collapsed here —
+    chain that with the batch two-stage operator if wanted; this is
+    the index-membership filter.
+    """
+    new_bands = band_hash_table(new_df, id_col, text_col, n, n_hashes, bands)
+    idx_bands = band_hash_table(index_df, id_col, text_col, n, n_hashes, bands)
+    cand = (
+        new_bands.select(F.col(id_col).alias("new_id"), "band_id", "band_hash")
+        .join(
+            idx_bands.select(F.col(id_col).alias("idx_id"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    new_sets = shingle_sets(new_df, id_col, text_col, n).select(
+        F.col(id_col).alias("new_id"), F.col("shingle_set").alias("_set_new")
+    )
+    idx_sets = shingle_sets(index_df, id_col, text_col, n).select(
+        F.col(id_col).alias("idx_id"), F.col("shingle_set").alias("_set_idx")
+    )
+    n_common = F.size(F.array_intersect("_set_new", "_set_idx"))
+    jac = n_common / (
+        F.size("_set_new") + F.size("_set_idx") - n_common
+    )
+    matched = (
+        cand.join(new_sets, "new_id")
+        .join(idx_sets, "idx_id")
+        .filter(F.round(jac, 6) >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(matched, F.col(id_col) == F.col("new_id"), "left_anti")
+        .select(id_col)
     )
 
 

@@ -938,6 +938,98 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup — new batch vs existing corpus index
+# ---------------------------------------------------------------------------
+# Split is SF-independent: even doc_ids play the historical corpus
+# (the index), odd doc_ids are the incoming batch.
+
+
+def dedup_incremental_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.dedup_incremental_exact(new, index, "doc_id", "text")
+
+
+INCR_EXACT_ORACLE = """
+WITH idx AS (
+    SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id % 2 = 0
+), newd AS (
+    SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+    FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+)
+SELECT doc_id, text_md5
+FROM newd
+WHERE text_md5 NOT IN (SELECT text_md5 FROM idx)
+"""
+
+
+def dedup_incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.dedup_incremental_neardup(
+        new, index, "doc_id", "text",
+        n=NGRAM_N, n_hashes=N_HASHES, bands=BANDS, threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _incr_neardup_oracle() -> str:
+    """new-bands x index-bands candidates -> exact Jaccard verify ->
+    anti-join: mirrors dedup.dedup_incremental_neardup with the same
+    md5 minhash family."""
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    )) AS shingle
+    FROM docs
+), sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    {bands_sql}
+), cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+    FROM banded n
+    JOIN banded i ON n.band_id = i.band_id AND n.band_hash = i.band_hash
+    WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+), sets AS (
+    SELECT doc_id, list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    ) AS shingle_set
+    FROM docs
+), matched AS (
+    SELECT DISTINCT new_id
+    FROM cand
+    JOIN sets sn ON sn.doc_id = new_id
+    JOIN sets si ON si.doc_id = idx_id
+    WHERE round(len(list_intersect(sn.shingle_set, si.shingle_set)) * 1.0
+                / (len(sn.shingle_set) + len(si.shingle_set)
+                   - len(list_intersect(sn.shingle_set, si.shingle_set))), 6)
+          >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM matched)
+"""
+
+
+# ---------------------------------------------------------------------------
 # HTML / URL hygiene (web-scrape ingest stages)
 # ---------------------------------------------------------------------------
 
@@ -1114,6 +1206,11 @@ NORTHSTAR_QUERIES = [
      "connected components over verified pairs -> canonical doc per cluster"),
     ("dedup_simhash", dedup_simhash, _simhash_oracle(),
      "16-bit SimHash fingerprints"),
+    ("dedup_incremental_exact", dedup_incremental_exact_docs, INCR_EXACT_ORACLE,
+     "incremental exact dedup: new batch anti-joined on the index's md5 set"),
+    ("dedup_incremental_neardup", dedup_incremental_neardup_docs,
+     _incr_neardup_oracle(),
+     "incremental near-dup filter: new-bands x index-bands + Jaccard verify"),
     ("similarity_cosine_topk", similarity_cosine_topk, COSINE_TOPK_ORACLE,
      "brute-force cosine top-5 for 10 probes"),
     ("similarity_cosine_topk_arrow", similarity_cosine_topk_arrow, COSINE_TOPK_ORACLE,
