@@ -40,9 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Names pass through the driver verification window
     (``catalog.driver_name``): queries already green in a prior round's
-    CORRECTNESS file carry a ``zz_`` prefix so the not-yet-driver-checked
-    ones sort into the driver's 50-row alphabetical window under their
-    canonical names.  Same mapping as :func:`oracle_sql`.
+    CORRECTNESS file carry a round-stamped ``zz_rNN_`` prefix so the
+    not-yet-driver-checked ones occupy the driver's 50-row window (first
+    50 entries in dict iteration order) under their canonical names, and
+    remaining slots re-check the stalest verified names.  The dict is
+    built sorted by the driver-facing key, so iteration order and
+    alphabetical order agree.  Same mapping as :func:`oracle_sql`.
     """
     return driver_queries()
 
