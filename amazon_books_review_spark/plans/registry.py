@@ -12,6 +12,7 @@ from amazon_books_review_spark.plans.flagship import (
     flagship_gold_rollup,
 )
 from amazon_books_review_spark.plans.analytics_queries import ANALYTICS_QUERIES
+from amazon_books_review_spark.plans.books_csv_queries import BOOKS_CSV_QUERIES
 from amazon_books_review_spark.plans.extended_queries import EXTENDED_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
@@ -29,5 +30,6 @@ for _name, _fn, _oracle, _doc in (
     + STREAMING_QUERIES
     + NORTHSTAR_QUERIES
     + EXTENDED_QUERIES
+    + BOOKS_CSV_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)
