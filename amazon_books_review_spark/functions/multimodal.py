@@ -10,28 +10,64 @@ Design (the part that must be right at 100 TB):
   ``maxRecordsPerFile`` and partition by a coarse key so a single
   task's Arrow batches stay in memory (see sources/io.write_parquet).
 
-The actual image/audio decode is STUBBED — the container has no
-imaging libs.  :func:`decode_image_meta` raises NotImplementedError
-when ``strict=True``; by default it produces a clearly-fake but
-deterministic decode (derived from the payload bytes) so the full
-Spark plumbing — schema, batching, UDF signature — is real and
-tested end to end.
+Decode depth: image *header* decode (PNG / JPEG / GIF dimensions and
+format sniffing) is REAL — these are public byte formats parsed with
+``struct``, no imaging library needed (:func:`parse_image_header`).
+Full pixel decode / audio / video codecs are stubbed: payloads whose
+signature matches none of the known formats raise NotImplementedError
+under ``strict=True``, or fall back to a clearly-labeled deterministic
+fake (format='unknown', dims derived from size) so the Spark plumbing —
+schema, batching, UDF signature — stays exercised end to end.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Output schema of the decode stage (what a real decoder would emit).
+#: Output schema of the decode stage.
 DECODE_META_SCHEMA = (
     "doc_id bigint, media_type string, payload_bytes bigint, "
-    "fake_width int, fake_height int, checksum string"
+    "format string, width int, height int, checksum string"
 )
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """Sniff + parse the dimensions of a PNG / JPEG / GIF payload.
+
+    Pure public-format byte parsing (PNG IHDR big-endian dims at
+    offset 16; JPEG SOFn marker scan; GIF87a/89a little-endian screen
+    descriptor) — the real decode path a 100 TB image pipeline runs
+    per payload before deciding whether to pay full pixel decode.
+    Returns ``(format, width, height)`` or ``None`` if the signature
+    matches no known format.
+    """
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    return None
 
 
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,6 +79,59 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("image/fake").alias("media_type"),
     )
+
+
+def make_image_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL image-format payloads (valid PNG / JPEG / GIF headers
+    + an opaque body) entirely Catalyst-side — ``unhex``/``hex``/
+    ``lpad``/``concat`` on binary columns, zero Python.
+
+    Formats round-robin on ``id % 3``; dimensions derive from the id
+    (``w = id%512+16``, ``h = id%384+16``) so a DuckDB oracle can
+    recompute what a correct header decode must report.  The 32-byte
+    body (md5 hex of the text) stands in for pixel data.
+    """
+    d = F.col(id_col)
+    w = (d % 512 + 16).cast("int")
+    h = (d % 384 + 16).cast("int")
+
+    def be(col: Column, hex_digits: int) -> Column:
+        # big-endian fixed-width bytes of an int: zero-padded hex -> unhex
+        return F.unhex(F.lpad(F.hex(col), hex_digits, "0"))
+
+    def le2(col: Column) -> Column:
+        hx = F.lpad(F.hex(col), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    body = F.encode(F.md5(F.encode(F.col(text_col), "utf-8")), "utf-8")  # 32 B
+    png = F.concat(  # 8B signature + IHDR chunk header + dims + depth/color = 29B
+        F.unhex(F.lit("89504E470D0A1A0A")),
+        F.unhex(F.lit("0000000D")),
+        F.encode(F.lit("IHDR"), "utf-8"),
+        be(w, 8),
+        be(h, 8),
+        F.unhex(F.lit("0802000000")),
+        body,
+    )
+    jpeg = F.concat(  # SOI + SOF0 marker/len/precision + dims = 11B
+        F.unhex(F.lit("FFD8FFC0001108")),
+        be(h, 4),
+        be(w, 4),
+        body,
+    )
+    gif = F.concat(  # 6B signature + little-endian screen descriptor = 10B
+        F.encode(F.lit("GIF89a"), "utf-8"),
+        le2(w),
+        le2(h),
+        body,
+    )
+    payload = F.when(d % 3 == 0, png).when(d % 3 == 1, jpeg).otherwise(gif)
+    media = (
+        F.when(d % 3 == 0, F.lit("image/png"))
+        .when(d % 3 == 1, F.lit("image/jpeg"))
+        .otherwise(F.lit("image/gif"))
+    )
+    return df.select(d, payload.alias("payload"), media.alias("media_type"))
 
 
 def binary_meta(df: DataFrame, id_col: str) -> DataFrame:
@@ -60,34 +149,49 @@ def binary_meta(df: DataFrame, id_col: str) -> DataFrame:
 def decode_image_meta(df: DataFrame, id_col: str = "doc_id", strict: bool = False) -> DataFrame:
     """The decode stage: mapInPandas over (id, payload, media_type).
 
-    ``strict=True`` is the production wiring — it raises
-    NotImplementedError until a real decoder (PIL/ffmpeg/torchcodec)
-    is dropped into ``_decode_batch``.  The default produces
-    deterministic fake dimensions derived from the payload so the
-    batch shape, schema and partition behavior are fully exercised.
+    Image payloads (PNG / JPEG / GIF) get a REAL header decode —
+    :func:`parse_image_header`, pure public-format byte parsing.
+    Payloads matching no known signature need a full codec library:
+    ``strict=True`` (the production wiring) raises NotImplementedError
+    for them; the default emits ``format='unknown'`` with
+    deterministic size-derived fake dimensions so the batch shape and
+    schema stay exercised on non-image corpora.
     """
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires an imaging library; "
-                    "install one and replace this branch"
-                )
+            formats, widths, heights = [], [], []
+            for raw in pdf["payload"]:
+                b = bytes(raw)
+                parsed = parse_image_header(b)
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload matches no parseable image signature; "
+                            "full media decode requires a codec library"
+                        )
+                    formats.append("unknown")
+                    widths.append(len(b) % 640 + 1)
+                    heights.append(len(b) % 480 + 1)
+                else:
+                    fmt, w, h = parsed
+                    formats.append(fmt)
+                    widths.append(w)
+                    heights.append(h)
             payloads = pdf["payload"]
-            sizes = payloads.map(len)
-            digests = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": pdf["media_type"],
-                    "payload_bytes": sizes.astype("int64"),
-                    # deterministic fake decode: dims derived from size
-                    "fake_width": (sizes % 640 + 1).astype("int32"),
-                    "fake_height": (sizes % 480 + 1).astype("int32"),
-                    "checksum": digests,
+                    "payload_bytes": payloads.map(len).astype("int64"),
+                    "format": pd.Series(formats, dtype="object", index=pdf.index),
+                    "width": pd.Series(widths, dtype="int32", index=pdf.index),
+                    "height": pd.Series(heights, dtype="int32", index=pdf.index),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
                 }
             )
 

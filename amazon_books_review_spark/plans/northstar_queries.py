@@ -930,11 +930,29 @@ FROM c
 
 
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode stage (deterministic fake decode) —
-    rows-only in the driver; exact outputs asserted in pytest."""
+    """REAL image header decode under the hard gate: valid PNG / JPEG /
+    GIF payloads are built Catalyst-side with id-derived dimensions
+    (multimodal.make_image_payload), then the mapInPandas decode stage
+    parses the actual bytes (multimodal.parse_image_header).  The
+    oracle recomputes format / dims / size from the same id
+    arithmetic, so a wrong byte layout or a wrong parse both fail the
+    value hash."""
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
-    return multimodal.decode_image_meta(with_payload, "doc_id")
+    with_payload = multimodal.make_image_payload(docs, "doc_id", "text")
+    meta = multimodal.decode_image_meta(with_payload, "doc_id")
+    return meta.select("doc_id", "format", "width", "height", "payload_bytes")
+
+
+DECODE_META_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(doc_id % 512 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 384 + 16 AS INTEGER) AS height,
+       -- header bytes (png 29 / jpeg 11 / gif 10) + 32-byte md5-hex body
+       CAST(CASE doc_id % 3 WHEN 0 THEN 61 WHEN 1 THEN 43 ELSE 42 END AS BIGINT)
+           AS payload_bytes
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1240,8 +1258,8 @@ NORTHSTAR_QUERIES = [
      "relational TF-IDF top-5 terms per doc (tf x broadcast df x N)"),
     ("multimodal_binary_meta", multimodal_binary_meta, MULTIMODAL_META_ORACLE,
      "binary payload size/checksum metadata (Catalyst-native)"),
-    ("multimodal_decode_meta", multimodal_decode_meta, None,
-     "mapInPandas decode stage with deterministic fake decode"),
+    ("multimodal_decode_meta", multimodal_decode_meta, DECODE_META_ORACLE,
+     "mapInPandas decode stage: REAL PNG/JPEG/GIF header parse, oracle-checked"),
     ("text_pii_redaction", text_pii_redaction, _pii_oracle(),
      "PII scrub: count + redact emails/IPv4s/phones, codegen'd regex chain"),
     ("train_val_test_assignment", train_val_test_assignment, _split_oracle(),

@@ -193,7 +193,38 @@ class TestFingerprints:
 
 
 class TestMultimodal:
-    def test_decode_meta_deterministic_fake(self, spark, docs):
+    def test_parse_image_header_known_formats(self):
+        # Hand-built minimal payloads in each public byte format.
+        import struct
+
+        png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+               + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+        assert multimodal.parse_image_header(png) == ("png", 640, 480)
+        jpeg = b"\xff\xd8\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640)
+        assert multimodal.parse_image_header(jpeg) == ("jpeg", 640, 480)
+        # JPEG with an APP0 segment before SOF (the common JFIF layout)
+        jfif = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                + b"\xff\xc2\x00\x11\x08" + struct.pack(">HH", 33, 77))
+        assert multimodal.parse_image_header(jfif) == ("jpeg", 77, 33)
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+        assert multimodal.parse_image_header(gif) == ("gif", 320, 200)
+        assert multimodal.parse_image_header(b"not an image at all") is None
+
+    def test_make_image_payload_roundtrips_through_decode(self, spark, docs):
+        with_payload = multimodal.make_image_payload(docs.limit(30), "doc_id", "text")
+        meta = multimodal.decode_image_meta(with_payload, "doc_id").collect()
+        assert len(meta) == 30
+        fmt_by_mod = {0: "png", 1: "jpeg", 2: "gif"}
+        for r in meta:
+            # The decoder parsed REAL bytes; the expectation is recomputed
+            # from the id arithmetic that built them.
+            assert r.format == fmt_by_mod[r.doc_id % 3]
+            assert r.width == r.doc_id % 512 + 16
+            assert r.height == r.doc_id % 384 + 16
+            header = {"png": 29, "jpeg": 11, "gif": 10}[r.format]
+            assert r.payload_bytes == header + 32
+
+    def test_decode_meta_unknown_fallback(self, spark, docs):
         with_payload = multimodal.attach_payload(docs.limit(20), "doc_id", "text")
         meta = multimodal.decode_image_meta(with_payload, "doc_id").collect()
         src = {r.doc_id: r.text for r in docs.limit(20).collect()}
@@ -201,13 +232,19 @@ class TestMultimodal:
         for r in meta:
             raw = src[r.doc_id].encode()
             assert r.payload_bytes == len(raw)
-            assert r.fake_width == len(raw) % 640 + 1
-            assert r.fake_height == len(raw) % 480 + 1
+            assert r.format == "unknown"
+            assert r.width == len(raw) % 640 + 1
+            assert r.height == len(raw) % 480 + 1
             import hashlib
             assert r.checksum == hashlib.md5(raw).hexdigest()
 
-    def test_strict_decode_raises(self, spark, docs):
+    def test_strict_decode_raises_on_unparseable(self, spark, docs):
         with_payload = multimodal.attach_payload(docs.limit(5), "doc_id", "text")
         strict = multimodal.decode_image_meta(with_payload, "doc_id", strict=True)
-        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        with pytest.raises(Exception, match="NotImplementedError|image signature"):
             strict.collect()
+
+    def test_strict_decode_passes_on_real_images(self, spark, docs):
+        with_payload = multimodal.make_image_payload(docs.limit(5), "doc_id", "text")
+        out = multimodal.decode_image_meta(with_payload, "doc_id", strict=True).collect()
+        assert len(out) == 5
