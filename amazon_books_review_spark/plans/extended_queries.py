@@ -301,7 +301,10 @@ def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import tempfile
 
-    from amazon_books_review_spark.streaming.queries import _events_stream
+    from amazon_books_review_spark.streaming.queries import (
+        _events_stream,
+        _state_partitions,
+    )
     from amazon_books_review_spark.sources.io import read_parquet, write_stream
 
     stream = _events_stream(spark, sf_dir).select(
@@ -315,10 +318,11 @@ def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = tempfile.mkdtemp(prefix="abr_sessions_")
-    q = write_stream(
-        sessions, f"{out}/data", f"{out}/ckpt", query_name="stateful_sessions"
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = write_stream(
+            sessions, f"{out}/data", f"{out}/ckpt", query_name="stateful_sessions"
+        )
+        q.awaitTermination()
     return read_parquet(spark, f"{out}/data")
 
 

@@ -17,6 +17,7 @@ tests/test_streaming.py instead.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +28,36 @@ from amazon_books_review_spark.sources.io import (
     write_stream,
     write_stream_complete,
 )
+
+
+#: State-store partition count for the catalog's stateful streams.
+#:
+#: A stateful streaming operator creates one state store PER shuffle
+#: partition PER stateful operator side, and every micro-batch pays a
+#: per-store commit (delta file + maintenance) even for partitions that
+#: hold no keys — measured locally, the stream-stream join over sf0.1
+#: is 13.1s at the batch default of 32 partitions and 2.4s at 4, with
+#: identical results.  Unlike batch shuffles, AQE never coalesces
+#: these, and the count is frozen into the checkpoint at first start:
+#: sizing it is an explicit capacity decision, not something to
+#: inherit from ``spark.sql.shuffle.partitions``.  At 100 TB you size
+#: it UP to keys-per-partition x throughput (hundreds-to-thousands,
+#: RocksDB-backed); for the bounded availableNow correctness runs here
+#: you size it DOWN so fixed commit cost doesn't dwarf the data.
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Pin shuffle partitions while a stateful stream STARTS (the value
+    is captured into the checkpoint then), restoring the batch setting
+    after — keeps the session's batch plans at their own size."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,10 +101,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = tempfile.mkdtemp(prefix="abr_stream_gold_")
-    q = write_stream_complete(
-        agg, f"{out}/data", f"{out}/ckpt", query_name="windowed_counts"
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = write_stream_complete(
+            agg, f"{out}/data", f"{out}/ckpt", query_name="windowed_counts"
+        )
+        q.awaitTermination()
     return read_parquet(spark, f"{out}/data")
 
 
@@ -159,10 +191,11 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "view_id", "user_id")
     out = tempfile.mkdtemp(prefix="abr_ss_join_")
-    q = write_stream(
-        joined, f"{out}/data", f"{out}/ckpt", query_name="stream_stream_join"
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = write_stream(
+            joined, f"{out}/data", f"{out}/ckpt", query_name="stream_stream_join"
+        )
+        q.awaitTermination()
     return read_parquet(spark, f"{out}/data")
 
 
@@ -208,10 +241,11 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = tempfile.mkdtemp(prefix="abr_stream_dedup_")
-    q = write_stream(
-        deduped, f"{out}/data", f"{out}/ckpt", query_name="stream_dedup"
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = write_stream(
+            deduped, f"{out}/data", f"{out}/ckpt", query_name="stream_dedup"
+        )
+        q.awaitTermination()
     return read_parquet(spark, f"{out}/data")
 
 
@@ -304,11 +338,12 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         out = tempfile.mkdtemp(prefix="abr_tws_")
-        q = write_stream_update_upsert(
-            totals, f"{out}/data", f"{out}/ckpt",
-            keys=["user_id"], query_name="running_totals_tws",
-        )
-        q.awaitTermination()
+        with _state_partitions(spark):
+            q = write_stream_update_upsert(
+                totals, f"{out}/data", f"{out}/ckpt",
+                keys=["user_id"], query_name="running_totals_tws",
+            )
+            q.awaitTermination()
     finally:
         for k, v in old.items():
             if v is None:
