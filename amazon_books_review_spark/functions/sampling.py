@@ -165,3 +165,40 @@ def stratified_sample(
         rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
     rate = F.lit(default_pct) if rate is None else rate.otherwise(default_pct)
     return df.filter(b < rate)
+
+
+def shuffled_shard_manifest(
+    df: DataFrame, id_col: str, shards: int = 16, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: every row gets a ``shard`` (which output file) and a
+    ``pos`` (its order within that file), both pure functions of
+    (salt, id).
+
+    Trainers need examples in an order uncorrelated with ingest order
+    (no topical runs within a batch), and they need it REPRODUCIBLY —
+    ``df.orderBy(rand())`` changes on every run/retry.  Ordering by
+    ``md5(salt|id)`` is a shuffle that any engine can replay bit-for-
+    bit, and a different salt is a fresh, independent permutation
+    (epoch reshuffles without touching the data).
+
+    Scale shape: one hash partition on ``shard`` + an in-shard sort —
+    exactly the clustering the shard-file write needs anyway, so the
+    manifest costs nothing extra.  ``shards`` is the skew/size bound:
+    size it so one shard fits one task (100 TB at 100k shards = ~1 GB
+    files); the per-shard ``row_number`` is then a per-task sort, never
+    a global one.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    shard = hash_bucket(F.col(id_col), salt, buckets=shards)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("shuffle_key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -16,6 +16,7 @@ from amazon_books_review_spark.plans.books_csv_queries import BOOKS_CSV_QUERIES
 from amazon_books_review_spark.plans.extended_queries import EXTENDED_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
+from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -31,5 +32,6 @@ for _name, _fn, _oracle, _doc in (
     + NORTHSTAR_QUERIES
     + EXTENDED_QUERIES
     + BOOKS_CSV_QUERIES
+    + TRAINDATA_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

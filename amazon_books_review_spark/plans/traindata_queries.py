@@ -1,0 +1,110 @@
+"""Training-data hygiene queries: benchmark decontamination and the
+deterministic shuffled-shard export manifest.
+
+Both are standard large-corpus pipeline stages the reference's surface
+doesn't have but a 100 TB training pipeline cannot ship without; both
+are pure functions of the data (no rand(), md5-only hashing), so each
+carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.functions import decontam, sampling
+from amazon_books_review_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: Stand-in benchmark: every EVAL_MOD-th document plays the eval set
+#: (real pipelines read the actual benchmark corpora here).  The sf0.01
+#: documents table plants near-duplicate pairs, so eval/train leakage
+#: genuinely occurs and the flag is exercised on both values.
+EVAL_MOD = 50
+DECONTAM_N = decontam.DECONTAM_NGRAM
+
+
+def decontam_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram overlap decontamination of the training split against the
+    held-out stand-in benchmark (broadcast eval-gram probe; the corpus
+    side stays a linear pass + doc_id aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train_docs = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    grams = decontam.eval_ngram_set(eval_docs, "doc_id", "text", n=DECONTAM_N)
+    return decontam.flag_contaminated(train_docs, grams, "doc_id", "text", n=DECONTAM_N)
+
+
+DECONTAM_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(words[i:i+{DECONTAM_N - 1}], ' ')
+         for i in range(1, len(words) - {DECONTAM_N - 2})]
+    )) AS shingle
+    FROM docs
+    WHERE len(words) >= {DECONTAM_N}
+), eval_grams AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+), hits AS (
+    SELECT s.doc_id, count(*) AS n_eval_grams_hit
+    FROM sh s JOIN eval_grams e USING (shingle)
+    WHERE s.doc_id % {EVAL_MOD} <> 0
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_eval_grams_hit, 0) AS BIGINT) AS n_eval_grams_hit,
+       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS contaminated
+FROM docs d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shuffled shard manifest
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: md5(salt|id)
+    ordering, ``shard`` = which output file, ``pos`` = position within
+    it (sampling.shuffled_shard_manifest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.shuffled_shard_manifest(docs, "doc_id", shards=N_SHARDS)
+
+
+def _shard_oracle() -> str:
+    # hash_bucket twin: first 7 hex chars of md5('shard|'||id) as an
+    # int (hex-digit arithmetic, no conv() in DuckDB) mod N_SHARDS.
+    digit = lambda i: f"(strpos('0123456789abcdef', substr(shuffle_key, {i}, 1)) - 1)"  # noqa: E731
+    val = digit(1)
+    for i in range(2, 8):
+        val = f"({val} * 16 + {digit(i)})"
+    return f"""
+WITH k AS (
+    SELECT doc_id,
+           md5('shard|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+), s AS (
+    SELECT doc_id, shuffle_key, ({val}) % {N_SHARDS} AS shard FROM k
+)
+SELECT doc_id, shuffle_key, CAST(shard AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+           AS pos
+FROM s
+"""
+
+
+TRAINDATA_QUERIES = [
+    ("decontam_against_eval", decontam_against_eval, DECONTAM_ORACLE,
+     "benchmark decontamination: 8-gram overlap vs broadcast eval-gram set"),
+    ("training_shard_manifest", training_shard_manifest, _shard_oracle(),
+     "deterministic md5 global shuffle -> (shard, pos) export manifest"),
+]

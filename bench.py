@@ -112,6 +112,9 @@ HEADLINE += [
     "multimodal_decode_meta",
     "clean_books_details_csv",
     "clean_books_ratings_csv",
+    # training-data hygiene (new in r4)
+    "decontam_against_eval",
+    "training_shard_manifest",
     # streaming + misc re-checks whose last timing predates r2
     "streaming_dedup_events",
     "streaming_stream_static_join",
