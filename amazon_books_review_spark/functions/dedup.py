@@ -60,9 +60,19 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """DISTINCT word n-gram shingles per document, exploded to rows
-    (set semantics — Jaccard is over shingle sets)."""
-    return shingle_sets(df, id_col, text_col, n).select(
-        F.col(id_col), F.explode("shingle_set").alias("shingle")
+    (set semantics — Jaccard is over shingle sets).
+
+    Uses the cheap sliced gram construction: the explode's Generate
+    boundary makes it safe (see text.word_ngrams_sliced vs
+    text.word_ngrams), and this exploded path is the hot one — it
+    feeds the Jaccard self-join and the decontamination probe."""
+    from amazon_books_review_spark.functions.text import word_ngrams_sliced
+
+    return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_sliced(F.col("_toks"), n))
+        ).alias("shingle"),
     )
 
 

@@ -127,10 +127,23 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 
 
 def word_ngrams(tokens_col: str | Column, n: int) -> Column:
-    """Word n-grams from a token array via slice + zip_with (the
-    element_at-in-lambda form re-evaluates the token expression per
-    element — see functions/dedup.py:word_ngrams_from for the full
-    note; this is the same collapse-proof construction)."""
+    """Word n-grams as an ARRAY column, for plans that keep consuming
+    the array (MinHash signatures take 8 min-aggs over it, the LSH
+    verify stage array_intersects it): built via slice + zip_with.
+
+    Two pitfalls, both measured at sf0.1, pick the construction per
+    consumption pattern:
+
+    - ``transform(sequence, i -> ...element_at(t, i)...)`` re-evaluates
+      the token expression (a regex split of the whole document) per
+      ELEMENT inside the lambda — 3x slower on the shingle stage.
+    - the slice+array_join form (:func:`word_ngrams_sliced`) is ~4x
+      cheaper to BUILD (O(n) vs O(n^2) string bytes per gram), but as
+      an array expression consumed by further lambdas/aggregates it
+      gets re-inlined into every consumer (8 min-aggs -> 8 rebuilds:
+      minhash 1.9s -> 5.6s).  The zip_with chain is what Catalyst
+      declines to duplicate, so it stays evaluated once per row here.
+    """
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     length = F.greatest(F.size(t) - (n - 1), F.lit(0))
     grams = F.slice(t, 1, length)
@@ -139,6 +152,23 @@ def word_ngrams(tokens_col: str | Column, n: int) -> Column:
             grams, F.slice(t, 1 + j, length), lambda a, b: F.concat_ws(" ", a, b)
         )
     return grams
+
+
+def word_ngrams_sliced(tokens_col: str | Column, n: int) -> Column:
+    """Word n-grams via one ``slice`` + ``array_join`` per gram — the
+    cheap construction (O(n) bytes per gram vs the zip_with chain's
+    O(n^2); 3.1s -> 0.5s at n=8, sf0.1) for plans that EXPLODE the
+    grams immediately: the Generate boundary stops Catalyst from
+    re-inlining the expression into downstream consumers, which is the
+    one hazard of this form (see :func:`word_ngrams`).  The guard
+    keeps short docs exact — ``sequence(1, 0)`` counts DOWN and would
+    emit phantom grams."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    m = F.size(t) - (n - 1)  # gram count
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
