@@ -471,36 +471,76 @@ def lsh_bucketed_topk(
     :func:`cosine_topk`; recall vs the exact baseline is a test
     property, not a constant.
     """
-    def signed(df: DataFrame, role: str) -> DataFrame:
-        out = []
-        for t in range(n_tables):
-            out.append(
-                df.select(
-                    F.col(id_col).alias(f"{role}_id"),
-                    F.col(vec_col).alias(f"_{role}v"),
-                    F.lit(t).alias("table_id"),
-                    hyperplane_signature(F.col(vec_col), n_planes, dim, t).alias("sig"),
-                )
-            )
-        u = out[0]
-        for extra in out[1:]:
-            u = u.unionByName(extra)
-        return u
+    # Signatures via the same DATA-DRIVEN plane join as
+    # cosine_neardup_lsh_verified (similarity.py:332): n_tables x
+    # n_planes x dim literal arrays cost seconds of whole-stage
+    # codegen on first execution and were this query's dominant
+    # variance term; as broadcast plane ROWS the corpus is scanned
+    # once for ALL tables (the per-table union scanned it n_tables
+    # times) with one small fold lambda.
+    spark = corpus.sparkSession
+    plane_rows = [
+        (t, p, plane)
+        for t in range(n_tables)
+        for p, plane in enumerate(deterministic_planes(n_planes, dim, t))
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "table_id int, plane_idx int, comps array<double>"
+    )
+    proj = F.aggregate(
+        F.zip_with(_as_double(F.col("_v")), F.col("comps"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bit = F.when(
+        proj >= 0, F.expr("cast(shiftleft(1L, plane_idx) as long)")
+    ).otherwise(F.lit(0).cast("long"))
 
+    def sigs(df: DataFrame, role: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("_v"))
+            .join(F.broadcast(planes_df))
+            .select(f"{role}_id", "table_id", bit.alias("_bit"))
+            .groupBy(f"{role}_id", "table_id")
+            .agg(F.sum("_bit").cast("long").alias("sig"))
+        )
+
+    # Candidate IDs only — the old form ran distinct() over full
+    # vector payloads, shuffling and comparing every candidate's two
+    # 64-dim arrays; id pairs shuffle 16 bytes and the vectors are
+    # re-attached after dedup.
     cand = (
-        signed(corpus, "neighbor")
-        .join(F.broadcast(signed(probes, "query")), ["table_id", "sig"])
+        sigs(corpus, "neighbor")
+        .join(F.broadcast(sigs(probes, "query")), ["table_id", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "_queryv", "neighbor_id", "_neighborv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "sim",
-        F.round(
-            dot(F.col("_queryv"), F.col("_neighborv"))
-            / (l2_norm(F.col("_queryv")) * l2_norm(F.col("_neighborv"))),
-            6,
-        ),
+    # Candidates are bounded by |probes| x bucket occupancy — small by
+    # the probe-side contract (same argument as cosine_topk's probe
+    # collect at similarity.py:214) — so they broadcast against the
+    # corpus: vector re-attachment costs one corpus scan, no shuffle.
+    qv = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_queryv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_neighborv"),
+        l2_norm(F.col(vec_col)).alias("_nn"),
+    )
+    scored = (
+        nv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_queryv"), F.col("_neighborv"))
+                / (F.col("_qn") * F.col("_nn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
