@@ -14,6 +14,7 @@ from amazon_books_review_spark.plans.flagship import (
 from amazon_books_review_spark.plans.analytics_queries import ANALYTICS_QUERIES
 from amazon_books_review_spark.plans.books_csv_queries import BOOKS_CSV_QUERIES
 from amazon_books_review_spark.plans.extended_queries import EXTENDED_QUERIES
+from amazon_books_review_spark.plans.format_queries import FORMAT_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
@@ -33,5 +34,6 @@ for _name, _fn, _oracle, _doc in (
     + EXTENDED_QUERIES
     + BOOKS_CSV_QUERIES
     + TRAINDATA_QUERIES
+    + FORMAT_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

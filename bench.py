@@ -115,6 +115,9 @@ HEADLINE += [
     # training-data hygiene (new in r4)
     "decontam_against_eval",
     "training_shard_manifest",
+    # interchange-format round-trips (new in r4)
+    "jsonl_corpus_roundtrip",
+    "orc_lineitem_roundtrip",
     # streaming + misc re-checks whose last timing predates r2
     "streaming_dedup_events",
     "streaming_stream_static_join",
