@@ -126,7 +126,28 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # derived-cost re-join on (part, supp) is SMJ by design — the
     # aggregate side matches the fact side's scale
     "tpch_q9_product_profit": (16, 10, 0, 2),
+    # round-4 additions
+    # eval-gram probe + hits re-join are broadcast; corpus never shuffles
+    "decontam_against_eval": (8, 4, 0),
+    "training_shard_manifest": (2, 0, 0),
+    # the 2 BNLJs are the intended broadcast plane fan-outs (corpus +
+    # probes signature stages)
+    "similarity_lsh_topk": (18, 6, 4),
+    "jsonl_corpus_roundtrip": (0, 0, 0),
+    "orc_lineitem_roundtrip": (2, 0, 0),
+    "multimodal_decode_meta": (0, 0, 0),
 }
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.HEADLINE entry must exist in the catalog — a typo
+    here would crash the driver's bench run, not a local test."""
+    import bench
+
+    qs = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench names not in catalog: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
 
 
 def test_budget_gate_catches_lost_broadcast(spark):
