@@ -418,9 +418,71 @@ UNION ALL SELECT 'shipdate_present', shipdate_present FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew mitigation — salted fact-fact join under the hard gate
+# ---------------------------------------------------------------------------
+
+
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.joins.salted_join on the engine's one genuinely
+    shuffle-bound join (lineitem x orders — no broadcastable side at
+    scale): lineitem rows scatter across 8 salt sub-keys, orders
+    replicate to all of them, the join runs on (orderkey, salt), and
+    the rollup proves the result is row-identical to the plain join.
+
+    This is the explicit-salting path for the pathologically hot key
+    where AQE's runtime skew splitting doesn't reach (stateful
+    streaming joins; a single key holding >1 task's worth of rows on
+    BOTH sides).  Cost model in the docstring of salted_join: the
+    replicated side's shuffle volume multiplies by n_salts — which is
+    why it's a targeted tool, not a default.  The merge hint keeps the
+    demo on the shuffle path Catalyst would pick at scale (at sf0.1
+    the replicated orders side would otherwise auto-broadcast).
+    """
+    from amazon_books_review_spark.operators import joins
+
+    D = "decimal(12,2)"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("ok"), "o_orderpriority")
+        .hint("merge")
+    )
+    revenue = F.col("l_extendedprice").cast(D) * (
+        F.lit(1).cast(D) - F.col("l_discount").cast(D)
+    )
+    return (
+        joins.salted_join(li, orders, "ok", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 EXTENDED_QUERIES = [
     ("flagship_via_sql", flagship_via_sql, FLAGSHIP_SQL_ORACLE,
      "C1-C3: temp views + spark.sql surface (same plan as DataFrame form)"),
+    ("salted_join_priority_revenue", salted_join_priority_revenue,
+     SALTED_JOIN_ORACLE,
+     "skew-mitigated (salted) fact-fact join == plain join, rollup-verified"),
     ("pivot_event_counts", pivot_event_counts, PIVOT_ORACLE,
      "pivot with explicit value list"),
     ("sliding_window_counts", sliding_window_counts, SLIDING_WINDOW_ORACLE,
