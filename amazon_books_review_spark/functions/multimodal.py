@@ -56,6 +56,9 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # 0xFF fill/padding byte before a marker (T.81 B.1.1.2)
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

@@ -432,27 +432,6 @@ def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[f
     return [[comp(p, d) for d in range(dim)] for p in range(n_planes)]
 
 
-def hyperplane_signature(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
-    """Sign-LSH signature: the integer of sign bits of the projections
-    onto :func:`deterministic_planes`.  A pure projection — constant
-    plane arrays, no shuffle, no UDF."""
-    v = _as_double(vec)
-    planes = deterministic_planes(n_planes, dim, table)
-    bits = []
-    for p, plane in enumerate(planes):
-        comps = F.array(*[F.lit(x) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(v, comps, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("long")
-
-
 def lsh_bucketed_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -52,7 +52,12 @@ def _csv_roundtrip(df: DataFrame, schema, tag: str, sf_dir: str) -> DataFrame:
     """
     spark = df.sparkSession
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(), f"abr_csv_{tag}_{safe}")
+    # PID suffix: re-runs within a process stay idempotent (overwrite),
+    # while concurrent processes (pytest alongside the driver) can't
+    # race each other's overwrite-vs-lazy-read on a shared path.
+    path = os.path.join(
+        tempfile.gettempdir(), f"abr_csv_{tag}_{safe}_{os.getpid()}"
+    )
     # Parallel multi-part write — coalesce(1) serialized both the
     # derivation and the write onto one task (measured 1.9s vs 0.4s at
     # sf0.1) and a real landing zone is many files anyway; the reader

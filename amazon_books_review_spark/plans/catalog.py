@@ -99,10 +99,20 @@ def canonical_name(driver_key: str) -> str:
     return _DRIVER_KEY_RE.sub("", driver_key, count=1)
 
 
-def _scan_correctness_artifacts() -> dict[str, tuple[int, str]]:
-    """name -> (last green round, 'hash' | 'rows') from CORRECTNESS_r*.json."""
-    root = Path(__file__).resolve().parents[2]
-    seen: dict[str, tuple[int, str]] = {}
+_ARTIFACT_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _scan_correctness_artifacts(root: Path | None = None) -> dict[str, tuple[int, str]]:
+    """name -> (last green round, 'hash' | 'rows') from CORRECTNESS_r*.json.
+
+    A query's status is its LATEST signal: a red row in round N
+    invalidates a green row from round < N — the name drops back to
+    unverified and re-enters the window under its canonical name.
+    (Keeping the stale green would both misreport the ledger and sort
+    the just-failed query BEHIND the stale re-checks.)
+    """
+    root = _ARTIFACT_ROOT if root is None else root
+    latest: dict[str, tuple[int, str]] = {}  # kind: 'hash' | 'rows' | 'fail'
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", path.name)
         if m is None:
@@ -120,12 +130,12 @@ def _scan_correctness_artifacts() -> dict[str, tuple[int, str]]:
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 kind = "rows"
             else:
-                continue  # failed row: stays (or becomes) unverified
+                kind = "fail"
             name = canonical_name(key)
-            prev = seen.get(name)
+            prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
-                seen[name] = (rnd, kind)
-    return seen
+                latest[name] = (rnd, kind)
+    return {n: (rnd, k) for n, (rnd, k) in latest.items() if k != "fail"}
 
 
 _DRIVER_ROWS: dict[str, tuple[int, str]] = _scan_correctness_artifacts()

@@ -34,8 +34,12 @@ from amazon_books_review_spark.sources.io import (
 
 
 def _fixture_path(tag: str, sf_dir: str) -> str:
+    # PID suffix: idempotent within a process, race-free across
+    # concurrent processes (see books_csv_queries._csv_roundtrip).
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    return os.path.join(tempfile.gettempdir(), f"abr_fmt_{tag}_{safe}")
+    return os.path.join(
+        tempfile.gettempdir(), f"abr_fmt_{tag}_{safe}_{os.getpid()}"
+    )
 
 
 #: Explicit read schema for the JSONL corpus — schema inference over

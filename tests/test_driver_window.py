@@ -53,18 +53,41 @@ def test_driver_verified_names_exist():
 
 
 def test_driver_verified_is_derived_from_artifacts():
-    """The ledger must agree row-for-row with the recorded artifacts."""
-    expected: dict[str, int] = {}
+    """The ledger must agree row-for-row with the recorded artifacts:
+    a name is verified iff its LATEST recorded signal is green."""
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(path.stem.split("_r")[1])
         for key, row in json.loads(path.read_text()).items():
             green = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
-            if green:
-                name = canonical_name(key)
-                expected[name] = max(expected.get(name, 0), rnd)
+            name = canonical_name(key)
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, green)
+    expected = {n: rnd for n, (rnd, green) in latest.items() if green}
     assert DRIVER_VERIFIED == expected
+
+
+def test_red_row_invalidates_earlier_green(tmp_path):
+    """A regression recorded in a later round must drop the query back
+    to unverified — not leave it 'verified at the older round' (where
+    it would sort BEHIND the stale re-checks, outside the window)."""
+    from amazon_books_review_spark.plans.catalog import _scan_correctness_artifacts
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_stays_green": {"hash_match": True},
+        "q_regressed": {"hash_match": True},
+        "q_crashed": {"err": "no_oracle", "spark_rows": 5},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "zz_r01_q_regressed": {"hash_match": False, "err": "hash mismatch"},
+        "zz_r01_q_crashed": {"err": "no_oracle", "spark_rows": None},
+        "q_new": {"hash_match": True},
+    }))
+    out = _scan_correctness_artifacts(tmp_path)
+    assert out == {"q_stays_green": (1, "hash"), "q_new": (2, "hash")}
 
 
 def test_queries_and_oracles_share_the_mapping():
@@ -125,7 +148,13 @@ def test_spark_entry_simulated_driver_window():
     assert not missing, (
         f"driver would NOT verify these never-verified queries: {sorted(missing)}"
     )
-    # every unverified query in the window must carry a hard oracle or be a
-    # declared rows-only entry; spot-check the oracle pairing exists
+    # Every window entry must carry a hard oracle unless it is on the
+    # explicit rows-only allowlist — a new oracle-less registration
+    # would otherwise silently consume a hard-gate slot for a weaker
+    # rows-only signal.  Extending the allowlist is a conscious act.
+    ROWS_ONLY_OK = {"approx_distinct_users", "sessionize_events_stateful"}
     for key in consumed:
-        assert key in q
+        assert key in o or canonical_name(key) in ROWS_ONLY_OK, (
+            f"{key} is in the driver window without an oracle and is not a "
+            f"declared rows-only entry"
+        )

@@ -206,6 +206,10 @@ class TestMultimodal:
         jfif = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
                 + b"\xff\xc2\x00\x11\x08" + struct.pack(">HH", 33, 77))
         assert multimodal.parse_image_header(jfif) == ("jpeg", 77, 33)
+        # JPEG with 0xFF fill bytes before the SOF marker (T.81 B.1.1.2)
+        filled = (b"\xff\xd8\xff\xff\xff\xc0\x00\x11\x08"
+                  + struct.pack(">HH", 10, 20))
+        assert multimodal.parse_image_header(filled) == ("jpeg", 20, 10)
         gif = b"GIF89a" + struct.pack("<HH", 320, 200)
         assert multimodal.parse_image_header(gif) == ("gif", 320, 200)
         assert multimodal.parse_image_header(b"not an image at all") is None
