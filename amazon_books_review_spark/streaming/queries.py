@@ -163,9 +163,12 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the equivalent batch range join (availableNow over a
     bounded input emits every in-range match).
     """
+    # ONE source stream, branched: a per-side readStream doubles the
+    # file-source scan every micro-batch (measured ~1s/batch at sf0.1);
+    # branching a single stream lets the self-join share offsets+scan.
+    events = _events_stream(spark, sf_dir)
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id"),
@@ -174,8 +177,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("purchase_ts", "1 hour")
     )
     views = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
+        events.filter(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("view_user"),
@@ -227,9 +229,8 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime).  Oracle: the batch distinct (event_id is unique in the
     source, so dedup must reproduce the input exactly).
     """
-    doubled = _events_stream(spark, sf_dir).unionByName(
-        _events_stream(spark, sf_dir)
-    )
+    events = _events_stream(spark, sf_dir)  # one source, unioned with itself
+    doubled = events.unionByName(events)
     deduped = (
         doubled.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
