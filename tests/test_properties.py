@@ -128,3 +128,72 @@ def test_strip_listish_matches_python(spark, strings):
     got = [r.s for r in cleaning.strip_listish(df, "s").collect()]
     want = [s.replace("[", "").replace("]", "").replace("'", "") for s in strings]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-4 training-data operators vs plain-Python references
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["w0", "w1", "w2", "w3"])
+_doc_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=14).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(_doc_texts, _doc_texts)
+@settings(**_SETTINGS)
+def test_decontam_matches_bruteforce(spark, eval_texts, train_texts):
+    from amazon_books_review_spark.functions import decontam
+
+    n = 3  # short grams so tiny generated docs can actually collide
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(eval_texts)]
+    )
+    train_df = spark.createDataFrame(
+        [Row(doc_id=1000 + i, text=t) for i, t in enumerate(train_texts)]
+    )
+    grams = decontam.eval_ngram_set(eval_df, "doc_id", "text", n=n)
+    got = {
+        r.doc_id: (r.n_eval_grams_hit, r.contaminated)
+        for r in decontam.flag_contaminated(
+            train_df, grams, "doc_id", "text", n=n
+        ).collect()
+    }
+    eval_grams = set().union(*(_py_ngrams(t, n) for t in eval_texts))
+    for i, t in enumerate(train_texts):
+        hits = len(_py_ngrams(t, n) & eval_grams)
+        assert got[1000 + i] == (hits, int(hits > 0))
+    assert len(got) == len(train_texts)
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+       st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_shard_manifest_matches_bruteforce(spark, ids, shards):
+    import hashlib
+
+    from amazon_books_review_spark.functions import sampling
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    got = {
+        r.doc_id: (r.shard, r.pos, r.shuffle_key)
+        for r in sampling.shuffled_shard_manifest(
+            df, "doc_id", shards=shards, salt="s"
+        ).collect()
+    }
+    # plain-Python reference: same md5 key, same bucket arithmetic,
+    # positions by (key, id) order within each shard
+    key = {i: hashlib.md5(f"s|{i}".encode()).hexdigest() for i in ids}
+    shard_of = {i: int(key[i][:7], 16) % shards for i in ids}
+    want: dict[int, tuple[int, int, str]] = {}
+    for s in set(shard_of.values()):
+        members = sorted((key[i], i) for i in ids if shard_of[i] == s)
+        for pos, (k, i) in enumerate(members, start=1):
+            want[i] = (s, pos, k)
+    assert got == want
