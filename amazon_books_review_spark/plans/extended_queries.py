@@ -477,12 +477,73 @@ GROUP BY o_orderpriority
 """
 
 
+def bucketed_join_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized-shuffle play under the hard gate: both fact
+    tables written as managed tables hash-bucketed (and sorted) on the
+    join key, then joined via the bucket metadata — the join itself
+    needs NO Exchange (asserted in tests/test_scale_helpers.py; here
+    the VALUES are what's verified).  This is how a 100 TB deployment
+    pays the orders x lineitem shuffle once at ingest instead of per
+    query.
+
+    The merge hint keeps the demo on the sort-merge path the bucketing
+    optimizes (the sf-scale tables would otherwise auto-broadcast).
+    Table names carry the sf tag and PID — idempotent re-runs within a
+    process, no cross-process overwrite race; per-run warehouse growth
+    is two sf-scale tables.
+    """
+    import os
+
+    from amazon_books_review_spark.sources.io import write_bucketed
+
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_orders = f"bkt_orders_{safe}_{os.getpid()}"
+    t_li = f"bkt_lineitem_{safe}_{os.getpid()}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, t_orders, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, t_li, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    D = "decimal(12,2)"
+    return (
+        spark.table(t_li)
+        .hint("merge")
+        .join(
+            spark.table(t_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(D)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(D)).cast("double").alias("sum_price"),
+        )
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 EXTENDED_QUERIES = [
     ("flagship_via_sql", flagship_via_sql, FLAGSHIP_SQL_ORACLE,
      "C1-C3: temp views + spark.sql surface (same plan as DataFrame form)"),
     ("salted_join_priority_revenue", salted_join_priority_revenue,
      SALTED_JOIN_ORACLE,
      "skew-mitigated (salted) fact-fact join == plain join, rollup-verified"),
+    ("bucketed_join_status_rollup", bucketed_join_status_rollup,
+     BUCKETED_JOIN_ORACLE,
+     "co-located bucketed fact-fact join (write-time shuffle), rollup-verified"),
     ("pivot_event_counts", pivot_event_counts, PIVOT_ORACLE,
      "pivot with explicit value list"),
     ("sliding_window_counts", sliding_window_counts, SLIDING_WINDOW_ORACLE,

@@ -118,8 +118,9 @@ HEADLINE += [
     # interchange-format round-trips (new in r4)
     "jsonl_corpus_roundtrip",
     "orc_lineitem_roundtrip",
-    # skew mitigation (new in r4)
+    # skew mitigation + co-location (new in r4)
     "salted_join_priority_revenue",
+    "bucketed_join_status_rollup",
     # streaming + misc re-checks whose last timing predates r2
     "streaming_dedup_events",
     "streaming_stream_static_join",

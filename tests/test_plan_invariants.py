@@ -139,6 +139,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # the 2 SMJs are one logical merge join on (orderkey, salt) — the
     # deliberately-hinted shuffle path the salting demo exists for
     "salted_join_priority_revenue": (6, 0, 0, 2),
+    # ONE Exchange pair (the final agg): the merge join itself reads
+    # bucket metadata and shuffles nothing — the whole point
+    "bucketed_join_status_rollup": (2, 0, 0, 2),
 }
 
 
