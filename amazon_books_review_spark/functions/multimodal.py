@@ -59,6 +59,11 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
             if marker == 0xFF:
                 i += 1  # 0xFF fill/padding byte before a marker (T.81 B.1.1.2)
                 continue
+            if marker in (0xDA, 0xD9):
+                # SOS: entropy-coded scan data follows — marker-segment
+                # scanning past it reads compressed bytes as markers.
+                # EOI: end of image.  A SOF before here or not at all.
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
@@ -70,6 +75,58 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", w, h
+    return None
+
+
+#: MPEG audio frame-header sample-rate tables, indexed by version bits.
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+
+def parse_audio_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """Sniff + parse a WAV (RIFF) or MP3 (MPEG frame header) payload.
+
+    Pure public-format byte parsing, same discipline as
+    :func:`parse_image_header`:
+
+    - WAV: ``RIFF``/``WAVE`` signature, then walk the chunk list to the
+      ``fmt `` chunk (RIFF chunks are [id:4][size:4 LE][body]) and read
+      channels / sample-rate / bits-per-sample from it — NOT from fixed
+      offsets, since real files carry LIST/JUNK chunks before ``fmt ``.
+    - MP3: 11-bit frame sync (0xFFE), then version + layer + sample-rate
+      index from the 4-byte frame header; channel count from the mode
+      field (11 = mono).  Bits-per-sample is not a property of MPEG
+      audio — reported as 0.
+
+    Returns ``(format, sample_rate, channels, bits_per_sample)`` or
+    ``None`` if the signature matches neither.
+    """
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(b):
+            chunk_id = b[i : i + 4]
+            (chunk_size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if chunk_id == b"fmt " and i + 8 + 16 <= len(b):
+                channels, sample_rate = struct.unpack("<HI", b[i + 10 : i + 16])
+                (bits,) = struct.unpack("<H", b[i + 22 : i + 24])
+                return "wav", sample_rate, channels, bits
+            i += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+        return None
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        version = (b[1] >> 3) & 0x3
+        layer = (b[1] >> 1) & 0x3
+        if version == 1 or layer == 0:  # reserved bit patterns
+            return None
+        sr_idx = (b[2] >> 2) & 0x3
+        if sr_idx == 3:
+            return None
+        sample_rate = _MP3_RATES[version][sr_idx]
+        mode = (b[3] >> 6) & 0x3
+        channels = 1 if mode == 3 else 2
+        return "mp3", sample_rate, channels, 0
     return None
 
 
@@ -135,6 +192,140 @@ def make_image_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .otherwise(F.lit("image/gif"))
     )
     return df.select(d, payload.alias("payload"), media.alias("media_type"))
+
+
+def make_audio_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build REAL audio-format payloads (valid WAV / MP3 headers + an
+    opaque body) entirely Catalyst-side — the audio sibling of
+    :func:`make_image_payload`, zero Python.
+
+    Formats round-robin on ``id % 2``; with ``k = id div 2`` the
+    acoustic parameters derive from the id so a DuckDB oracle can
+    recompute what a correct header decode must report:
+
+    - WAV: sample_rate = [8000,16000,32000,48000][k % 4],
+      channels = k % 2 + 1, 16-bit PCM; canonical 44-byte header.
+    - MP3: MPEG1 Layer III, sample_rate = [44100,48000,32000][k % 3],
+      mono when k % 2 = 0 else joint stereo; 4-byte frame header.
+
+    The 32-byte body (md5 hex of the text) stands in for sample data.
+    """
+    d = F.col(id_col)
+    k = F.expr(f"{id_col} div 2")
+
+    def le2(col: Column) -> Column:
+        hx = F.lpad(F.hex(col), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    def le4(col: Column) -> Column:
+        hx = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(hx, 7, 2),
+                F.substring(hx, 5, 2),
+                F.substring(hx, 3, 2),
+                F.substring(hx, 1, 2),
+            )
+        )
+
+    body = F.encode(F.md5(F.encode(F.col(text_col), "utf-8")), "utf-8")  # 32 B
+    wav_rate = (
+        F.when(k % 4 == 0, F.lit(8000))
+        .when(k % 4 == 1, F.lit(16000))
+        .when(k % 4 == 2, F.lit(32000))
+        .otherwise(F.lit(48000))
+    )
+    wav_channels = (k % 2 + 1).cast("int")
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"),
+        le4(F.lit(36 + 32)),  # riff size: header remainder + body
+        F.encode(F.lit("WAVEfmt "), "utf-8"),
+        le4(F.lit(16)),  # fmt chunk size
+        le2(F.lit(1)),  # PCM
+        le2(wav_channels),
+        le4(wav_rate),
+        le4(wav_rate * wav_channels * 2),  # byte rate
+        le2(wav_channels * 2),  # block align
+        le2(F.lit(16)),  # bits per sample
+        F.encode(F.lit("data"), "utf-8"),
+        le4(F.lit(32)),
+        body,
+    )
+    # 0xFFFB = sync + MPEG1 + Layer III + no CRC; byte2 = bitrate idx 9
+    # (128 kbps) | sr_idx << 2; byte3 mode bits: 11 mono / 01 joint.
+    mp3_hdr = F.concat(
+        F.lit("FFFB"),
+        F.when(k % 3 == 0, F.lit("90")).when(k % 3 == 1, F.lit("94")).otherwise(F.lit("98")),
+        F.when(k % 2 == 0, F.lit("C0")).otherwise(F.lit("40")),
+    )
+    mp3 = F.concat(F.unhex(mp3_hdr), body)
+    return df.select(
+        d,
+        F.when(d % 2 == 0, wav).otherwise(mp3).alias("payload"),
+        F.when(d % 2 == 0, F.lit("audio/wav"))
+        .otherwise(F.lit("audio/mpeg"))
+        .alias("media_type"),
+    )
+
+
+#: Output schema of the audio decode stage.
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, media_type string, payload_bytes bigint, "
+    "format string, sample_rate int, channels int, bits_per_sample int, "
+    "checksum string"
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
+    """The audio decode stage: mapInPandas over (id, payload,
+    media_type), REAL header parse via :func:`parse_audio_header`.
+    Unknown signatures raise under ``strict=True`` or fall back to
+    ``format='unknown'`` with zeroed acoustics, mirroring
+    :func:`decode_image_meta`.
+    """
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            formats, rates, channels, bits = [], [], [], []
+            for raw in pdf["payload"]:
+                parsed = parse_audio_header(bytes(raw))
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "payload matches no parseable audio signature; "
+                            "full decode requires a codec library"
+                        )
+                    formats.append("unknown")
+                    rates.append(0)
+                    channels.append(0)
+                    bits.append(0)
+                else:
+                    fmt, sr, ch, bp = parsed
+                    formats.append(fmt)
+                    rates.append(sr)
+                    channels.append(ch)
+                    bits.append(bp)
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": payloads.map(len).astype("int64"),
+                    "format": pd.Series(formats, dtype="object", index=pdf.index),
+                    "sample_rate": pd.Series(rates, dtype="int32", index=pdf.index),
+                    "channels": pd.Series(channels, dtype="int32", index=pdf.index),
+                    "bits_per_sample": pd.Series(bits, dtype="int32", index=pdf.index),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_decode_batch, schema=AUDIO_META_SCHEMA)
 
 
 def binary_meta(df: DataFrame, id_col: str) -> DataFrame:

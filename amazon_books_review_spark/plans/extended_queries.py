@@ -257,8 +257,11 @@ def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     input and a final timeout flush, output matches the batch
     sessionizer (asserted in tests/test_extended.py).
 
-    Driver check is rows-only: the incremental emission protocol has
-    no SQL analog.
+    Oracle: the batch gaps-and-islands SQL (SESSIONIZE_ORACLE).  The
+    bounded drain arrives as ONE micro-batch (the glob matches a
+    single file and maxFilesPerTrigger is unset), so every user's full
+    history is sessionized in a single state update and the emitted
+    rows are exactly the batch result — same columns, same values.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -552,8 +555,8 @@ EXTENDED_QUERIES = [
      "sessionization via lag + running-sum windows"),
     ("session_window_counts", session_window_counts, SESSION_WINDOW_ORACLE,
      "built-in session_window == composed sessionizer"),
-    ("sessionize_events_stateful", sessionize_events_stateful, None,
-     "applyInPandasWithState streaming sessionizer (== batch, pytest-checked)"),
+    ("sessionize_events_stateful", sessionize_events_stateful, SESSIONIZE_ORACLE,
+     "applyInPandasWithState streaming sessionizer == batch gaps-and-islands SQL"),
     ("zorder_morton_codes", zorder_morton_codes, _zorder_oracle(),
      "Z-order layout: min-max normalize + Morton bit-interleave"),
     ("data_quality_report", data_quality_report, DATA_QUALITY_ORACLE,

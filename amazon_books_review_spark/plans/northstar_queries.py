@@ -955,6 +955,46 @@ FROM documents
 """
 
 
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decode under the same hard gate as
+    multimodal_decode_meta: valid WAV (RIFF fmt-chunk walk) / MP3
+    (MPEG frame-header) payloads are built Catalyst-side with
+    id-derived acoustics (multimodal.make_audio_payload), then the
+    mapInPandas decode stage parses the actual bytes
+    (multimodal.parse_audio_header).  The oracle recomputes format /
+    sample-rate / channels / bits from the same id arithmetic, so a
+    wrong byte layout and a wrong parse both fail the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.make_audio_payload(docs, "doc_id", "text")
+    meta = multimodal.decode_audio_meta(with_payload, "doc_id")
+    return meta.select(
+        "doc_id", "format", "sample_rate", "channels", "bits_per_sample",
+        "payload_bytes",
+    )
+
+
+AUDIO_META_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'mp3' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      WHEN 2 THEN 32000 ELSE 48000 END
+            ELSE
+                 CASE (doc_id // 2) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END
+            END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id // 2) % 2 + 1
+                 WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 2
+            END AS INTEGER) AS channels,
+       CAST(CASE doc_id % 2 WHEN 0 THEN 16 ELSE 0 END AS INTEGER)
+           AS bits_per_sample,
+       -- wav: 44-byte canonical header; mp3: 4-byte frame header; +32 body
+       CAST(CASE doc_id % 2 WHEN 0 THEN 76 ELSE 36 END AS BIGINT)
+           AS payload_bytes
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup — new batch vs existing corpus index
 # ---------------------------------------------------------------------------
@@ -1274,6 +1314,8 @@ NORTHSTAR_QUERIES = [
      "mapInPandas fan-out frame sampling (stubbed codec, mechanics oracle-checked)"),
     ("multimodal_audio_chunks", multimodal_audio_chunks, AUDIO_CHUNKS_ORACLE,
      "Catalyst-native fixed-size byte chunking (no Python boundary)"),
+    ("multimodal_audio_meta", multimodal_audio_meta, AUDIO_META_ORACLE,
+     "real WAV/MP3 header decode (RIFF chunk walk + MPEG frame header)"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),
      "end-to-end corpus prep: quality cutoff -> exact dedup -> split, one plan"),
     ("text_extract_urls", text_extract_urls, EXTRACT_URLS_ORACLE,

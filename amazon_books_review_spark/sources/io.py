@@ -214,17 +214,35 @@ def write_bucketed(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table: ``{sf_dir}/{name}.parquet``.
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; under
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (session.py) it
-    arrives as a nanos BIGINT and is converted here to TimestampType
-    at microsecond precision (``div 1000`` — integer division, since
-    nanos exceed double's 2^53 exact-integer range).
+    The ``events`` table has shipped ``ts`` in two physical shapes
+    across driver testdata generations, both normalized here to plain
+    TimestampType (which ``withWatermark`` requires):
+
+    - parquet TIMESTAMP(NANOS): the vectorized reader rejects it;
+      under ``spark.sql.legacy.parquet.nanosAsLong=true`` (session.py)
+      it arrives as a nanos BIGINT and is converted to TimestampType
+      at microsecond precision (``div 1000`` — integer division,
+      since nanos exceed double's 2^53 exact-integer range).
+    - parquet ``timestamp[us]`` without timezone: Spark reads it as
+      TIMESTAMP_NTZ, which the watermark API hard-rejects
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Under the pinned UTC
+      session a cast to TIMESTAMP reinterprets the wall-clock value
+      as UTC — byte-identical instants, watermark-legal type.
     """
     df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(df)
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType regardless of
+    which physical shape the parquet writer used (nanos BIGINT or
+    TIMESTAMP_NTZ).  No-op when the column is absent or already
+    TimestampType."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

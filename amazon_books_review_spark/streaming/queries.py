@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from amazon_books_review_spark.sources.io import (
     load_table,
+    normalize_event_time,
     read_parquet,
     write_stream,
     write_stream_complete,
@@ -61,11 +62,15 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events parquet (ts arrives as nanos
-    BIGINT under nanosAsLong -> converted like sources.io.load_table).
+    """File-stream over the events parquet.  ``ts`` arrives either as
+    nanos BIGINT (under nanosAsLong) or as TIMESTAMP_NTZ depending on
+    the testdata generation; both are normalized to TimestampType via
+    sources.io.normalize_event_time — withWatermark rejects NTZ.
 
     The streaming file source requires a *directory*, so we stream the
-    sf dir with a glob filter selecting just the events file.
+    sf dir with a glob filter selecting just the events file.  The
+    reader schema is the RAW file schema (the source must match the
+    bytes on disk); normalization is a projection on top.
     """
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -74,9 +79,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_time(stream)
 
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line:
     {"metric": "headline_total", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "warmup_sf0001": {name: sec, ...},
-     "sf": <sf>}
+     "queries": {name: sec, ...}, "r03_subset_total": <sec|null>,
+     "n_timed": N, "n_errors": N, "sf": <sf>}
+The full detail (warm-up timings, per-query error strings, smoke
+coverage) is written to BENCH_LOCAL_r{N}.json in the repo root — the
+driver records only the stdout tail, which truncated round 4's
+artifact mid-map.
 
 Execution is forced with the noop sink (full pipeline runs, nothing
 collected to the driver), which measures the engine, not result
@@ -132,6 +136,38 @@ HEADLINE += [
 ]
 
 
+def _run_one(spark, fn, sf_dir: str) -> tuple[float | None, str | None]:
+    """Run one catalog query against sf_dir through the noop sink.
+
+    Crash isolation (VERDICT r5 #2): one broken query must cost ONE
+    err row, never the whole artifact — BENCH_r05.json was rc=1 with
+    zero timings because a single AnalysisException in the warm-up
+    aborted the process.
+    """
+    t0 = time.perf_counter()
+    try:
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        return None, f"{type(exc).__name__}: {exc}"[:300]
+    return round(time.perf_counter() - t0, 3), None
+
+
+def _next_round() -> int:
+    """Infer the current round from committed BENCH_r*.json artifacts
+    (overridable with $SPARK_GRAFT_ROUND) for the local detail file."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [0]
+    for p in Path(_REPO).glob("BENCH_r*.json"):
+        try:
+            rounds.append(int(p.stem.split("_r")[-1]))
+        except ValueError:
+            pass
+    return max(rounds) + 1
+
+
 def main() -> None:
     from amazon_books_review_spark.session import get_session
     from amazon_books_review_spark.plans.catalog import all_queries
@@ -148,46 +184,69 @@ def main() -> None:
     # Warm up the JVM + file listing with one tiny action.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
-    # Pre-pass: run every headline plan once at sf0.001 so codegen,
-    # committer, and broadcast machinery are warm for the timed pass
-    # (see module docstring).  Timings kept for the artifact.
+    # Pre-pass: run EVERY catalog plan once at sf0.001.  For the
+    # headline set this warms codegen/committer/broadcast machinery for
+    # the timed pass (see module docstring); for the rest it is a
+    # whole-catalog runnable smoke — env drift like the r5 NTZ change
+    # surfaces here as err rows in the committed artifact instead of
+    # silently waiting for its re-check window (VERDICT r5 "What's
+    # wrong" #3).
     warmup: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, WARMUP_SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        warmup[name] = round(time.perf_counter() - t0, 3)
+    errors: dict[str, str] = {}
+    smoke_order = HEADLINE + sorted(set(queries) - set(HEADLINE))
+    for name in smoke_order:
+        secs, err = _run_one(spark, queries[name], WARMUP_SF_DIR)
+        if err is not None:
+            errors[name] = err
+        else:
+            warmup[name] = secs
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        secs, err = _run_one(spark, queries[name], SF_DIR)
+        if err is not None:
+            errors.setdefault(name, err)
+        else:
+            timings[name] = secs
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "warmup_sf0001": warmup,
-                # apples-to-apples with BENCH_r03.json (same 24 queries)
-                "r03_subset_total": round(
-                    sum(timings[n] for n in R03_SET if n in timings), 3
-                ),
-                "sf": sf_val,
-            }
-        )
+    r03_missing = [n for n in R03_SET if n not in timings]
+    summary = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        # apples-to-apples with BENCH_r03.json (same 24 queries);
+        # None when any member errored — a shrunken sum would read as
+        # a speedup (ADVICE r4 #3).
+        "r03_subset_total": (
+            round(sum(timings[n] for n in R03_SET), 3)
+            if not r03_missing
+            else None
+        ),
+        "n_timed": len(timings),
+        "n_errors": len(errors),
+        "sf": sf_val,
+    }
+    # Full detail (warm-up map, error strings, smoke coverage) goes to
+    # a committed file: the driver keeps only the stdout TAIL, which
+    # truncated r4's artifact — stdout gets the compact line only.
+    detail = dict(summary)
+    detail.update(
+        {
+            "warmup_sf0001": warmup,
+            "errors": errors,
+            "r03_subset_missing": r03_missing,
+            "smoke_catalog_size": len(smoke_order),
+        }
     )
+    local_path = Path(_REPO) / f"BENCH_LOCAL_r{_next_round():02d}.json"
+    local_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(json.dumps(summary))
     spark.stop()
 
 

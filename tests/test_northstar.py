@@ -214,6 +214,61 @@ class TestMultimodal:
         assert multimodal.parse_image_header(gif) == ("gif", 320, 200)
         assert multimodal.parse_image_header(b"not an image at all") is None
 
+    def test_parse_audio_header_known_formats(self):
+        import struct
+
+        def wav(rate, channels, bits=16, prefix_chunks=b""):
+            fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                              rate * channels * bits // 8,
+                              channels * bits // 8, bits)
+            return (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + prefix_chunks
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", 0))
+
+        assert multimodal.parse_audio_header(wav(44100, 2)) == ("wav", 44100, 2, 16)
+        # fmt chunk NOT at the fixed offset (LIST chunk first) — the
+        # chunk walk must find it anyway.
+        listed = wav(8000, 1, prefix_chunks=b"LIST" + struct.pack("<I", 4) + b"INFO")
+        assert multimodal.parse_audio_header(listed) == ("wav", 8000, 1, 16)
+        # MP3: MPEG1 Layer III, 44.1 kHz, joint stereo / mono.
+        assert multimodal.parse_audio_header(b"\xff\xfb\x90\x40" + b"x" * 8) == (
+            "mp3", 44100, 2, 0)
+        assert multimodal.parse_audio_header(b"\xff\xfb\x98\xc0" + b"x" * 8) == (
+            "mp3", 32000, 1, 0)
+        # MPEG2 (22.05 kHz table) and reserved sample-rate index.
+        assert multimodal.parse_audio_header(b"\xff\xf3\x90\xc0" + b"x" * 8) == (
+            "mp3", 22050, 1, 0)
+        assert multimodal.parse_audio_header(b"\xff\xfb\x9c\xc0" + b"x" * 8) is None
+        assert multimodal.parse_audio_header(b"not audio") is None
+
+    def test_jpeg_scan_stops_at_sos(self):
+        import struct
+
+        # SOS before any SOF: scanning must stop, not read entropy-coded
+        # bytes as markers (a 0xFFC0-looking byte pair follows SOS here).
+        evil = (b"\xff\xd8" + b"\xff\xda\x00\x02"
+                + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 1, 1))
+        assert multimodal.parse_image_header(evil) is None
+
+    def test_make_audio_payload_roundtrips_through_decode(self, spark, docs):
+        with_payload = multimodal.make_audio_payload(docs.limit(30), "doc_id", "text")
+        meta = multimodal.decode_audio_meta(with_payload, "doc_id").collect()
+        assert len(meta) == 30
+        for r in meta:
+            k = r.doc_id // 2
+            if r.doc_id % 2 == 0:
+                assert r.format == "wav"
+                assert r.sample_rate == [8000, 16000, 32000, 48000][k % 4]
+                assert r.channels == k % 2 + 1
+                assert r.bits_per_sample == 16
+                assert r.payload_bytes == 44 + 32
+            else:
+                assert r.format == "mp3"
+                assert r.sample_rate == [44100, 48000, 32000][k % 3]
+                assert r.channels == 1 if k % 2 == 0 else 2
+                assert r.bits_per_sample == 0
+                assert r.payload_bytes == 4 + 32
+
     def test_make_image_payload_roundtrips_through_decode(self, spark, docs):
         with_payload = multimodal.make_image_payload(docs.limit(30), "doc_id", "text")
         meta = multimodal.decode_image_meta(with_payload, "doc_id").collect()
