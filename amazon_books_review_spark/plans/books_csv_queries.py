@@ -27,12 +27,10 @@ discipline, no temp hop.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amazon_books_review_spark.sources import fixtures
 from amazon_books_review_spark.plans.books_pipeline import (
     BOOK_DETAILS_RAW_SCHEMA,
     BOOKS_RATINGS_RAW_SCHEMA,
@@ -55,9 +53,8 @@ def _csv_roundtrip(df: DataFrame, schema, tag: str, sf_dir: str) -> DataFrame:
     # PID suffix: re-runs within a process stay idempotent (overwrite),
     # while concurrent processes (pytest alongside the driver) can't
     # race each other's overwrite-vs-lazy-read on a shared path.
-    path = os.path.join(
-        tempfile.gettempdir(), f"abr_csv_{tag}_{safe}_{os.getpid()}"
-    )
+    # Swept at exit + stale-pid sweep on mint (sources.fixtures).
+    path = fixtures.pid_fixture_path("abr_csv_", f"{tag}_{safe}")
     # Parallel multi-part write — coalesce(1) serialized both the
     # derivation and the write onto one task (measured 1.9s vs 0.4s at
     # sf0.1) and a real landing zone is many files anyway; the reader

@@ -302,8 +302,7 @@ def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )[["user_id", "session_idx", "n_events", "session_start", "duration_s"]]
 
-    import tempfile
-
+    from amazon_books_review_spark.sources import fixtures
     from amazon_books_review_spark.streaming.queries import (
         _events_stream,
         _state_partitions,
@@ -320,7 +319,7 @@ def sessionize_events_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = tempfile.mkdtemp(prefix="abr_sessions_")
+    out = fixtures.ephemeral_dir("abr_sessions_")
     with _state_partitions(spark):
         q = write_stream(
             sessions, f"{out}/data", f"{out}/ckpt", query_name="stateful_sessions"
@@ -497,11 +496,19 @@ def bucketed_join_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from amazon_books_review_spark.sources import fixtures
     from amazon_books_review_spark.sources.io import write_bucketed
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     t_orders = f"bkt_orders_{safe}_{os.getpid()}"
     t_li = f"bkt_lineitem_{safe}_{os.getpid()}"
+    # The metastore is per-process but the warehouse DIRS persist:
+    # sweep dead-pid leftovers now, remove our own at exit (the
+    # in-process catalog dies with the session, so no dangling entry).
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    fixtures.sweep_stale(warehouse, "bkt_")
+    fixtures.register_owned(os.path.join(warehouse, t_orders))
+    fixtures.register_owned(os.path.join(warehouse, t_li))
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )

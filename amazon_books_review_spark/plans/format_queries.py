@@ -13,8 +13,7 @@ round-trip all fail the value hash.
 
 from __future__ import annotations
 
-import os
-import tempfile
+from amazon_books_review_spark.sources import fixtures
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,10 +35,9 @@ from amazon_books_review_spark.sources.io import (
 def _fixture_path(tag: str, sf_dir: str) -> str:
     # PID suffix: idempotent within a process, race-free across
     # concurrent processes (see books_csv_queries._csv_roundtrip).
+    # Swept at exit + stale-pid sweep on mint (sources.fixtures).
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    return os.path.join(
-        tempfile.gettempdir(), f"abr_fmt_{tag}_{safe}_{os.getpid()}"
-    )
+    return fixtures.pid_fixture_path("abr_fmt_", f"{tag}_{safe}")
 
 
 #: Explicit read schema for the JSONL corpus — schema inference over

@@ -16,12 +16,12 @@ tests/test_streaming.py instead.
 
 from __future__ import annotations
 
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amazon_books_review_spark.sources import fixtures
 from amazon_books_review_spark.sources.io import (
     load_table,
     normalize_event_time,
@@ -103,7 +103,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    out = tempfile.mkdtemp(prefix="abr_stream_gold_")
+    out = fixtures.ephemeral_dir("abr_stream_gold_")
     with _state_partitions(spark):
         q = write_stream_complete(
             agg, f"{out}/data", f"{out}/ckpt", query_name="windowed_counts"
@@ -139,7 +139,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_mktsegment",
     )
-    out = tempfile.mkdtemp(prefix="abr_stream_join_")
+    out = fixtures.ephemeral_dir("abr_stream_join_")
     q = write_stream(
         joined, f"{out}/data", f"{out}/ckpt", query_name="stream_static_join"
     )
@@ -195,7 +195,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") < F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "view_id", "user_id")
-    out = tempfile.mkdtemp(prefix="abr_ss_join_")
+    out = fixtures.ephemeral_dir("abr_ss_join_")
     with _state_partitions(spark):
         q = write_stream(
             joined, f"{out}/data", f"{out}/ckpt", query_name="stream_stream_join"
@@ -244,7 +244,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
     )
-    out = tempfile.mkdtemp(prefix="abr_stream_dedup_")
+    out = fixtures.ephemeral_dir("abr_stream_dedup_")
     with _state_partitions(spark):
         q = write_stream(
             deduped, f"{out}/data", f"{out}/ckpt", query_name="stream_dedup"
@@ -341,7 +341,7 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        out = tempfile.mkdtemp(prefix="abr_tws_")
+        out = fixtures.ephemeral_dir("abr_tws_")
         with _state_partitions(spark):
             q = write_stream_update_upsert(
                 totals, f"{out}/data", f"{out}/ckpt",
