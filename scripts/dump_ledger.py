@@ -33,9 +33,18 @@ WINDOW = 50
 def render() -> str:
     oracles = set(all_oracles())
     window = set(list(driver_queries())[:WINDOW])
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)", p.name))
+    ]
+    stamp = f"r{max(rounds):02d}" if rounds else "none"
     lines = [
         HEADING,
         "",
+        f"Generated after round {stamp} artifacts (latest CORRECTNESS file scanned).",
         "Derived from the recorded `CORRECTNESS_r*.json` artifacts by",
         "`scripts/dump_ledger.py` (same scan as `catalog.DRIVER_VERIFIED`) —",
         "do not edit by hand.  The round driver hash-checks only the first",
