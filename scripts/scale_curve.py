@@ -13,10 +13,13 @@ REP^2:
 - documents: every token is salted per replica (``tok`` -> ``tokxI``),
   so replicas of the same doc share zero shingles across replicas but
   duplicate clusters within a replica are intact.
-- embeddings: each replica's vectors are component-ROTATED by the
-  replica index — an orthogonal map, so intra-replica cosines are
-  exactly preserved while cross-replica cosines of high-dim vectors
-  fall to noise.
+- embeddings: each replica's vectors are component-SIGN-FLIPPED by a
+  per-replica pseudorandom pattern (hash(j, i) parity) — an
+  orthogonal diagonal map, so intra-replica cosines are exactly
+  preserved while cross-replica inner products become random-sign
+  sums that concentrate at ~0.  (v1 used rotation; real embeddings
+  have enough component autocorrelation that rotated replicas leaked
+  cross-replica pairs at the catalog's loose 0.45 threshold.)
 - lineitem/orders: order keys offset per replica (part/supplier keys
   unchanged — dimension join fan-out stays constant per row).
 
@@ -42,6 +45,7 @@ if _REPO not in sys.path:
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REP = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SCALED_DIR = f"/tmp/abr_scale{REP}x_{os.getpid()}"
+PLANTED_1X = f"{SCALED_DIR}_base1x"
 ID_OFFSET = 10_000_000
 KEY_OFFSET = 1_000_000_000
 
@@ -56,6 +60,44 @@ QUERIES = [
     "tpch_q18_large_orders",
     "training_shard_manifest",
 ]
+
+# Optional filter: scale_curve.py [REP] [query ...]
+ONLY = set(sys.argv[2:])
+
+
+def _emb_neardup_planescaled(n_planes: int):
+    """The production shape of the embedding near-dup at scale: the
+    sign-LSH plane count follows log2(n) so bucket occupancy
+    (n / 2^planes per table) stays CONSTANT as the corpus grows —
+    within-bucket pairs are the only quadratic term, so holding
+    occupancy flat is what keeps the candidate join linear.  Verify
+    threshold 0.9 (the true near-dup regime; the catalog query's 0.45
+    is the recall-heavy exploratory setting)."""
+
+    def run(spark, sf_dir):
+        from amazon_books_review_spark.functions import similarity
+        from amazon_books_review_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        return similarity.cosine_neardup_lsh_verified(
+            emb, "vec_id", "embedding",
+            threshold=0.9, n_planes=n_planes, n_tables=8, dim=dim,
+        )
+
+    return run
+
+
+def _plane_scaled_entries() -> dict[str, dict[str, object]]:
+    import math
+
+    extra = max(1, math.ceil(math.log2(REP)))
+    return {
+        "embedding_neardup_planescaled": {
+            "1x": _emb_neardup_planescaled(4),
+            f"{REP}x": _emb_neardup_planescaled(4 + extra),
+        }
+    }
 
 
 def synthesize(spark) -> None:
@@ -81,18 +123,44 @@ def synthesize(spark) -> None:
         "overwrite"
     ).parquet(f"{SCALED_DIR}/documents.parquet")
 
-    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+    # The shipped corpus contains NO true near-dups (max pairwise
+    # cosine 0.60), so a threshold-0.9 run would correctly return zero
+    # rows at every scale — plant some: 5% of vectors get a copy with
+    # one nudged component (cosine ~0.999), under ids that collide
+    # with no replica offset.  The planted 1x corpus is the baseline;
+    # replicas then carry 10x the planted pairs — output must scale
+    # linearly with them.
+    os.makedirs(PLANTED_1X, exist_ok=True)
+    for t in passthrough + ["documents", "orders", "lineitem"]:
+        dst = os.path.join(PLANTED_1X, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+    emb0 = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    plants = (
+        emb0.filter(F.col("vec_id") % 20 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(ID_OFFSET // 2))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, j) -> "
+                "x + cast(case when j = 0 then 0.05 else 0.0 end as float))"
+            ),
+        )
+    )
+    emb0.unionByName(plants).write.mode("overwrite").parquet(
+        f"{PLANTED_1X}/embeddings.parquet"
+    )
+
+    emb = spark.read.parquet(f"{PLANTED_1X}/embeddings.parquet")
     reps = []
     for i in range(REP):
         r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_OFFSET))
         if i:
-            rot = i % dim
             r = r.withColumn(
                 "embedding",
-                F.concat(
-                    F.slice("embedding", rot + 1, dim - rot),
-                    F.slice("embedding", 1, rot),
+                F.expr(
+                    "transform(embedding, (x, j) -> "
+                    f"x * cast(1 - 2 * pmod(hash(j, {i}), 2) as float))"
                 ),
             )
         reps.append(r)
@@ -126,19 +194,28 @@ def main() -> None:
     queries = all_queries()
 
     synthesize(spark)
+    big = f"{REP}x"
+    plans = {name: {"1x": queries[name], big: queries[name]}
+             for name in QUERIES}
+    plans.update(_plane_scaled_entries())
+    if ONLY:
+        plans = {n: fns for n, fns in plans.items() if n in ONLY}
+    # Embedding entries baseline against the PLANTED 1x corpus so both
+    # scale points contain true near-dups (the shipped corpus has none).
+    emb_entries = {n for n in plans if n.startswith("embedding_")}
     results: dict[str, dict[str, dict[str, float]]] = {}
     try:
-        for name in QUERIES:
-            fn = queries[name]
+        for name, fns in plans.items():
+            one_x = PLANTED_1X if name in emb_entries else BASE_SF
             # warm codegen/committer at sf0.001 so one-shot costs stay
             # out of both timed points (same methodology as bench.py)
-            fn(spark, BASE_SF.replace("sf0.1", "sf0.001")).write.format(
+            fns["1x"](spark, BASE_SF.replace("sf0.1", "sf0.001")).write.format(
                 "noop"
             ).mode("overwrite").save()
             row = {}
-            for label, d in (("1x", BASE_SF), (f"{REP}x", SCALED_DIR)):
+            for label, d in (("1x", one_x), (big, SCALED_DIR)):
                 t0 = time.perf_counter()
-                n = fn(spark, d).count()
+                n = fns[label](spark, d).count()
                 row[label] = {
                     "sec": round(time.perf_counter() - t0, 3),
                     "rows": n,
@@ -147,9 +224,9 @@ def main() -> None:
             print(json.dumps({"query": name, **row}), flush=True)
     finally:
         shutil.rmtree(SCALED_DIR, ignore_errors=True)
+        shutil.rmtree(PLANTED_1X, ignore_errors=True)
         spark.stop()
 
-    big = f"{REP}x"
     print("\n| query | 1x sec | %sx sec | time ratio | 1x rows | %sx rows | row ratio |" % (REP, REP))
     print("|---|---|---|---|---|---|---|")
     for name, row in results.items():
