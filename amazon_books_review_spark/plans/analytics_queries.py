@@ -1468,6 +1468,335 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# The remaining TPC-H shapes (Q11/Q12/Q15/Q16/Q20/Q21), adapted.
+#
+# The driver testdata carries no partsupp table, no commit/receipt
+# dates and no ship modes, so the six queries that need them are
+# re-posed over the available columns with the SAME plan shapes —
+# global-scalar threshold (q11), conditional priority counts (q12),
+# max-equality view join (q15), distinct-count with exclusion
+# anti-join (q16), 50%-of-group semi-join (q20), and the
+# exists/not-exists double correlation (q21).  The shape, not the
+# constants, is what exercises the engine.
+# ---------------------------------------------------------------------------
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a GLOBAL scalar threshold.
+    Parts whose lineitem revenue exceeds 0.1% of total revenue.
+
+    Scale notes: the global total is a 1-row broadcast aggregate
+    cross-joined in (never collect()); both aggregations share one
+    shuffle of the fact table grouped by partkey — the scalar derives
+    from re-aggregating the per-part sums, not a second fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(revenue).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * 0.001)
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+TPCH_Q11_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+               AS value_dec
+    FROM lineitem GROUP BY l_partkey
+), total AS (
+    SELECT sum(value_dec) AS total_dec FROM per_part
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part, total
+WHERE value_dec > total_dec * 0.001
+"""
+
+
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional priority counts.
+    Lines shipped >90 days after their order date during 1998,
+    grouped by return flag, split into high- and low-priority counts
+    (the original splits by ship mode; the conditional-sum shape is
+    identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + equality against its MAX.
+    Supplier(s) with the highest lineitem revenue over one quarter.
+
+    Scale notes: the max is a 1-row broadcast aggregate over the
+    (already reduced) per-supplier view; the equality test runs on
+    the DECIMAL sums — comparing doubles would make 'the max' depend
+    on reduction order.  Supplier dim joins broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total_dec"))
+    )
+    top = rev.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_dec") == F.col("max_dec"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TPCH_Q15_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+               AS total_dec
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_dec = (SELECT max(total_dec) FROM rev)
+"""
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    combo, with an exclusion ANTI-join (the original excludes
+    complaint suppliers; negative account balance stands in).
+    Part attribute filters mirror the original's brand/type/size cut.
+
+    Scale notes: the (partkey, suppkey) pairs dedupe BEFORE the dim
+    join; the excluded-supplier list reduces to keys and anti-joins
+    broadcast; count(DISTINCT) runs after the pair set is already
+    distinct, so it's a plain count over one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30)
+    )
+    return (
+        pairs.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a threshold derived from a grouped sum gates
+    a SEMI-join chain into the supplier dim.  Suppliers who shipped
+    more than half of some part's total 1997 volume (the original
+    gates availqty against half the part's yearly demand).
+
+    Scale notes: one shuffle groups (part, supplier); the per-part
+    totals re-aggregate from that result (no second fact scan); the
+    surviving suppkeys semi-join into the (broadcast) supplier dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    per_ps = y97.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(D)).alias("supp_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.col("part_qty") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+TPCH_Q20_ORACLE = """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+), per_part AS (
+    SELECT l_partkey, sum(supp_qty) AS part_qty FROM per_ps GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+    WHERE supp_qty > part_qty * 0.5
+)
+"""
+
+
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the exists / not-exists DOUBLE correlation.
+    On finished ('F') multi-supplier orders, suppliers whose line
+    shipped late (>90 days after the order date) while EVERY other
+    supplier on the order shipped on time — EXISTS(another supplier)
+    AND NOT EXISTS(another LATE supplier), both decorrelated into
+    semi/anti joins on (orderkey, other-suppkey != suppkey).
+
+    Scale notes: both correlations reduce to distinct
+    (orderkey, suppkey) pair sets BEFORE joining — the semi/anti
+    probes carry two longs per row, never lineitem payloads.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = li.join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = (
+        lines.filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = lines.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+    ).distinct()
+    with_others = late.join(
+        all_pairs,
+        (F.col("l_orderkey") == F.col("p_orderkey"))
+        & (F.col("l_suppkey") != F.col("p_suppkey")),
+        "left_semi",
+    )
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("q_orderkey"),
+        F.col("l_suppkey").alias("q_suppkey"),
+    )
+    sole = with_others.join(
+        late_pairs,
+        (F.col("l_orderkey") == F.col("q_orderkey"))
+        & (F.col("l_suppkey") != F.col("q_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+TPCH_Q21_ORACLE = """
+WITH finished AS (
+    SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), lines AS (
+    SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+    FROM lineitem JOIN finished ON l_orderkey = o_orderkey
+), late AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+), all_pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM all_pairs p
+              WHERE p.l_orderkey = l1.l_orderkey
+                AND p.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
 ANALYTICS_QUERIES = [
     ("tpch_q1_pricing_summary", tpch_q1_pricing_summary, TPCH_Q1_ORACLE,
      "TPC-H Q1 shape: scan + filter + wide aggregation"),
@@ -1503,6 +1832,21 @@ ANALYTICS_QUERIES = [
      "TPC-H Q14 shape: conditional-aggregation revenue share"),
     ("tpch_q4_priority_check", tpch_q4_priority_check, TPCH_Q4_ORACLE,
      "TPC-H Q4 shape: EXISTS semi-join with compound time condition"),
+    ("tpch_q11_important_stock", tpch_q11_important_stock, TPCH_Q11_ORACLE,
+     "TPC-H Q11 shape: per-group value vs broadcast global-scalar threshold"),
+    ("tpch_q12_priority_shipping", tpch_q12_priority_shipping, TPCH_Q12_ORACLE,
+     "TPC-H Q12 shape: fact-fact join + conditional priority counts"),
+    ("tpch_q15_top_supplier", tpch_q15_top_supplier, TPCH_Q15_ORACLE,
+     "TPC-H Q15 shape: revenue view + decimal-exact MAX equality"),
+    ("tpch_q16_supplier_part_counts", tpch_q16_supplier_part_counts,
+     TPCH_Q16_ORACLE,
+     "TPC-H Q16 shape: count-distinct per attrs with exclusion anti-join"),
+    ("tpch_q20_dominant_suppliers", tpch_q20_dominant_suppliers,
+     TPCH_Q20_ORACLE,
+     "TPC-H Q20 shape: grouped-sum threshold gating a semi-join chain"),
+    ("tpch_q21_sole_late_supplier", tpch_q21_sole_late_supplier,
+     TPCH_Q21_ORACLE,
+     "TPC-H Q21 shape: exists/not-exists double correlation as semi+anti"),
     ("top_orders_per_customer", top_orders_per_customer, TOP_ORDERS_ORACLE,
      "window top-k per key (row_number)"),
     ("window_functions_showcase", window_functions_showcase, WINDOW_SHOWCASE_ORACLE,

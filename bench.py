@@ -133,6 +133,16 @@ HEADLINE += [
     "sliding_window_counts",
     "stats_moments",
     "temporal_roundtrip",
+    # round-6: the remaining TPC-H shapes + audio decode (new window
+    # entrants get a recorded timing, same policy as r4)
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_sole_late_supplier",
+    "multimodal_audio_meta",
+    "sessionize_events_stateful",
 ]
 
 

@@ -126,6 +126,16 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # derived-cost re-join on (part, supp) is SMJ by design — the
     # aggregate side matches the fact side's scale
     "tpch_q9_product_profit": (16, 10, 0, 2),
+    # round-6 additions: the remaining TPC-H shapes
+    # the 2 BNLJs are the intended 1-row global-total broadcast
+    "tpch_q11_important_stock": (8, 0, 2),
+    "tpch_q12_priority_shipping": (4, 2, 0),
+    "tpch_q15_top_supplier": (10, 4, 0),
+    "tpch_q16_supplier_part_counts": (10, 4, 0),
+    "tpch_q20_dominant_suppliers": (14, 6, 0),
+    # the 4 SMJs are the semi/anti pair-set probes: fact-sized on both
+    # sides at 100 TB, keyed on orderkey — broadcast would be wrong
+    "tpch_q21_sole_late_supplier": (22, 8, 0, 4),
     # round-4 additions
     # eval-gram probe + hits re-join are broadcast; corpus never shuffles
     "decontam_against_eval": (8, 4, 0),
