@@ -148,9 +148,86 @@ GROUP BY l_returnflag
 """
 
 
+def dpp_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE scan-elimination mechanism for
+    partitioned 100 TB fact tables.  The fact (lineitem + ship_year)
+    is written hive-partitioned by ship_year; the dim is the year list
+    carrying a DATA-DERIVED attribute (order count vs 10% of total) so
+    the selective filter is NOT derivable from the join key — static
+    pruning can't fire, and Catalyst must inject the runtime
+    ``dynamicpruning`` subquery into the fact scan's PartitionFilters
+    (asserted in tests/test_scale_helpers.py).  At 100 TB this is the
+    difference between scanning 7 years and scanning the 5 the dim
+    survives.
+
+    Both the rule and the data are deterministic, so the DuckDB oracle
+    recomputes the identical dim set and the values hash-match.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = _fixture_path("dpp", sf_dir)
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    fact = spark.read.parquet(path)
+
+    from pyspark.sql.window import Window
+
+    # The year list with a data-derived attribute.  The global total
+    # comes from an empty-partition WINDOW (not a broadcast-join of a
+    # 1-row aggregate): a Join node between the filter and the scan
+    # defeats PartitionPruning's selective-predicate detection, while
+    # Filter-over-Window keeps the dim subtree filterable — verified
+    # both ways against Spark 4.1's planner.
+    years = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("dim_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    dim = (
+        years.withColumn(
+            "total_orders", F.sum("n_orders").over(Window.partitionBy())
+        )
+        .filter(F.col("n_orders") > F.col("total_orders") * 0.1)
+        .select("dim_year")
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    )
+    return (
+        fact.join(F.broadcast(dim), F.col("ship_year") == F.col("dim_year"))
+        .groupBy(F.col("ship_year").cast("long").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+DPP_ORACLE = """
+WITH years AS (
+    SELECT year(o_orderdate) AS dim_year, count(*) AS n_orders
+    FROM orders GROUP BY 1
+), tot AS (
+    SELECT sum(n_orders) AS total_orders FROM years
+), dim AS (
+    SELECT dim_year FROM years, tot WHERE n_orders > total_orders * 0.1
+)
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN dim ON year(l_shipdate) = dim_year
+GROUP BY 1
+"""
+
+
 FORMAT_QUERIES = [
     ("jsonl_corpus_roundtrip", jsonl_corpus_roundtrip, JSONL_ROUNDTRIP_ORACLE,
      "JSONL nested-record corpus scan (explicit schema) round-trip"),
     ("orc_lineitem_roundtrip", orc_lineitem_roundtrip, ORC_ROUNDTRIP_ORACLE,
      "ORC sink + pushed-filter scan round-trip aggregate"),
+    ("dpp_partitioned_scan", dpp_partitioned_scan, DPP_ORACLE,
+     "dynamic partition pruning: runtime subquery in PartitionFilters"),
 ]

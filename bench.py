@@ -143,6 +143,7 @@ HEADLINE += [
     "tpch_q21_sole_late_supplier",
     "multimodal_audio_meta",
     "sessionize_events_stateful",
+    "dpp_partitioned_scan",
 ]
 
 

@@ -136,6 +136,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # the 4 SMJs are the semi/anti pair-set probes: fact-sized on both
     # sides at 100 TB, keyed on orderkey — broadcast would be wrong
     "tpch_q21_sole_late_supplier": (22, 8, 0, 4),
+    # exchanges include the dim subquery duplicated into the DPP
+    # runtime filter; the scan-side pruning is what the count buys
+    "dpp_partitioned_scan": (12, 2, 0),
     # round-4 additions
     # eval-gram probe + hits re-join are broadcast; corpus never shuffles
     "decontam_against_eval": (8, 4, 0),

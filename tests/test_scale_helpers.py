@@ -62,6 +62,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_dpp_subquery_in_partition_filters(spark):
+    """The dpp_partitioned_scan catalog query must carry a runtime
+    ``dynamicpruning`` subquery in the partitioned scan's
+    PartitionFilters — the static shape (a literal year filter) would
+    prune at compile time and prove nothing about runtime pruning."""
+    from amazon_books_review_spark.plans.format_queries import dpp_partitioned_scan
+
+    df = dpp_partitioned_scan(spark, SF)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan, "dynamic partition pruning did not fire"
+    # and the pruning actually drops the partial year: at every SF the
+    # 2001 partition (7 months of orders) falls under the 10% cut
+    years = sorted(r.ship_year for r in df.collect())
+    assert 2001 not in years and len(years) >= 5
+
+
 def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
     """Files from write_range_sorted carry disjoint min/max ranges on
     the sort key (verified via parquet footer stats) — the property
