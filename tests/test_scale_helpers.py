@@ -78,6 +78,56 @@ def test_dpp_subquery_in_partition_filters(spark):
     assert 2001 not in years and len(years) >= 5
 
 
+def test_runtime_bloom_filter_on_shuffle_join(spark):
+    """Row-level runtime filtering — DPP's sibling for UNpartitioned
+    facts: a selective dim filter on a shuffle join makes Catalyst
+    build a bloom filter from the dim side and inject
+    ``might_contain`` into the fact scan's post-scan filter, so
+    non-matching fact rows die before the shuffle.  At 100 TB this
+    fires out of the box (the fact side clears the 10 GiB application
+    threshold); at test scale the threshold is lowered to prove the
+    mechanics.  Values must equal the unfiltered join's."""
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        urgent = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "might_contain" in _plan(j), "runtime bloom filter not injected"
+        got = {r.o_orderstatus: r.n for r in j.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+    li = load_table(spark, SF, "lineitem")
+    urgent = load_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = {
+        r.o_orderstatus: r.n
+        for r in li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == plain
+
+
 def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
     """Files from write_range_sorted carry disjoint min/max ranges on
     the sort key (verified via parquet footer stats) — the property
