@@ -41,6 +41,55 @@ def cleaned_inputs(spark, tmp_path):
     return details, ratings, d_path, r_path
 
 
+def test_normalize_event_time_handles_both_physical_shapes(spark):
+    """The driver testdata has shipped events.ts as TIMESTAMP(NANOS)
+    (read as nanos BIGINT under nanosAsLong) and later as
+    timestamp[us]-without-tz (read as TIMESTAMP_NTZ, which
+    withWatermark rejects).  normalize_event_time must map BOTH to
+    TimestampType with identical instants — this is the regression
+    test for the round-5 environment drift."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from amazon_books_review_spark.sources.io import normalize_event_time
+
+    epoch_us = 1_600_000_000_000_000  # 2020-09-13T12:26:40Z
+    as_bigint = spark.createDataFrame(
+        [(1, epoch_us * 1000)],
+        StructType([StructField("id", LongType()), StructField("ts", LongType())]),
+    )
+    import datetime
+
+    naive = datetime.datetime(2020, 9, 13, 12, 26, 40)
+    as_ntz = spark.createDataFrame(
+        [(1, naive)],
+        StructType(
+            [StructField("id", LongType()), StructField("ts", TimestampNTZType())]
+        ),
+    )
+    out_a = normalize_event_time(as_bigint)
+    out_b = normalize_event_time(as_ntz)
+    assert dict(out_a.dtypes)["ts"] == "timestamp"
+    assert dict(out_b.dtypes)["ts"] == "timestamp"
+    # under the pinned UTC session both shapes decode to the same instant
+    va = out_a.select(F.unix_timestamp("ts")).first()[0]
+    vb = out_b.select(F.unix_timestamp("ts")).first()[0]
+    assert va == vb == epoch_us // 1_000_000
+    # already-normalized and ts-less frames pass through untouched
+    assert normalize_event_time(out_b) is out_b or dict(
+        normalize_event_time(out_b).dtypes
+    )["ts"] == "timestamp"
+    no_ts = spark.createDataFrame([(1,)], "id long")
+    assert dict(normalize_event_time(no_ts).dtypes) == {"id": "bigint"}
+    # and watermarking the normalized frame is legal (the exact API
+    # that rejected NTZ)
+    out_b.withWatermark("ts", "1 hour")
+
+
 FORMATS = ["parquet"] + (["delta"] if delta_available() else [])
 
 
