@@ -112,6 +112,42 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, f"{out}/data")
 
 
+def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6's third window type IN STREAMING MODE: the built-in
+    ``session_window`` (gap-merged event-time windows) over the
+    watermarked event stream — the same expression the batch form
+    (plans/extended_queries.session_window_counts) runs, proving the
+    unified API end to end.  State is bounded by the watermark: a
+    session's state is dropped once the watermark passes its close.
+
+    Oracle: the batch lag/cumsum sessionizer SQL — stream-batch
+    equivalence for gap-merged windows under an availableNow drain.
+    """
+    from amazon_books_review_spark.plans.extended_queries import SESSION_GAP_MIN
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    out = fixtures.ephemeral_dir("abr_stream_sess_")
+    with _state_partitions(spark):
+        q = write_stream_complete(
+            agg, f"{out}/data", f"{out}/ckpt", query_name="session_windows"
+        )
+        q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
 STREAMING_WINDOWED_ORACLE = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,
@@ -366,6 +402,12 @@ GROUP BY user_id
 """
 
 
+# Stream-batch equivalence: the streaming session_window's oracle IS
+# the batch sessionizer's SQL (same gap, same half-open semantics).
+from amazon_books_review_spark.plans.extended_queries import (  # noqa: E402
+    SESSION_WINDOW_ORACLE as SESSION_WINDOW_STREAM_ORACLE,
+)
+
 STREAMING_QUERIES = [
     ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
      "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
@@ -375,6 +417,9 @@ STREAMING_QUERIES = [
      "ST4: watermarked stream-stream join with time-range state eviction"),
     ("streaming_dedup_events", streaming_dedup_events, STREAM_DEDUP_ORACLE,
      "ST4+A4: dropDuplicatesWithinWatermark repairs at-least-once delivery"),
+    ("streaming_session_window_counts", streaming_session_window_counts,
+     SESSION_WINDOW_STREAM_ORACLE,
+     "ST6: gap-merged session_window on the watermarked stream == batch"),
 ]
 
 # transformWithStateInPandas needs the python protobuf package for

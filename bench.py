@@ -144,6 +144,7 @@ HEADLINE += [
     "multimodal_audio_meta",
     "sessionize_events_stateful",
     "dpp_partitioned_scan",
+    "streaming_session_window_counts",
 ]
 
 
