@@ -145,6 +145,15 @@ HEADLINE += [
     "sessionize_events_stateful",
     "dpp_partitioned_scan",
     "streaming_session_window_counts",
+    # round-6 LLM-pipeline additions (doc_chunk_windows_udtf is the
+    # deliberate Python-boundary demo — excluded like dedup_ngram_jaccard
+    # so the bench reflects the scale paths)
+    "dedup_cluster_canonical",
+    "doc_chunk_windows",
+    "quality_weighted_sample",
+    "variant_props_extract",
+    "lateral_top_order_per_customer",
+    "embedding_quantize_int8",
 ]
 
 

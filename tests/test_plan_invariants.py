@@ -155,6 +155,18 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # ONE Exchange pair (the final agg): the merge join itself reads
     # bucket metadata and shuffles nothing — the whole point
     "bucketed_join_status_rollup": (2, 0, 0, 2),
+    # round-6 LLM-pipeline additions
+    # docs ⋈ clusters is SMJ by design: the cluster map is doc-scale
+    # at 100 TB (checkpointed components output, no stats)
+    "dedup_cluster_canonical": (8, 0, 0, 2),
+    "doc_chunk_windows": (0, 0, 0),
+    "doc_chunk_windows_udtf": (0, 0, 0),
+    "quality_weighted_sample": (0, 0, 0),
+    "variant_props_extract": (2, 0, 0),
+    # decorrelated LATERAL pair: the orders⋈max-price re-join is
+    # fact×agg on both sides — SMJ by design
+    "lateral_top_order_per_customer": (26, 8, 0, 2),
+    "embedding_quantize_int8": (0, 0, 0),
 }
 
 
