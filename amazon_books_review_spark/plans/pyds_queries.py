@@ -1,0 +1,111 @@
+"""Catalog queries for the WARC-ish Python Data Source
+(sources/warcish.py): the custom-container ingest path.
+
+Fixture discipline matches plans/format_queries.py — the warcish
+WRITE is the fixture step (exercising the DataSourceWriter: task
+files + stats manifest commit), the READ BACK is the operator under
+the gate, and the oracle recomputes from the parquet original so a
+framing, parsing, or pruning bug fails the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources import fixtures, warcish
+from amazon_books_review_spark.sources.io import load_table
+
+N_CONTAINER_FILES = 8
+PRUNE_LO = 100  # inclusive doc_id bound for the pruned scan
+PRUNE_HI = 200  # exclusive
+
+
+def _fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) the documents table as warcish
+    container files; returns the fixture dir."""
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = fixtures.pid_fixture_path("abr_warc_", safe)
+    warcish.register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # Range-partition on doc_id so container files carry DISJOINT id
+    # ranges — what a real ingest does (records land in arrival order)
+    # and what makes the manifest min/max stats selective.  A hash
+    # repartition would give every file the full id span and the
+    # pruning stats would never eliminate anything.
+    (
+        docs.repartitionByRange(N_CONTAINER_FILES, "doc_id")
+        .write.format(warcish.FORMAT_NAME)
+        .mode("overwrite")
+        .save(path)
+    )
+    return path
+
+
+def warcish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus scan through the custom container source: write
+    via the Python DataSourceWriter (one file per task + manifest
+    commit), read back via the DataSourceReader (one partition per
+    file).  Output carries both the header ``n_chars`` and the
+    re-measured payload length, so header/payload disagreement —
+    a framing bug — breaks the hash, not just the row count.
+    """
+    path = _fixture(spark, sf_dir)
+    back = spark.read.format(warcish.FORMAT_NAME).load(path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+WARCISH_ROUNDTRIP_ORACLE = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
+def warcish_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan with stats-based file pruning: the ``doc_id``
+    predicates push into the reader (``pushFilters``), the sidecar
+    manifest eliminates whole container files at planning time
+    (asserted in tests/test_warcish.py), and the residual record
+    filter trims the boundary file — the parquet min/max-footer
+    mechanic, reproduced through the extension API.  At 100 TB this
+    is the difference between launching 10 000 tasks and launching
+    the handful whose id range can match."""
+    path = _fixture(spark, sf_dir)
+    back = spark.read.format(warcish.FORMAT_NAME).load(path)
+    return (
+        back.filter(
+            (F.col("doc_id") >= PRUNE_LO) & (F.col("doc_id") < PRUNE_HI)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+WARCISH_PRUNED_ORACLE = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+WHERE doc_id >= {PRUNE_LO} AND doc_id < {PRUNE_HI}
+GROUP BY lang
+"""
+
+
+PYDS_QUERIES = [
+    ("warcish_roundtrip", warcish_roundtrip, WARCISH_ROUNDTRIP_ORACLE,
+     "custom Python DataSource container write+scan round-trip"),
+    ("warcish_pruned_scan", warcish_pruned_scan, WARCISH_PRUNED_ORACLE,
+     "pushFilters + sidecar-manifest file pruning on the custom source"),
+]

@@ -16,6 +16,7 @@ from amazon_books_review_spark.plans.books_csv_queries import BOOKS_CSV_QUERIES
 from amazon_books_review_spark.plans.extended_queries import EXTENDED_QUERIES
 from amazon_books_review_spark.plans.format_queries import FORMAT_QUERIES
 from amazon_books_review_spark.plans.llm_queries import LLM_QUERIES
+from amazon_books_review_spark.plans.pyds_queries import PYDS_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
@@ -37,5 +38,6 @@ for _name, _fn, _oracle, _doc in (
     + TRAINDATA_QUERIES
     + FORMAT_QUERIES
     + LLM_QUERIES
+    + PYDS_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

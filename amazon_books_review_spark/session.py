@@ -44,6 +44,10 @@ PERFORMANCE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas interchange (Pandas UDFs in functions/).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let Python Data Sources receive pushed filters (sources/warcish
+    # implements pushFilters for manifest-based file pruning); off by
+    # default in Spark 4.1.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

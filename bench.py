@@ -154,6 +154,9 @@ HEADLINE += [
     "variant_props_extract",
     "lateral_top_order_per_customer",
     "embedding_quantize_int8",
+    # custom Python Data Source ingest path (write fixture + scan)
+    "warcish_roundtrip",
+    "warcish_pruned_scan",
 ]
 
 

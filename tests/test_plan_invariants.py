@@ -167,6 +167,10 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # fact×agg on both sides — SMJ by design
     "lateral_top_order_per_customer": (26, 8, 0, 2),
     "embedding_quantize_int8": (0, 0, 0),
+    # custom Python Data Source scans: file-parallel, no shuffle
+    # beyond the rollup agg
+    "warcish_roundtrip": (0, 0, 0),
+    "warcish_pruned_scan": (2, 0, 0),
 }
 
 
