@@ -103,9 +103,53 @@ GROUP BY lang
 """
 
 
+def streaming_warcish_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest through the custom source's STREAM reader
+    (Auto Loader pattern: new container files are the micro-batches,
+    one task per file), drained availableNow into a complete-mode
+    corpus rollup.  Stream-batch equivalence makes the batch SQL the
+    oracle — same contract as the events streaming family.
+
+    At 100 TB this is the landing-zone shape: crawlers append
+    container files, the stream incrementally folds them into corpus
+    stats, and the offset log (a position in the sorted file list)
+    gives exactly-once replay per file span.
+    """
+    from amazon_books_review_spark.sources.io import (
+        read_parquet,
+        write_stream_complete,
+    )
+    from amazon_books_review_spark.streaming.queries import _state_partitions
+
+    path = _fixture(spark, sf_dir)
+    stream = spark.readStream.format(warcish.FORMAT_NAME).load(path)
+    agg = stream.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    out = fixtures.ephemeral_dir("abr_warc_stream_")
+    with _state_partitions(spark):
+        q = write_stream_complete(
+            agg, f"{out}/data", f"{out}/ckpt", query_name="warcish_ingest"
+        )
+        q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
+STREAMING_WARCISH_ORACLE = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
 PYDS_QUERIES = [
     ("warcish_roundtrip", warcish_roundtrip, WARCISH_ROUNDTRIP_ORACLE,
      "custom Python DataSource container write+scan round-trip"),
     ("warcish_pruned_scan", warcish_pruned_scan, WARCISH_PRUNED_ORACLE,
      "pushFilters + sidecar-manifest file pruning on the custom source"),
+    ("streaming_warcish_ingest", streaming_warcish_ingest,
+     STREAMING_WARCISH_ORACLE,
+     "streaming ingest via the custom source's DataSourceStreamReader"),
 ]

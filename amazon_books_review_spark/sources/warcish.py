@@ -47,6 +47,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -237,32 +238,88 @@ class WarcishReader(DataSourceReader):
         if partition.value is None:
             return
         lo, hi = _bounds(self.pushed)
-        with open(
-            os.path.join(self.path, partition.value), encoding="utf-8"
-        ) as fh:
-            line = fh.readline()
-            while line:
-                if line.rstrip("\n") != RECORD_MARK:
-                    line = fh.readline()
-                    continue
-                headers: dict[str, str] = {}
-                while True:
-                    line = fh.readline()
-                    if not line or line == "\n":
-                        break
-                    key, _, val = line.rstrip("\n").partition(": ")
-                    headers[key] = val
-                text = fh.readline().rstrip("\n")
-                doc_id = int(headers["doc-id"])
-                if lo <= doc_id <= hi:
-                    yield (
-                        doc_id,
-                        headers.get("lang"),
-                        headers.get("source"),
-                        int(headers["length"]),
-                        text,
-                    )
+        for rec in _parse_file(os.path.join(self.path, partition.value)):
+            if lo <= rec[0] <= hi:
+                yield rec
+
+
+def _parse_file(path: str):
+    """Yield (doc_id, lang, source, n_chars, text) tuples from one
+    container file (shared by the batch and stream readers)."""
+    with open(path, encoding="utf-8") as fh:
+        line = fh.readline()
+        while line:
+            if line.rstrip("\n") != RECORD_MARK:
                 line = fh.readline()
+                continue
+            headers: dict[str, str] = {}
+            while True:
+                line = fh.readline()
+                if not line or line == "\n":
+                    break
+                key, _, val = line.rstrip("\n").partition(": ")
+                headers[key] = val
+            text = fh.readline().rstrip("\n")
+            yield (
+                int(headers["doc-id"]),
+                headers.get("lang"),
+                headers.get("source"),
+                int(headers["length"]),
+                text,
+            )
+            line = fh.readline()
+
+
+# ---------------------------------------------------------------------------
+# Stream reader (Auto Loader pattern: new container files = new data)
+# ---------------------------------------------------------------------------
+
+
+class WarcishStreamReader(DataSourceStreamReader):
+    """Continuous ingest of a growing container directory: the offset
+    is a position in the lexicographically-sorted file list, each
+    micro-batch covers the files that arrived since the last one, and
+    each covered file is one input partition (task).
+
+    This is the Auto Loader/file-source discipline reproduced through
+    the Python streaming API, with the same operational contract:
+    files are immutable once written and names never re-sort earlier
+    than consumed ones (the writer's uuid names + manifest commit give
+    atomic visibility).  Exactly-once delivery comes from the offset
+    log: a failed batch replays the same [start, end) file span.
+    """
+
+    def __init__(self, options) -> None:  # noqa: ANN001 - CaseInsensitiveDict
+        path = options.get("path")
+        if not path:
+            raise ValueError("warcish stream reader requires a path")
+        self.path = path
+
+    def _files(self) -> list[str]:
+        try:
+            return sorted(
+                n for n in os.listdir(self.path) if n.endswith(DATA_EXT)
+            )
+        except OSError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["idx"]:end["idx"]]
+        return [InputPartition(n) for n in files]
+
+    def read(self, partition: InputPartition):
+        yield from _parse_file(os.path.join(self.path, partition.value))
+
+    def commit(self, end: dict) -> None:
+        # Offsets are tracked by the engine's offset log; nothing to
+        # garbage-collect source-side (files are the durable record).
+        pass
 
 
 class WarcishDataSource(DataSource):
@@ -277,6 +334,9 @@ class WarcishDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcishReader:
         return WarcishReader(self.options)
+
+    def streamReader(self, schema: StructType) -> WarcishStreamReader:
+        return WarcishStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcishWriter:
         path = self.options.get("path")

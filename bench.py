@@ -157,6 +157,7 @@ HEADLINE += [
     # custom Python Data Source ingest path (write fixture + scan)
     "warcish_roundtrip",
     "warcish_pruned_scan",
+    "streaming_warcish_ingest",
 ]
 
 

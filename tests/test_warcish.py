@@ -140,6 +140,48 @@ def test_abort_removes_partial_files(tmp_path):
     assert not os.path.exists(tmp_path / msg.filename)
 
 
+def test_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """A second availableNow drain over the SAME checkpoint must pick
+    up only files that arrived after the first drain — no reprocessing
+    (the offset is a position in the sorted file list)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    warcish.register(spark)
+
+    def put(name: str, doc_id: int):
+        # note: uuid writer names always sort AFTER consumed ones here
+        # because we control names; production relies on the same
+        # append-only contract
+        with open(src / name, "w") as fh:
+            fh.write(
+                f"{warcish.RECORD_MARK}\n"
+                f"doc-id: {doc_id}\nlang: en\nsource: s\nlength: 2\n\nhi\n"
+            )
+
+    put(f"a{warcish.DATA_EXT}", 1)
+    out = tmp_path / "out"
+
+    def drain():
+        q = (
+            spark.readStream.format(warcish.FORMAT_NAME)
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out / "data"))
+            .option("checkpointLocation", str(out / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(str(out / "data")).count() == 1
+    put(f"b{warcish.DATA_EXT}", 2)
+    drain()
+    rows = spark.read.parquet(str(out / "data"))
+    assert rows.count() == 2, "second drain must add only the new file"
+    assert sorted(r.doc_id for r in rows.collect()) == [1, 2]
+
+
 def test_newline_payload_rejected(tmp_path):
     writer = warcish.WarcishWriter(str(tmp_path), overwrite=False)
     from pyspark.sql import Row
