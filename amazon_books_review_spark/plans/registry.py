@@ -17,6 +17,7 @@ from amazon_books_review_spark.plans.extended_queries import EXTENDED_QUERIES
 from amazon_books_review_spark.plans.format_queries import FORMAT_QUERIES
 from amazon_books_review_spark.plans.llm_queries import LLM_QUERIES
 from amazon_books_review_spark.plans.pyds_queries import PYDS_QUERIES
+from amazon_books_review_spark.plans.reshape_queries import RESHAPE_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
@@ -39,5 +40,6 @@ for _name, _fn, _oracle, _doc in (
     + FORMAT_QUERIES
     + LLM_QUERIES
     + PYDS_QUERIES
+    + RESHAPE_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

@@ -1,0 +1,163 @@
+"""Reshape / two-sided-group API coverage: the DataFrame ``unpivot``
+(melt) operator and ``cogroup(...).applyInPandas``.
+
+Both are catalog queries with exact DuckDB oracles; docstrings record
+when each is the right tool at 100 TB (and when it isn't — cogroup is
+the API of last resort, not a join replacement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt via the DataFrame ``unpivot`` operator: three
+    per-document metrics computed in ONE scan, then unpivoted to
+    (doc_id, metric, value) rows — the layout metric stores and
+    plotting pipelines consume.
+
+    ``unpivot`` is a zero-shuffle projection (each input row expands
+    to K output rows in place), so the melt costs nothing beyond
+    output size; the anti-pattern it replaces is K per-metric scans
+    unioned together (K full passes at 100 TB).  The expression-level
+    twin is ``stack()`` (operators/validation.py) — this is the
+    typed DataFrame API for the same reshape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["chars", "tokens", "distinct_tokens"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT doc_id,
+           n_chars AS chars,
+           len(string_split(trim(text), ' ')) AS tokens,
+           len(list_distinct(string_split(trim(text), ' '))) AS distinct_tokens
+    FROM documents
+)
+SELECT doc_id, 'chars' AS metric, CAST(chars AS BIGINT) AS value FROM wide
+UNION ALL
+SELECT doc_id, 'tokens', CAST(tokens AS BIGINT) FROM wide
+UNION ALL
+SELECT doc_id, 'distinct_tokens', CAST(distinct_tokens AS BIGINT) FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# cogroup.applyInPandas
+# ---------------------------------------------------------------------------
+
+
+def cogroup_user_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided per-key pairing through ``cogroup(...).applyInPandas``:
+    for every user appearing in events OR orders, count their events,
+    orders, and how many events fall on-or-before their last order
+    date.
+
+    THIS result is SQL-expressible (the oracle proves it) — the query
+    exists to pin the cogroup API's semantics: both sides shuffle on
+    the key, each key's two Arrow batches arrive in one Python call,
+    and keys missing from either side arrive with an empty frame.
+    Reach for cogroup only when the per-key pairing logic genuinely
+    exceeds relational algebra (sequence alignment, per-key model
+    scoring against a per-key reference set); for anything a join +
+    window can express, stay JVM-side — two shuffles plus the Python
+    boundary is the most expensive shape in this repo.
+
+    Scale: state per call is one user's rows (bounded), not the
+    partition, so skewed keys bound memory by the hot key only.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("event_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+
+    def merge(evts: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        if len(evts):
+            uid = evts["user_id"].iloc[0]
+        else:
+            uid = ords["user_id"].iloc[0]
+        n_events = len(evts)
+        n_orders = len(ords)
+        if n_orders and n_events:
+            # DateType can arrive as datetime64 or object-of-date
+            # depending on the Arrow batch; normalize both sides
+            last = pd.to_datetime(ords["o_orderdate"]).max()
+            before = int((pd.to_datetime(evts["event_date"]) <= last).sum())
+        else:
+            before = 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_events],
+                "n_orders": [n_orders],
+                "n_events_before_last_order": [before],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "user_id bigint, n_events bigint, n_orders bigint, "
+                "n_events_before_last_order bigint"
+            ),
+        )
+    )
+
+
+COGROUP_ORACLE = """
+WITH e AS (
+    SELECT user_id, CAST(ts AS DATE) AS event_date FROM events
+), o AS (
+    SELECT o_custkey AS user_id, o_orderdate FROM orders
+), keys AS (
+    SELECT DISTINCT user_id FROM e
+    UNION
+    SELECT DISTINCT user_id FROM o
+), last_order AS (
+    SELECT user_id, max(o_orderdate) AS last_date FROM o GROUP BY user_id
+)
+SELECT k.user_id,
+       (SELECT count(*) FROM e WHERE e.user_id = k.user_id) AS n_events,
+       (SELECT count(*) FROM o WHERE o.user_id = k.user_id) AS n_orders,
+       COALESCE((SELECT count(*) FROM e, last_order lo
+                 WHERE e.user_id = k.user_id AND lo.user_id = k.user_id
+                   AND e.event_date <= lo.last_date), 0)
+           AS n_events_before_last_order
+FROM keys k
+"""
+
+
+RESHAPE_QUERIES = [
+    ("unpivot_doc_metrics", unpivot_doc_metrics, UNPIVOT_ORACLE,
+     "wide->long melt via the DataFrame unpivot operator (zero shuffle)"),
+    ("cogroup_user_purchase_gap", cogroup_user_purchase_gap, COGROUP_ORACLE,
+     "two-sided per-key pairing via cogroup(...).applyInPandas"),
+]

@@ -158,6 +158,8 @@ HEADLINE += [
     "warcish_roundtrip",
     "warcish_pruned_scan",
     "streaming_warcish_ingest",
+    "unpivot_doc_metrics",
+    "cogroup_user_purchase_gap",
 ]
 
 

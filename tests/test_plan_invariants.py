@@ -171,6 +171,11 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # beyond the rollup agg
     "warcish_roundtrip": (0, 0, 0),
     "warcish_pruned_scan": (2, 0, 0),
+    # unpivot is an Expand projection: zero shuffle is the invariant
+    "unpivot_doc_metrics": (0, 0, 0),
+    # cogroup shuffles both sides on the key — exactly one Exchange
+    # pair, no join node
+    "cogroup_user_purchase_gap": (4, 0, 0),
 }
 
 
