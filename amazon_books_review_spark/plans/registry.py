@@ -18,6 +18,7 @@ from amazon_books_review_spark.plans.format_queries import FORMAT_QUERIES
 from amazon_books_review_spark.plans.llm_queries import LLM_QUERIES
 from amazon_books_review_spark.plans.pyds_queries import PYDS_QUERIES
 from amazon_books_review_spark.plans.reshape_queries import RESHAPE_QUERIES
+from amazon_books_review_spark.plans.scale_ops_queries import SCALE_OPS_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
@@ -41,5 +42,6 @@ for _name, _fn, _oracle, _doc in (
     + LLM_QUERIES
     + PYDS_QUERIES
     + RESHAPE_QUERIES
+    + SCALE_OPS_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

@@ -1,0 +1,508 @@
+"""Scale-native operators, round 6 second wave.
+
+Five operators a 100 TB pipeline needs beyond the reference surface,
+each with an EXACT DuckDB oracle (no rows-only weakening):
+
+* ``heavy_hitters_mg`` — two-pass approximate heavy hitters: a
+  Misra-Gries sketch per partition (bounded memory, mergeable) emits
+  a candidate set, then one exact recount restricted to candidates.
+  The output is EXACT (the sketch only narrows the candidate set, and
+  MG guarantees every item with global frequency > N/(cap+1) survives
+  some partition sketch), which is what makes the SQL oracle fair.
+* ``hll_distinct_audit`` — Spark's DataSketches HLL aggregate
+  (``hll_sketch_agg`` / ``hll_union_agg``): per-group sketches plus a
+  MERGED all-groups sketch, audited against exact distinct counts.
+  The sketch estimates themselves are engine-specific, so the
+  hash-checked columns are the exact counts and the within-tolerance
+  verdicts — the audit runs in Spark, the oracle pins its outcome.
+* ``scd2_user_segments`` — changelog → slowly-changing-dimension
+  type-2 history: collapse each user's event stream into validity
+  intervals ``[valid_from, valid_to)`` per segment run, open-ended
+  for the current segment.  The MERGE-less batch form of the
+  lakehouse SCD2 upsert (Delta MERGE is environment-gated; this is
+  the same semantics as a pure shuffle-on-user window).
+* ``pagerank_copurchase`` — 5 fixed-point PageRank iterations over
+  the part co-purchase graph (parts sharing an order).  All
+  arithmetic is INTEGER (rank mass in 1e-12 units, truncating
+  division) so the result is bit-identical across engines, partition
+  counts, and run order — the reproducibility discipline iterative
+  float algorithms normally lack.
+* ``kmeans_quantized_assign`` — 2 Lloyd iterations over embeddings
+  quantized to integer millis: deterministic seeding (lowest-k
+  vec_ids), integer squared distances, truncating-division centroid
+  means.  Same fixed-point rationale: clustering that re-runs to the
+  SAME assignment on any cluster layout.
+
+Scale notes per function; none collects data to the driver beyond
+k×dim centroid vectors (the canonical k-means sync) and one scalar
+node count (PageRank's N).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.functions import text
+from amazon_books_review_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# Misra-Gries two-pass heavy hitters
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 50  # sketch slots per partition; recall floor = N/(cap+1)
+
+
+def _mg_sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries summary over a ``word`` column.
+
+    Batch-merged form (Agarwal et al., "Mergeable Summaries"): add the
+    batch's value counts, and while more than ``cap`` keys remain,
+    subtract the (cap+1)-th largest weight and drop non-positive keys.
+    Memory is O(cap) regardless of partition size, and every word with
+    true partition count > N_p/(cap+1) keeps positive weight — so the
+    union over partitions contains every GLOBAL item above N/(cap+1)
+    (pigeonhole over partition totals).
+    """
+    acc = pd.Series(dtype="int64")
+    for pdf in batches:
+        vc = pdf["word"].value_counts()
+        acc = acc.add(vc, fill_value=0).astype("int64")
+        if len(acc) > MG_CAPACITY:
+            thresh = acc.nlargest(MG_CAPACITY + 1).iloc[-1]
+            acc = acc - thresh
+            acc = acc[acc > 0]
+    yield pd.DataFrame({"word": acc.index.astype(str)})
+
+
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > N/(cap+1)) via sketch-then-recount.
+
+    At 100 TB the first pass is the point: the full word histogram
+    does not fit anywhere, but the MG candidate union is at most
+    cap x partitions keys — broadcastable — and the second pass is a
+    broadcast-semi-join-filtered partial agg, so the wide shuffle of a
+    naive global wordcount never happens.  Output is exact, so the
+    plain-SQL oracle is a fair check of the whole two-pass scheme.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("word"))
+    cands = toks.mapInPandas(_mg_sketch, "word string").distinct()
+    counts = (
+        toks.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * (MG_CAPACITY + 1) > F.col("tot"))
+        .select("word", "n")
+    )
+
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+)
+SELECT word, count(*) AS n
+FROM toks
+GROUP BY word
+HAVING count(*) * {MG_CAPACITY + 1} > (SELECT count(*) FROM toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch audit (DataSketches hll_sketch_agg / hll_union_agg)
+# ---------------------------------------------------------------------------
+
+HLL_TOLERANCE = 0.05
+
+
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches, audited against exact.
+
+    Per event_type a DataSketches HLL sketch estimates distinct users;
+    the per-type sketches are then MERGED (``hll_union_agg``) into an
+    all-types estimate — the property that makes HLL the 100 TB
+    distinct-count operator (partial sketches combine without a
+    re-scan, unlike COUNT(DISTINCT)'s full shuffle).  The audit
+    asserts every estimate lands within 5% of exact; the oracle pins
+    the exact counts and the expected verdicts, so a broken sketch
+    path hash-mismatches instead of slipping through.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("scope"),
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    merged = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                events.agg(F.count_distinct("user_id").alias("exact_users"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            "exact_users",
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+    )
+    ok = (
+        F.abs(F.col("est").cast("double") - F.col("exact_users"))
+        <= F.lit(HLL_TOLERANCE) * F.col("exact_users")
+    ).alias("est_within_tol")
+    return typed.unionByName(merged).select("scope", "exact_users", ok)
+
+
+HLL_AUDIT_ORACLE = """
+SELECT 'type:' || event_type AS scope,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_tol
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS scope,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_tol
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2: changelog -> type-2 dimension history
+# ---------------------------------------------------------------------------
+
+
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's event changelog into SCD2 validity rows.
+
+    Islands of consecutive identical ``event_type`` become one row
+    with ``valid_from`` = first event time, ``valid_to`` = next
+    island's start (NULL => current).  One shuffle on ``user_id``
+    serves every window; at scale the changelog is already
+    partitionable by the dimension key, so this is the standard
+    shuffle-once SCD2 build (the MERGE-less batch equivalent of the
+    Delta upsert the environment gates out).
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg")
+    )
+    isl = events.select("user_id", "ts", "event_id", "event_type", chg).withColumn(
+        "seg", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    segs = isl.groupBy("user_id", "seg").agg(
+        F.min("event_type").alias("segment"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return segs.select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+SCD2_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+    FROM events
+), isl AS (
+    SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seg
+    FROM ordered
+), segs AS (
+    SELECT user_id, seg,
+           min(event_type) AS segment,
+           min(ts) AS valid_from,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, seg
+)
+SELECT user_id, segment, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       n_events,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL)
+           AS is_current
+FROM segs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000_000  # rank mass in 1e-12 units
+PR_ITERS = 5
+PR_TOP = 20
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 iterations) over parts co-purchased in the
+    same order, in pure int64 fixed-point.
+
+    Why integer: float PageRank sums neighbor contributions in
+    partition order, so the low bits differ run-to-run and
+    engine-to-engine — un-oracle-able and un-reproducible.  Holding
+    rank mass in 1e-12 units with truncating division makes every
+    iteration bit-exact everywhere (Spark ``div`` == DuckDB ``//`` on
+    positive operands), at the cost of ~1e-12 leaked mass per divide,
+    which is irrelevant at any real tolerance.
+
+    Scale shape: co-purchase edges are bounded per order (TPC-H-ish
+    orders hold <= ~13 distinct parts), so edges grow LINEARLY with
+    orders.  Each iteration is one join of the (nodes-sized) rank
+    table against edges partitioned by src plus one groupBy dst — the
+    standard vertex-program shuffle pair; ranks are dimension-sized
+    and broadcastable when parts << lineitems.  ``localCheckpoint``
+    truncates the 5-iteration lineage like the connected-components
+    operator (functions/dedup.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # one scalar to the driver: the graph order
+    init = PR_SCALE // n_nodes
+    base = (15 * init) // 100
+    ranks = deg.select(F.col("src").alias("node"), F.lit(init).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr(f"(85 * recv) div 100")).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    from amazon_books_review_spark.operators.windows import global_top_k
+
+    # TakeOrdered top-20 first (per-partition top-k + k-row merge — no
+    # global sort); the rank window then runs over 20 rows only.
+    top = global_top_k(ranks, [F.col("r").desc(), F.col("node").asc()], PR_TOP)
+    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("node").alias("p_partkey"),
+        F.col("r").alias("rank_units"),
+        "rnk",
+    )
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        (
+            "edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst"
+            " FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_partkey <> b.l_partkey)"
+        ),
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        (
+            f"r0 AS (SELECT src AS node, {PR_SCALE} // (SELECT n FROM nn) AS r"
+            " FROM deg)"
+        ),
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS node, "
+            f"(15 * ({PR_SCALE} // (SELECT n FROM nn))) // 100 "
+            f"+ (85 * sum(r.r // d.deg)) // 100 AS r "
+            f"FROM edges e "
+            f"JOIN r{i - 1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src "
+            f"GROUP BY e.dst)"
+        )
+    ctes.append(
+        f"ranked AS (SELECT node, r, row_number() OVER "
+        f"(ORDER BY r DESC, node ASC) AS rnk FROM r{PR_ITERS})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_units, rnk"
+        f" FROM ranked WHERE rnk <= {PR_TOP}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized k-means (2 Lloyd iterations, deterministic)
+# ---------------------------------------------------------------------------
+
+KM_K = 10
+KM_ITERS = 2
+KM_DIM = 64
+KM_Q = 1000  # quantization: integer millis
+
+
+def _km_assign(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Assign each quantized vector to its nearest centroid (exact
+    integer squared L2; ties break to the lowest centroid id)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(v)) for v in cv]),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for _, cv in centroids
+        ]
+    )
+    return qdf.select(
+        "vec_id",
+        "qv",
+        F.array_min(dists).alias("dist_sq"),
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
+    )
+
+
+def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 Lloyd iterations over embeddings quantized to integer millis.
+
+    Seeding is the k lowest ``vec_id`` vectors (deterministic, no
+    RNG); distances are exact int64 squared-L2; centroid update is
+    element-wise truncating-division mean.  The result is therefore
+    bit-identical on any partitioning and any engine — the oracle
+    replays the identical arithmetic in SQL.
+
+    Scale shape: the only driver sync is k x dim centroid ints per
+    iteration (the canonical k-means broadcast, same discipline as
+    the similarity module's probe broadcast); the data-side work per
+    iteration is one scan + one (cluster, dim)-keyed agg whose
+    cardinality is k*dim regardless of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KM_Q).cast("long"),
+        ).alias("qv"),
+    )
+    seeds = qdf.orderBy("vec_id").limit(KM_K).collect()  # k x dim ints
+    centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
+    assigned = _km_assign(qdf, centroids)
+    for _ in range(KM_ITERS - 1):
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .select("cluster", "pos", F.expr("s div c").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, list[int]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], [0] * KM_DIM)[r["pos"]] = r["m"]
+        centroids = [(cid, by_cluster[cid]) for cid in sorted(by_cluster)]
+        assigned = _km_assign(qdf, centroids)
+    return assigned.select("vec_id", "cluster", "dist_sq")
+
+
+def _kmeans_oracle() -> str:
+    # Assignment expression against a centroid CTE named `cname`:
+    # nearest centroid id (ties -> lowest id) and its distance.
+    def assign(cname: str) -> str:
+        dist = (
+            "list_sum(list_transform(range(1, {d} + 1), "
+            "i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+            " * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+        ).format(d=KM_DIM)
+        return (
+            "SELECT vec_id, qv, cluster, dist_sq FROM ("
+            "SELECT vec_id, qv, cluster, dist_sq, "
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist_sq ASC, cluster ASC) AS rn FROM ("
+            f"SELECT q.vec_id, q.qv, c.cid AS cluster, "
+            f"CAST({dist} AS BIGINT) AS dist_sq FROM q, {cname} c)"
+            ") WHERE rn = 1"
+        )
+
+    ctes = [
+        (
+            "q AS (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS qv "
+            "FROM embeddings)"
+        ),
+        (
+            "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+            " AS cid, qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id"
+            f" LIMIT {KM_K}))"
+        ),
+        f"a0 AS ({assign('c0')})",
+    ]
+    for i in range(1, KM_ITERS):
+        ctes.append(
+            f"c{i}e AS (SELECT a{i - 1}.cluster AS cid, t.i AS i, "
+            f"CAST(sum(a{i - 1}.qv[CAST(t.i AS INT)]) // count(*) AS BIGINT)"
+            f" AS m "
+            f"FROM a{i - 1}, unnest(range(1, {KM_DIM} + 1)) AS t(i) "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, list(m ORDER BY i) AS cv FROM c{i}e"
+            f" GROUP BY cid)"
+        )
+        ctes.append(f"a{i} AS ({assign(f'c{i}')})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, dist_sq FROM a{KM_ITERS - 1}"
+    )
+
+
+SCALE_OPS_QUERIES = [
+    ("heavy_hitters_mg", heavy_hitters_mg, HEAVY_HITTERS_ORACLE,
+     "Misra-Gries sketch candidates + exact recount: bounded-memory heavy hitters"),
+    ("hll_distinct_audit", hll_distinct_audit, HLL_AUDIT_ORACLE,
+     "DataSketches HLL per-group + merged union, audited against exact distinct"),
+    ("scd2_user_segments", scd2_user_segments, SCD2_ORACLE,
+     "changelog -> SCD2 validity intervals (islands + lead window)"),
+    ("pagerank_copurchase", pagerank_copurchase, _pagerank_oracle(),
+     "fixed-point integer PageRank, 5 iterations over co-purchase graph"),
+    ("kmeans_quantized_assign", kmeans_quantized_assign, _kmeans_oracle(),
+     "deterministic quantized k-means, 2 Lloyd iterations"),
+]

@@ -160,6 +160,12 @@ HEADLINE += [
     "streaming_warcish_ingest",
     "unpivot_doc_metrics",
     "cogroup_user_purchase_gap",
+    # round-6 scale-ops wave (sketches, SCD2, fixed-point iterative)
+    "heavy_hitters_mg",
+    "hll_distinct_audit",
+    "scd2_user_segments",
+    "pagerank_copurchase",
+    "kmeans_quantized_assign",
 ]
 
 

@@ -176,6 +176,23 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # cogroup shuffles both sides on the key — exactly one Exchange
     # pair, no join node
     "cogroup_user_purchase_gap": (4, 0, 0),
+    # round-6 scale-ops additions
+    # candidate recount joins BROADCAST the MG sketch union (bounded
+    # by cap x partitions); the 2 BNLJs are the 1-row total broadcast
+    "heavy_hitters_mg": (12, 1, 2),
+    # per-type sketches re-aggregated for the union + exact distincts;
+    # the BNLJ is the 1-row global-distinct broadcast
+    "hll_distinct_audit": (16, 0, 2),
+    # one user_id shuffle serves both windows; groupBy rides the same
+    # partitioning
+    "scd2_user_segments": (3, 0, 0),
+    # final plan reads the localCheckpoint of iteration 5: the
+    # iteration shuffles are spent, the top-k is TakeOrdered + a
+    # 20-row rank window
+    "pagerank_copurchase": (2, 0, 0),
+    # assignment is map-only over the scan (centroids arrive as
+    # literals); zero Exchange is the invariant
+    "kmeans_quantized_assign": (0, 0, 0),
 }
 
 

@@ -197,3 +197,49 @@ def test_shard_manifest_matches_bruteforce(spark, ids, shards):
         for pos, (k, i) in enumerate(members, start=1):
             want[i] = (s, pos, k)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch recall guarantee (pure Python — no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=300),
+    st.lists(st.integers(0, 3), min_size=0, max_size=100),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_mg_sketch_union_contains_all_heavy_hitters(noise, heavy_draw, n_parts):
+    """The property heavy_hitters_mg's exactness rests on: splitting a
+    stream across partitions and unioning the per-partition Misra-Gries
+    survivors must retain EVERY item with global frequency
+    > N/(cap+1), for any partitioning and any batch boundaries."""
+    import pandas as pd
+
+    # noise spans far more than MG_CAPACITY distinct values (so the
+    # sketch actually evicts); heavy_draw concentrates mass on <= 4
+    # values so true heavy hitters exist to lose
+    stream = noise + heavy_draw
+
+    from amazon_books_review_spark.plans import scale_ops_queries as so
+
+    words = [f"w{v}" for v in stream]
+    n = len(words)
+    # deterministic round-robin split into partitions, then odd-sized
+    # batch boundaries inside each partition (exercises the per-batch
+    # merge path, not just one-shot counting)
+    parts = [words[p::n_parts] for p in range(n_parts)]
+    candidates: set[str] = set()
+    for part in parts:
+        batches = [
+            pd.DataFrame({"word": part[i : i + 7]})
+            for i in range(0, len(part), 7)
+        ]
+        for out in so._mg_sketch(iter(batches)):
+            candidates.update(out["word"].tolist())
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    heavy = {w for w, c in counts.items() if c * (so.MG_CAPACITY + 1) > n}
+    assert heavy <= candidates, f"lost heavy hitters: {heavy - candidates}"
