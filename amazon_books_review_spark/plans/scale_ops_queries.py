@@ -1,6 +1,6 @@
 """Scale-native operators, round 6 second wave.
 
-Five operators a 100 TB pipeline needs beyond the reference surface,
+Operators a 100 TB pipeline needs beyond the reference surface,
 each with an EXACT DuckDB oracle (no rows-only weakening):
 
 * ``heavy_hitters_mg`` — two-pass approximate heavy hitters: a
@@ -32,6 +32,13 @@ each with an EXACT DuckDB oracle (no rows-only weakening):
   vec_ids), integer squared distances, truncating-division centroid
   means.  Same fixed-point rationale: clustering that re-runs to the
   SAME assignment on any cluster layout.
+* ``mixture_rebalance_corpus`` — resample the corpus to target
+  per-domain proportions (the LLM "data mixture" knob): integer
+  quota arithmetic + md5-rank selection, so the kept-document set is
+  reproducible on any partitioning.
+* ``rolling_hour_user_stats`` — value-based RANGE window frame
+  (1-hour rolling count/sum over event time), the frame family the
+  ROWS-frame showcase query does not cover.
 
 Scale notes per function; none collects data to the driver beyond
 k×dim centroid vectors (the canonical k-means sync) and one scalar
@@ -494,6 +501,136 @@ def _kmeans_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing (training-corpus composition control)
+# ---------------------------------------------------------------------------
+
+#: target corpus composition in integer percent (sums to 100) — the
+#: "data mixture" knob every LLM training run sets per domain/language
+MIX_WEIGHTS: dict[str, int] = {"en": 40, "es": 20, "fr": 20, "de": 10, "zh": 10}
+
+
+def mixture_rebalance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to target per-language proportions.
+
+    The largest feasible mixture size is ``M = min_l(n_l * 100 // w_l)``
+    (the scarcest domain caps the total); each language keeps its
+    ``w_l * M // 100`` lowest-md5-ranked docs.  Everything is integer
+    arithmetic + a deterministic hash order, so re-runs — on any
+    partitioning, in any engine — keep the SAME documents; that
+    reproducibility is what makes a mixture manifest auditable.
+
+    Scale shape: per-language counts are a tiny agg broadcast back; the
+    rank is one window per language partition (the shuffle is keyed on
+    the domain — salt the window key if one domain dominates; at real
+    scale the per-domain hash-threshold variant in
+    ``quality_weighted_sample`` trades exact counts for zero windows).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(lang, w) for lang, w in sorted(MIX_WEIGHTS.items())], "lang string, w int"
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    feasible = (
+        counts.join(F.broadcast(weights), "lang")
+        .select(F.expr("n_l * 100 div w").alias("cap"))
+        .agg(F.min("cap").alias("m"))
+    )
+    quota = (
+        counts.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(feasible))
+        .select("lang", F.expr("w * m div 100").alias("keep_n"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id").asc(),
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w_rank).alias("mix_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("mix_rank") <= F.col("keep_n"))
+        .select("doc_id", "lang", "mix_rank")
+    )
+
+
+def _mixture_oracle() -> str:
+    weight_rows = ", ".join(f"('{k}', {v})" for k, v in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH weights(lang, w) AS (VALUES {weight_rows}),
+counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+feasible AS (
+    SELECT min(n_l * 100 // w) AS m FROM counts JOIN weights USING (lang)
+),
+quota AS (
+    SELECT c.lang, w.w * (SELECT m FROM feasible) // 100 AS keep_n
+    FROM counts c JOIN weights w ON c.lang = w.lang
+),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id ASC)
+               AS mix_rank
+    FROM documents
+)
+SELECT r.doc_id, r.lang, r.mix_rank
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.mix_rank <= q.keep_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-range rolling window (RANGE frame over event time)
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW_US = 3_600_000_000  # one hour, in epoch microseconds
+
+
+def rolling_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour rolling count and value sum over events — the
+    RANGE (value-based) window frame, vs the ROWS frames the showcase
+    query covers.  Ordering is epoch MICROSECONDS so the frame bounds
+    are exact integers in both engines (interval literals delegate to
+    engine-calendar arithmetic; integer offsets don't).  The value sum
+    runs decimal-exact then rounds, per the stats_moments discipline.
+    One shuffle (the user_id window key); RANGE frames evaluate in one
+    sorted pass per partition exactly like ROWS frames.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ROLL_WINDOW_US, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_1h"),
+    ).withColumn("sum_value_1h", F.round("sum_value_1h", 6))
+
+
+ROLLING_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS cnt_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+           AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 SCALE_OPS_QUERIES = [
     ("heavy_hitters_mg", heavy_hitters_mg, HEAVY_HITTERS_ORACLE,
      "Misra-Gries sketch candidates + exact recount: bounded-memory heavy hitters"),
@@ -505,4 +642,8 @@ SCALE_OPS_QUERIES = [
      "fixed-point integer PageRank, 5 iterations over co-purchase graph"),
     ("kmeans_quantized_assign", kmeans_quantized_assign, _kmeans_oracle(),
      "deterministic quantized k-means, 2 Lloyd iterations"),
+    ("mixture_rebalance_corpus", mixture_rebalance_corpus, _mixture_oracle(),
+     "deterministic domain-mixture resampling to target weights"),
+    ("rolling_hour_user_stats", rolling_hour_user_stats, ROLLING_ORACLE,
+     "1-hour RANGE-frame rolling count/sum per user over event time"),
 ]

@@ -166,6 +166,8 @@ HEADLINE += [
     "scd2_user_segments",
     "pagerank_copurchase",
     "kmeans_quantized_assign",
+    "mixture_rebalance_corpus",
+    "rolling_hour_user_stats",
 ]
 
 

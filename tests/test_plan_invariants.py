@@ -193,6 +193,11 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # assignment is map-only over the scan (centroids arrive as
     # literals); zero Exchange is the invariant
     "kmeans_quantized_assign": (0, 0, 0),
+    # weights/quota/feasible-total are all broadcast; the BNLJ pair is
+    # the 1-row feasible-total cross join
+    "mixture_rebalance_corpus": (18, 4, 2),
+    # ONE shuffle (the user_id window key) serves both RANGE aggs
+    "rolling_hour_user_stats": (2, 0, 0),
 }
 
 
