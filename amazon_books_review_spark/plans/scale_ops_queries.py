@@ -298,27 +298,44 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.count()  # one scalar to the driver: the graph order
+    # Pay the edge-side work ONCE: degree via a window over the same
+    # src partitioning (no groupBy+re-join round trip), pre-partition
+    # by dst, materialize.  Every iteration then broadcast-joins the
+    # node-sized rank table against this static frame, and the
+    # groupBy(dst) rides the existing hashpartitioning(dst) — zero
+    # per-iteration edge shuffle.  (Valid while nodes are
+    # dimension-sized, as here — parts are bounded; for a web-scale
+    # node set, drop the broadcast and accept the shuffle join.)
+    from pyspark.sql import Window
+
+    w_deg = Window.partitionBy("src")
+    edges_deg = (
+        edges.withColumn("deg", F.count(F.lit(1)).over(w_deg))
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
+    # one scalar to the driver: the graph order
+    n_nodes = edges_deg.select("src").distinct().count()
     init = PR_SCALE // n_nodes
     base = (15 * init) // 100
-    ranks = deg.select(F.col("src").alias("node"), F.lit(init).alias("r"))
+    ranks = (
+        edges_deg.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("r", F.lit(init))
+    )
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges["src"] == ranks["node"])
-            .select("dst", F.expr("r div deg").alias("c"))
-        )
+        contrib = edges_deg.join(
+            F.broadcast(ranks), edges_deg["src"] == ranks["node"]
+        ).select("dst", F.expr("r div deg").alias("c"))
         ranks = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("recv"))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(base) + F.expr(f"(85 * recv) div 100")).alias("r"),
+                (F.lit(base) + F.expr("(85 * recv) div 100")).alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     from pyspark.sql import Window
 
