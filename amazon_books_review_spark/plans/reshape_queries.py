@@ -155,9 +155,74 @@ FROM keys k
 """
 
 
+# ---------------------------------------------------------------------------
+# @pandas_udf: scalar (Arrow-vectorized) + grouped-agg forms
+# ---------------------------------------------------------------------------
+
+
+def pandas_udf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ``@pandas_udf`` flavors on one pipeline: a SCALAR
+    Arrow-vectorized UDF (whitespace token count via pandas str ops —
+    one Arrow batch in, one out, no per-row Python) feeding a
+    GROUPED_AGG UDF (exact median over int64, a whole-partition
+    reduction the built-in ``median`` also offers — used here to
+    exercise the Series->scalar aggregation eval type).
+
+    When to use which at 100 TB: scalar pandas_udf only when no
+    Catalyst expression exists (here ``size(split(..))`` would do —
+    the UDF is the API demonstration); grouped-agg pandas_udf only for
+    aggregations that genuinely need the whole group as a vector
+    (e.g. a scipy fit) — it holds each group in memory, so groups must
+    be bounded.  Integer medians are exact in both engines (the .5
+    midpoint is exactly representable), so the oracle is fair.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_words(text: pd.Series) -> pd.Series:
+        return (
+            text.str.strip().str.split(r"\s+", regex=True).str.len()
+            .astype("int64")
+        )
+
+    @pandas_udf("double")
+    def median_long(v: pd.Series) -> float:
+        return float(v.median())
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_words(F.col("text")).alias("words"),
+    )
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the idiomatic
+    # composition is two aggregations joined on the (tiny) group key.
+    native = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+    )
+    pandas_agg = base.groupBy("lang").agg(
+        median_long(F.col("n_chars")).alias("median_chars")
+    )
+    return native.join(F.broadcast(pandas_agg), "lang")
+
+
+PANDAS_UDF_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_words,
+       CAST(median(CAST(n_chars AS BIGINT)) AS DOUBLE) AS median_chars
+FROM documents
+GROUP BY lang
+"""
+
+
 RESHAPE_QUERIES = [
     ("unpivot_doc_metrics", unpivot_doc_metrics, UNPIVOT_ORACLE,
      "wide->long melt via the DataFrame unpivot operator (zero shuffle)"),
     ("cogroup_user_purchase_gap", cogroup_user_purchase_gap, COGROUP_ORACLE,
      "two-sided per-key pairing via cogroup(...).applyInPandas"),
+    ("pandas_udf_doc_stats", pandas_udf_doc_stats, PANDAS_UDF_ORACLE,
+     "scalar + grouped-agg @pandas_udf on one pipeline"),
 ]

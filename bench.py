@@ -168,6 +168,7 @@ HEADLINE += [
     "kmeans_quantized_assign",
     "mixture_rebalance_corpus",
     "rolling_hour_user_stats",
+    "pandas_udf_doc_stats",
 ]
 
 

@@ -198,6 +198,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "mixture_rebalance_corpus": (18, 4, 2),
     # ONE shuffle (the user_id window key) serves both RANGE aggs
     "rolling_hour_user_stats": (2, 0, 0),
+    # native aggs + pandas UDAF composed via broadcast join on the
+    # tiny group key (GROUPED_AGG can't share an agg with JVM fns)
+    "pandas_udf_doc_stats": (8, 1, 0),
 }
 
 
