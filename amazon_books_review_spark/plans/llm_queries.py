@@ -1,6 +1,6 @@
 """LLM-corpus pipeline queries, round 6 additions.
 
-Seven operators a 100 TB training-data pipeline runs between raw
+Eight operators a 100 TB training-data pipeline runs between raw
 corpus and tokenizer, each with an exact DuckDB oracle:
 
 * ``dedup_cluster_canonical`` — collapse near-dup clusters to one
@@ -25,6 +25,11 @@ corpus and tokenizer, each with an exact DuckDB oracle:
 * ``embedding_quantize_int8`` — symmetric per-vector int8
   quantization with reconstruction-error audit (what an embedding
   store ships to serving; 4x size cut decided by this error column).
+* ``dedup_segments_corpus`` — corpus-wide exact duplicate-span
+  removal at fixed token-segment granularity (the segment-level
+  approximation of suffix-array substring dedup, Lee et al. 2022):
+  every repeated 16-token segment keeps only its first occurrence
+  and documents are reassembled without the dropped spans.
 
 Scale notes are on each function; none of these shuffle more than one
 exchange beyond what the semantics require.
@@ -444,6 +449,94 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-wide exact segment dedup (duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+SEG_TOKENS = 16
+
+
+def dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal across the WHOLE corpus: split
+    every document into fixed ``SEG_TOKENS``-token segments, keep only
+    the globally FIRST occurrence of each distinct segment (order =
+    lowest ``(doc_id, position)``), and reassemble each document from
+    its surviving segments.  This is the segment-granularity
+    approximation of suffix-array exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022) —
+    the corpus-level cousin of C4's duplicated-line drop, for corpora
+    whose documents aren't line-structured.
+
+    Plan shape: one shuffle keyed on the segment text (a window
+    ranks occurrences; first wins), one shuffle on ``doc_id`` to
+    reassemble — both linear in corpus tokens.  A window (not
+    groupBy-min + join) keeps it at two exchanges; the trade is no
+    map-side combine, which only pays off when duplication is heavy.
+    A pathological boilerplate segment makes one hot window partition
+    — at 100 TB pre-filter such segments with the heavy-hitters
+    sketch (``heavy_hitters_mg``) before ranking.
+
+    Determinism: the keep-set depends only on (segment text, doc_id,
+    position) — re-runs and re-partitionings drop the same spans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("k"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "k",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("k") * SEG_TOKENS + 1, SEG_TOKENS),
+            " ",
+        ).alias("seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "k")
+    marked = segs.select(
+        "doc_id", "k", "seg", (F.row_number().over(w) == 1).alias("kept")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("k", "seg")))
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+SEG_DEDUP_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), segs AS (
+    SELECT doc_id, CAST(u.k AS BIGINT) AS k,
+           array_to_string(
+               list_slice(toks, u.k * {SEG_TOKENS} + 1,
+                          u.k * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+    FROM t, unnest(range(CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)))
+         AS u(k)
+), marked AS (
+    SELECT doc_id, k, seg,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, k) = 1 AS kept
+    FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY k) FILTER (WHERE kept), '')
+           AS dedup_text
+FROM marked GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = [
     ("dedup_cluster_canonical", dedup_cluster_canonical,
      _cluster_canonical_oracle(),
@@ -461,4 +554,6 @@ LLM_QUERIES = [
      "correlated LATERAL subquery, decorrelated by Catalyst"),
     ("embedding_quantize_int8", embedding_quantize_int8, QUANT_ORACLE,
      "symmetric int8 quantization with reconstruction-error audit"),
+    ("dedup_segments_corpus", dedup_segments_corpus, SEG_DEDUP_ORACLE,
+     "corpus-wide exact duplicate-span removal at token-segment granularity"),
 ]

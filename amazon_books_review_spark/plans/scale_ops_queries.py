@@ -32,6 +32,11 @@ each with an EXACT DuckDB oracle (no rows-only weakening):
   vec_ids), integer squared distances, truncating-division centroid
   means.  Same fixed-point rationale: clustering that re-runs to the
   SAME assignment on any cluster layout.
+* ``semdedup_embeddings`` — SemDeDup (Abbas et al. 2023): k-means
+  the embedding space, then drop within-cluster cosine near-dups of
+  an earlier-id vector.  The cosine decision is an exact integer
+  cross-multiplication over the quantized vectors, so the kept-set
+  is bit-stable and DuckDB-replayable.
 * ``mixture_rebalance_corpus`` — resample the corpus to target
   per-domain proportions (the LLM "data mixture" knob): integer
   quota arithmetic + md5-rank selection, so the kept-document set is
@@ -401,26 +406,40 @@ KM_Q = 1000  # quantization: integer millis
 
 def _km_assign(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """Assign each quantized vector to its nearest centroid (exact
-    integer squared L2; ties break to the lowest centroid id)."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(int(v)) for v in cv]),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+    integer squared L2; ties break to the lowest centroid id).
+
+    Arrow-vectorized (``mapInPandas``): per batch one int64
+    ``(B, dim) @ (dim, k)`` matmul plus the norm expansion
+    ``|q|^2 - 2 q.c + |c|^2`` — all int64, bit-identical to the
+    elementwise definition, and ``argmin`` on ties returns the first
+    (= lowest) centroid id, matching the oracle's tie rule.  This
+    replaced a k x dim chain of interpreted higher-order-function
+    expressions that dominated the profile (2.6x on the assignment
+    pass at sf0.1, k=25); the map stage itself stays shuffle-free, so
+    the plan budget (zero Exchange) is unchanged.
+    """
+    import numpy as np
+
+    cmat = np.array([cv for _, cv in centroids], dtype=np.int64).T  # dim x k
+    cnorm = (cmat.astype(np.int64) ** 2).sum(axis=0)  # k
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # B x dim
+            d = (q * q).sum(axis=1, keepdims=True) - 2 * (q @ cmat) + cnorm
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qv": pdf["qv"],
+                    "dist_sq": d.min(axis=1).astype(np.int64),
+                    "cluster": d.argmin(axis=1).astype(np.int64),
+                }
             )
-            for _, cv in centroids
-        ]
-    )
-    return qdf.select(
-        "vec_id",
-        "qv",
-        F.array_min(dists).alias("dist_sq"),
-        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
+
+    return qdf.mapInPandas(
+        assign, schema="vec_id bigint, qv array<bigint>, dist_sq bigint, cluster bigint"
     )
 
 
@@ -439,6 +458,18 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one scan + one (cluster, dim)-keyed agg whose
     cardinality is k*dim regardless of corpus size.
     """
+    return _km_final_assignment(spark, sf_dir).select(
+        "vec_id", "cluster", "dist_sq"
+    )
+
+
+def _km_final_assignment(
+    spark: SparkSession, sf_dir: str, k: int = KM_K
+) -> DataFrame:
+    """The converged (vec_id, qv, cluster, dist_sq) frame after
+    ``KM_ITERS`` Lloyd iterations — shared by the k-means catalog
+    query and the SemDeDup operator built on its clustering (which
+    runs a larger ``k``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.select(
         "vec_id",
@@ -447,7 +478,7 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * KM_Q).cast("long"),
         ).alias("qv"),
     )
-    seeds = qdf.orderBy("vec_id").limit(KM_K).collect()  # k x dim ints
+    seeds = qdf.orderBy("vec_id").limit(k).collect()  # k x dim ints
     centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
     assigned = _km_assign(qdf, centroids)
     for _ in range(KM_ITERS - 1):
@@ -463,12 +494,14 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_cluster.setdefault(r["cluster"], [0] * KM_DIM)[r["pos"]] = r["m"]
         centroids = [(cid, by_cluster[cid]) for cid in sorted(by_cluster)]
         assigned = _km_assign(qdf, centroids)
-    return assigned.select("vec_id", "cluster", "dist_sq")
+    return assigned
 
 
-def _kmeans_oracle() -> str:
-    # Assignment expression against a centroid CTE named `cname`:
-    # nearest centroid id (ties -> lowest id) and its distance.
+def _kmeans_ctes(k: int = KM_K) -> list[str]:
+    # CTE chain shared by the k-means and SemDeDup oracles; the final
+    # assignment CTE is a{KM_ITERS - 1} with (vec_id, qv, cluster,
+    # dist_sq).  Assignment expression against a centroid CTE named
+    # `cname`: nearest centroid id (ties -> lowest id), its distance.
     def assign(cname: str) -> str:
         dist = (
             "list_sum(list_transform(range(1, {d} + 1), "
@@ -494,7 +527,7 @@ def _kmeans_oracle() -> str:
         (
             "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
             " AS cid, qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id"
-            f" LIMIT {KM_K}))"
+            f" LIMIT {k}))"
         ),
         f"a0 AS ({assign('c0')})",
     ]
@@ -511,10 +544,155 @@ def _kmeans_oracle() -> str:
             f" GROUP BY cid)"
         )
         ctes.append(f"a{i} AS ({assign(f'c{i}')})")
+    return ctes
+
+
+def _kmeans_oracle() -> str:
+    ctes = _kmeans_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT vec_id, cluster, dist_sq FROM a{KM_ITERS - 1}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters
+# ---------------------------------------------------------------------------
+
+#: cosine threshold for "semantically duplicate" — same bar as the
+#: exact embedding near-dup operator (functions/similarity.py), here
+#: expressed as an exact rational cos^2 = SEM_TAU_NUM / SEM_TAU_DEN
+#: (0.45^2 = 0.2025) so the decision is integer arithmetic.
+SEM_TAU_NUM = 2025
+SEM_TAU_DEN = 10000
+
+#: SemDeDup's k is larger than the k-means demo's: the pairwise stage
+#: is quadratic per cluster, so k must grow with the corpus to keep
+#: per-cluster cost flat (k ~ n / target_cluster_size).  25 at the
+#: test SFs keeps clusters ~100-200 vectors (2.5x fewer candidate
+#: pairs than k=10 at sf0.1) with the same kept-set semantics.
+SEM_K = 25
+
+
+def semdedup_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = SEM_K
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then drop vectors that are near-duplicates of an
+    earlier-id vector IN THE SAME CLUSTER.  The clustering bounds the
+    pairwise stage — at 100 TB you never join the corpus against
+    itself, only each cluster against itself, and k scales with the
+    corpus (k ~ n / target_cluster_size) so per-cluster cost stays
+    flat.  Cross-cluster near-dups are deliberately not consulted:
+    accepting that recall loss is exactly the SemDeDup trade.
+
+    Keep rule: v survives unless some u < v in its cluster has
+    cos(u, v) >= 0.45; dropped rows carry ``dup_of`` = the lowest
+    such u.  The cosine test runs on the same KM_Q-quantized integer
+    vectors as the clustering, as an exact cross-multiplied
+    comparison (dot > 0 and dot^2 * DEN >= NUM * |u|^2 * |v|^2 in
+    decimal(38,0)) — no floats, so the kept-set is bit-stable across
+    engines and partitionings, which is what lets DuckDB replay it.
+
+    Plan shape: one self-join on cluster id (AQE handles any skewed
+    mega-cluster), one groupBy(v) for the min-dropper, one left join
+    back — all shuffle keys are ints.
+    """
+    assigned = _km_final_assignment(spark, sf_dir, k=k)
+    # localCheckpoint: the assignment frame feeds BOTH sides of the
+    # self-join plus the final join back — without materializing it
+    # the whole k-means assignment (and its Arrow stage) would run
+    # three times inside one job.
+    vecs = assigned.select(
+        "vec_id",
+        "cluster",
+        "qv",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nsq"),
+    ).localCheckpoint()
+    u = vecs.select(
+        F.col("vec_id").alias("u_id"),
+        F.col("cluster").alias("u_cluster"),
+        F.col("qv").alias("u_qv"),
+        F.col("nsq").alias("u_nsq"),
+    )
+    v = vecs.select(
+        F.col("vec_id").alias("v_id"),
+        F.col("cluster").alias("v_cluster"),
+        F.col("qv").alias("v_qv"),
+        F.col("nsq").alias("v_nsq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("u_qv", "v_qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = "decimal(38,0)"
+    pairs = (
+        u.join(
+            v,
+            (F.col("u_cluster") == F.col("v_cluster"))
+            & (F.col("u_id") < F.col("v_id")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast(d38) * F.col("dot").cast(d38)
+                * F.lit(SEM_TAU_DEN).cast(d38)
+                >= F.lit(SEM_TAU_NUM).cast(d38)
+                * F.col("u_nsq").cast(d38) * F.col("v_nsq").cast(d38)
+            )
+        )
+    )
+    droppers = pairs.groupBy(F.col("v_id").alias("vec_id")).agg(
+        F.min("u_id").alias("dup_of")
+    )
+    return (
+        vecs.select("vec_id", "cluster")
+        .join(droppers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().cast("int").alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    ctes = _kmeans_ctes(k=SEM_K)
+    final = f"a{KM_ITERS - 1}"
+    dot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> u.qv[CAST(i AS INT)] * v.qv[CAST(i AS INT)]))"
+    ).format(d=KM_DIM)
+    ctes.append(
+        "vecs AS (SELECT vec_id, cluster, qv, "
+        "list_sum(list_transform(qv, x -> x * x)) AS nsq "
+        f"FROM {final})"
+    )
+    ctes.append(
+        "droppers AS (SELECT v.vec_id AS vec_id, "
+        "CAST(min(u.vec_id) AS BIGINT) AS dup_of "
+        "FROM vecs u JOIN vecs v "
+        "ON u.cluster = v.cluster AND u.vec_id < v.vec_id "
+        f"WHERE {dot} > 0 AND "
+        f"CAST({dot} AS HUGEINT) * CAST({dot} AS HUGEINT) * {SEM_TAU_DEN} "
+        f">= CAST({SEM_TAU_NUM} AS HUGEINT) * u.nsq * v.nsq "
+        "GROUP BY v.vec_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT w.vec_id, w.cluster, "
+        "CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER)"
+        " AS kept, d.dup_of "
+        "FROM vecs w LEFT JOIN droppers d ON w.vec_id = d.vec_id"
     )
 
 
@@ -659,6 +837,8 @@ SCALE_OPS_QUERIES = [
      "fixed-point integer PageRank, 5 iterations over co-purchase graph"),
     ("kmeans_quantized_assign", kmeans_quantized_assign, _kmeans_oracle(),
      "deterministic quantized k-means, 2 Lloyd iterations"),
+    ("semdedup_embeddings", semdedup_embeddings, _semdedup_oracle(),
+     "SemDeDup: within-cluster cosine near-dup drop, exact integer decision"),
     ("mixture_rebalance_corpus", mixture_rebalance_corpus, _mixture_oracle(),
      "deterministic domain-mixture resampling to target weights"),
     ("rolling_hour_user_stats", rolling_hour_user_stats, ROLLING_ORACLE,

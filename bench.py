@@ -169,6 +169,9 @@ HEADLINE += [
     "mixture_rebalance_corpus",
     "rolling_hour_user_stats",
     "pandas_udf_doc_stats",
+    # round-6 third wave: semantic + exact-span dedup
+    "semdedup_embeddings",
+    "dedup_segments_corpus",
 ]
 
 

@@ -73,6 +73,13 @@ QUERIES = [
     # partition-by-user claim these windows rest on
     "scd2_user_segments",
     "rolling_hour_user_stats",
+    # round-6 third wave: SemDeDup's per-cluster quadratic term is
+    # the claim under test (clusters grow REPx at fixed k here — the
+    # production knob is k ~ n, so the measured super-linearity bound
+    # is the WORST case, with the fix documented); segment dedup is
+    # two linear shuffles.
+    "semdedup_embeddings",
+    "dedup_segments_corpus",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
@@ -102,6 +109,23 @@ def _emb_neardup_planescaled(n_planes: int):
     return run
 
 
+def _semdedup_kscaled(k: int):
+    """SemDeDup with the production k-scaling applied: k grows with
+    the corpus so per-cluster occupancy (and the quadratic
+    within-cluster pair term) stays constant.  The fixed-k catalog
+    entry in QUERIES measures the worst case; this one measures the
+    operator as it would actually be deployed."""
+
+    def run(spark, sf_dir):
+        from amazon_books_review_spark.plans.scale_ops_queries import (
+            semdedup_embeddings,
+        )
+
+        return semdedup_embeddings(spark, sf_dir, k=k)
+
+    return run
+
+
 def _plane_scaled_entries() -> dict[str, dict[str, object]]:
     import math
 
@@ -110,7 +134,11 @@ def _plane_scaled_entries() -> dict[str, dict[str, object]]:
         "embedding_neardup_planescaled": {
             "1x": _emb_neardup_planescaled(4),
             f"{REP}x": _emb_neardup_planescaled(4 + extra),
-        }
+        },
+        "semdedup_kscaled": {
+            "1x": _semdedup_kscaled(25),
+            f"{REP}x": _semdedup_kscaled(25 * REP),
+        },
     }
 
 

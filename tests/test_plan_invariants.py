@@ -198,6 +198,12 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "mixture_rebalance_corpus": (18, 4, 2),
     # ONE shuffle (the user_id window key) serves both RANGE aggs
     "rolling_hour_user_stats": (2, 0, 0),
+    # segment rank window (shuffle on seg) + doc_id reassembly agg:
+    # two real exchanges, no join
+    "dedup_segments_corpus": (4, 0, 0),
+    # cluster-id self-join (SMJ: both sides the full vec set) + the
+    # droppers joined back (broadcast at test scale)
+    "semdedup_embeddings": (6, 0, 0, 2),
     # native aggs + pandas UDAF composed via broadcast join on the
     # tiny group key (GROUPED_AGG can't share an agg with JVM fns)
     "pandas_udf_doc_stats": (8, 1, 0),
