@@ -1,6 +1,6 @@
 """LLM-corpus pipeline queries, round 6 additions.
 
-Eight operators a 100 TB training-data pipeline runs between raw
+Nine operators a 100 TB training-data pipeline runs between raw
 corpus and tokenizer, each with an exact DuckDB oracle:
 
 * ``dedup_cluster_canonical`` — collapse near-dup clusters to one
@@ -30,6 +30,9 @@ corpus and tokenizer, each with an exact DuckDB oracle:
   approximation of suffix-array substring dedup, Lee et al. 2022):
   every repeated 16-token segment keeps only its first occurrence
   and documents are reassembled without the dropped spans.
+* ``boilerplate_segment_removal`` — the C4 boilerplate rule on the
+  same scaffold: segments appearing in >2 distinct documents are
+  dropped from ALL of them (first-occurrence included).
 
 Scale notes are on each function; none of these shuffle more than one
 exchange beyond what the semantics require.
@@ -479,10 +482,21 @@ def dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the keep-set depends only on (segment text, doc_id,
     position) — re-runs and re-partitionings drop the same spans.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    segs = _doc_segments(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("seg").orderBy("doc_id", "k")
+    marked = segs.select(
+        "doc_id", "k", "seg", (F.row_number().over(w) == 1).alias("kept")
+    )
+    return _reassemble_docs(marked)
+
+
+def _doc_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, k, seg): fixed SEG_TOKENS-token segments per document
+    (final segment may be short) — the shared scaffold for both
+    segment-level dedup rules."""
     toks = F.split(F.trim(F.col("text")), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(SEG_TOKENS)).cast("int")
-    segs = docs.select(
+    return docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("k"),
         toks.alias("toks"),
@@ -494,10 +508,13 @@ def dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("seg"),
     )
-    w = Window.partitionBy("seg").orderBy("doc_id", "k")
-    marked = segs.select(
-        "doc_id", "k", "seg", (F.row_number().over(w) == 1).alias("kept")
-    )
+
+
+def _reassemble_docs(marked: DataFrame) -> DataFrame:
+    """Rebuild each document from its kept segments, in order, with
+    keep accounting.  ``collect_list`` skips the NULLs the ``when``
+    produces for dropped segments; ``array_sort`` on (k, seg) structs
+    restores segment order."""
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segs"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
@@ -511,6 +528,68 @@ def dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("dedup_text"),
     )
+
+
+#: C4's boilerplate rule operates on occurrences in DISTINCT documents:
+#: a span seen in more than BOILERPLATE_MAX_DOCS documents is dropped
+#: from every document (C4 used three-sentence spans / 3 docs).
+BOILERPLATE_MAX_DOCS = 2
+
+
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 boilerplate rule at segment granularity: any
+    ``SEG_TOKENS``-token segment appearing in MORE THAN
+    ``BOILERPLATE_MAX_DOCS`` distinct documents is removed from ALL
+    of them (headers, footers, license blocks — text whose frequency
+    itself proves it carries no document-specific signal).  Contrast
+    with :func:`dedup_segments_corpus`, which keeps the first
+    occurrence; real pipelines run the boilerplate drop first, then
+    first-occurrence dedup on what remains.
+
+    Plan shape: groupBy(seg) counting distinct docs (map-side partial
+    aggregation — boilerplate is by definition high-frequency, so the
+    partial pass collapses exactly the hot keys), join back on seg
+    (reuses the agg's hash partitioning on one side), reassemble on
+    doc_id.  Linear in corpus tokens; the doc-frequency table is
+    bounded by distinct-segment count.
+    """
+    segs = _doc_segments(load_table(spark, sf_dir, "documents"))
+    doc_freq = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    marked = segs.join(doc_freq, "seg").select(
+        "doc_id",
+        "k",
+        "seg",
+        (F.col("n_docs") <= BOILERPLATE_MAX_DOCS).alias("kept"),
+    )
+    return _reassemble_docs(marked)
+
+
+BOILERPLATE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), segs AS (
+    SELECT doc_id, CAST(u.k AS BIGINT) AS k,
+           array_to_string(
+               list_slice(toks, u.k * {SEG_TOKENS} + 1,
+                          u.k * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+    FROM t, unnest(range(CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS BIGINT)))
+         AS u(k)
+), freq AS (
+    SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+), marked AS (
+    SELECT s.doc_id, s.k, s.seg,
+           f.n_docs <= {BOILERPLATE_MAX_DOCS} AS kept
+    FROM segs s JOIN freq f USING (seg)
+)
+SELECT doc_id,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY k) FILTER (WHERE kept), '')
+           AS dedup_text
+FROM marked GROUP BY doc_id
+"""
 
 
 SEG_DEDUP_ORACLE = f"""
@@ -556,4 +635,7 @@ LLM_QUERIES = [
      "symmetric int8 quantization with reconstruction-error audit"),
     ("dedup_segments_corpus", dedup_segments_corpus, SEG_DEDUP_ORACLE,
      "corpus-wide exact duplicate-span removal at token-segment granularity"),
+    ("boilerplate_segment_removal", boilerplate_segment_removal,
+     BOILERPLATE_ORACLE,
+     "C4 boilerplate rule: drop segments seen in >2 distinct docs everywhere"),
 ]

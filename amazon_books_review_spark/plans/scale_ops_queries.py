@@ -582,10 +582,17 @@ def semdedup_embeddings(
     k-means, then drop vectors that are near-duplicates of an
     earlier-id vector IN THE SAME CLUSTER.  The clustering bounds the
     pairwise stage — at 100 TB you never join the corpus against
-    itself, only each cluster against itself, and k scales with the
-    corpus (k ~ n / target_cluster_size) so per-cluster cost stays
-    flat.  Cross-cluster near-dups are deliberately not consulted:
-    accepting that recall loss is exactly the SemDeDup trade.
+    itself, only each cluster against itself.  Cross-cluster
+    near-dups are deliberately not consulted: accepting that recall
+    loss is exactly the SemDeDup trade.
+
+    Sizing k (100x curve, PERF.md): total cost = assignment (n x k)
+    + within-cluster pairs (n^2 / k), so scaling k linearly with n
+    just moves the super-linear term into the assignment matmul —
+    the measured 100x point confirms it.  k* ~ sqrt(n) balances the
+    two at O(n^1.5); for full linearity route the assignment through
+    coarse centroids (hierarchical k-means / the IVF cell-routing in
+    ``functions/similarity.py``) instead of brute-force nearest-of-k.
 
     Keep rule: v survives unless some u < v in its cluster has
     cos(u, v) >= 0.45; dropped rows carry ``dup_of`` = the lowest

@@ -172,6 +172,7 @@ HEADLINE += [
     # round-6 third wave: semantic + exact-span dedup
     "semdedup_embeddings",
     "dedup_segments_corpus",
+    "boilerplate_segment_removal",
 ]
 
 

@@ -74,10 +74,11 @@ QUERIES = [
     "scd2_user_segments",
     "rolling_hour_user_stats",
     # round-6 third wave: SemDeDup's per-cluster quadratic term is
-    # the claim under test (clusters grow REPx at fixed k here — the
-    # production knob is k ~ n, so the measured super-linearity bound
-    # is the WORST case, with the fix documented); segment dedup is
-    # two linear shuffles.
+    # the claim under test (clusters grow REPx at fixed k here; the
+    # kscaled entry below scales k instead, which the 100x run showed
+    # just moves the super-linear term into the n x k assignment —
+    # k* ~ sqrt(n) is the balance point, see PERF.md); segment dedup
+    # is two linear shuffles.
     "semdedup_embeddings",
     "dedup_segments_corpus",
 ]

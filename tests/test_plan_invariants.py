@@ -201,6 +201,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # segment rank window (shuffle on seg) + doc_id reassembly agg:
     # two real exchanges, no join
     "dedup_segments_corpus": (4, 0, 0),
+    # doc-frequency agg on seg + join back (freq side broadcasts at
+    # test scale) + reassembly
+    "boilerplate_segment_removal": (8, 0, 0),
     # cluster-id self-join (SMJ: both sides the full vec set) + the
     # droppers joined back (broadcast at test scale)
     "semdedup_embeddings": (6, 0, 0, 2),
