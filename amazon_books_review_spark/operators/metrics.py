@@ -43,3 +43,25 @@ def row_count_metric() -> Column:
 
 def null_count_metric(col: str) -> Column:
     return F.sum(F.col(col).isNull().cast("long"))
+
+
+def corpus_ingest_audit(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, Observation]:
+    """The standard ingest telemetry set for a document batch: row
+    count, null/empty text count, and char-length bounds — measured
+    during whatever job consumes the returned frame (the CollectMetrics
+    node rides the existing pass; zero extra scan or shuffle,
+    plan-asserted in tests/test_observability.py)."""
+    c = F.col(text_col)
+    return with_observation(
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_or_empty": F.sum(
+                (c.isNull() | (F.length(F.trim(c)) == 0)).cast("long")
+            ),
+            "min_chars": F.min(F.length(c)),
+            "max_chars": F.max(F.length(c)),
+        },
+    )

@@ -7,13 +7,13 @@ import io
 
 from pyspark.sql import functions as F
 
-from amazon_books_review_spark.operators import observability
+from amazon_books_review_spark.operators import metrics
 from amazon_books_review_spark.sources.io import load_table
 
 
 def test_corpus_ingest_audit_metrics_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    observed, obs = observability.corpus_ingest_audit(docs)
+    observed, obs = metrics.corpus_ingest_audit(docs)
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
     expect = docs.select(
@@ -37,8 +37,8 @@ def test_observation_adds_no_scan_or_shuffle(spark, sf_dir):
     observed plan gets a CollectMetrics node and NOTHING else — same
     single scan, zero Exchanges for a pure projection pipeline."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    observed, _ = observability.with_observation(
-        docs, "audit", {"n": F.count(F.lit(1))}
+    observed, _ = metrics.with_observation(
+        docs, {"n": F.count(F.lit(1))}
     )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
