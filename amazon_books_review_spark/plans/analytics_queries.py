@@ -921,8 +921,9 @@ FROM sums
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles of event value per type (Spark
     ``percentile`` == DuckDB ``quantile_cont`` definition).  The 100 TB
-    path is ``approx_percentile`` (t-digest-style sketch, single pass,
-    mergeable) — benched as rows-only since sketches differ by engine."""
+    path is ``approx_percentile`` (GK sketch, single pass, mergeable) —
+    audited against its rank-error contract in
+    ``scale_ops_queries.quantile_sketch_audit``."""
     events = load_table(spark, sf_dir, "events")
     pct = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return events.groupBy("event_type").agg(

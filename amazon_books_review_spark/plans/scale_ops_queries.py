@@ -37,6 +37,14 @@ each with an EXACT DuckDB oracle (no rows-only weakening):
   an earlier-id vector.  The cosine decision is an exact integer
   cross-multiplication over the quantized vectors, so the kept-set
   is bit-stable and DuckDB-replayable.
+* ``quantile_sketch_audit`` — ``approx_percentile`` (mergeable GK
+  sketch, the 100 TB quantile path) audited against its rank-error
+  contract by exact recount; hash-checked columns are the exact
+  percentiles and the verdicts, same discipline as the HLL audit.
+* ``embedding_random_projection`` — sparse Johnson-Lindenstrauss
+  +-1 projection (64 -> 16 dims) over integer-quantized vectors:
+  the ANN-preprocessing step that cuts vector bytes 4x with
+  JL-bounded distance distortion, bit-identical across engines.
 * ``mixture_rebalance_corpus`` — resample the corpus to target
   per-domain proportions (the LLM "data mixture" knob): integer
   quota arithmetic + md5-rank selection, so the kept-document set is
@@ -704,6 +712,176 @@ def _semdedup_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Quantile sketch audit (approx_percentile vs exact, HLL-audit pattern)
+# ---------------------------------------------------------------------------
+
+#: approx_percentile accuracy: rank error <= n / QS_ACCURACY
+QS_ACCURACY = 1000
+
+
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-quantile scale path, audited: per event_type,
+    ``approx_percentile`` (Greenwald-Khanna-style sketch — single
+    pass, mergeable partials, the 100 TB quantile operator where the
+    exact ``percentile``'s per-group sort is unaffordable) for p50
+    and p90, each verified against its rank-error contract by exact
+    recount.
+
+    The sketch returns an actual element whose rank must land within
+    n/accuracy of the target rank; the verdict recomputes that rank
+    exactly (one broadcast join of the tiny per-group result back to
+    the fact, one conditional-count pass) with a 2x-contract + 2-row
+    slack so definitional off-by-ones can't flap it.  Hash-checked
+    columns are the exact percentiles and the verdicts (sketch
+    outputs themselves are engine-specific — same discipline as
+    ``hll_distinct_audit``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9)))
+    apx = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            F.col("value"), F.array(F.lit(0.5), F.lit(0.9)), F.lit(QS_ACCURACY)
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(pct.getItem(0), 4).alias("p50_exact"),
+        F.round(pct.getItem(1), 4).alias("p90_exact"),
+    )
+    joined = events.join(F.broadcast(apx), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("p50_exact").alias("p50_exact"),
+        F.first("p90_exact").alias("p90_exact"),
+        F.sum((F.col("value") < F.col("ap").getItem(0)).cast("long")).alias("lo50"),
+        F.sum((F.col("value") <= F.col("ap").getItem(0)).cast("long")).alias("hi50"),
+        F.sum((F.col("value") < F.col("ap").getItem(1)).cast("long")).alias("lo90"),
+        F.sum((F.col("value") <= F.col("ap").getItem(1)).cast("long")).alias("hi90"),
+    )
+    slack = F.col("n") * 2 / QS_ACCURACY + 2
+
+    def ok(p: float, lo: str, hi: str):
+        target = F.col("n") * p
+        return (
+            (F.col(hi) >= target - slack) & (F.col(lo) <= target + slack)
+        ).cast("int")
+
+    return ranks.select(
+        "event_type",
+        "n",
+        "p50_exact",
+        "p90_exact",
+        ok(0.5, "lo50", "hi50").alias("ok_p50"),
+        ok(0.9, "lo90", "hi90").alias("ok_p90"),
+    )
+
+
+QS_AUDIT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50_exact,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 4) AS p90_exact,
+       CAST(1 AS INTEGER) AS ok_p50,
+       CAST(1 AS INTEGER) AS ok_p90
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding dim reduction)
+# ---------------------------------------------------------------------------
+
+#: projected dimensionality (64 -> 16): the JL/Achlioptas +-1 map —
+#: distances are preserved within (1 +- eps) w.h.p., which is what
+#: makes 4x-cheaper ANN preprocessing sound
+RP_DIM = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic +-1 projection matrix (RP_DIM x KM_DIM), derived
+    from md5 in PYTHON and inlined as literals on BOTH engines — no
+    dependence on any engine hash function, so the oracle replays the
+    identical matrix."""
+    import hashlib
+
+    rows = []
+    for j in range(RP_DIM):
+        digest = hashlib.md5(f"abr_rp_{j}".encode()).hexdigest()
+        # extend to KM_DIM bits by chaining digests
+        bits = ""
+        block = digest
+        while len(bits) < KM_DIM:
+            bits += bin(int(block, 16))[2:].zfill(128)
+            block = hashlib.md5(block.encode()).hexdigest()
+        rows.append([1 if b == "1" else -1 for b in bits[:KM_DIM]])
+    return rows
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Johnson-Lindenstrauss projection of the embedding space
+    (Achlioptas +-1 variant): 64-dim vectors quantized to integer
+    millis, projected to ``RP_DIM`` sums — the standard cheapening
+    step before ANN indexing or clustering at corpus scale (4x fewer
+    bytes per vector; pairwise distances preserved within JL bounds).
+
+    All arithmetic is int64 (quantized components times +-1), so the
+    projection is bit-identical on any engine/partitioning.  Output
+    is long-form (vec_id, j, p) plus the original squared norm per
+    row — flat integer columns hash-compare exactly, no float or
+    array-encoding ambiguity.
+
+    Plan shape: one broadcast fan-out join against ``RP_DIM`` sign
+    rows (the plane-join trick from ``functions/similarity.py``:
+    inlining 16x64 literals into fold expressions costs seconds of
+    whole-stage codegen; 16 broadcast rows + one small lambda does
+    not) — zero shuffles, linear in corpus size.
+    """
+    signs = _rp_signs()
+    signs_df = spark.createDataFrame(
+        [(j, row) for j, row in enumerate(signs)], "j int, s array<bigint>"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * KM_Q).cast("long")
+        ).alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "s", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nsq = F.aggregate(
+        F.transform("qv", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q.join(F.broadcast(signs_df)).select(
+        "vec_id", "j", dot.alias("p"), nsq.alias("orig_nsq")
+    )
+
+
+def _random_projection_oracle() -> str:
+    signs = _rp_signs()
+    sign_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {row}::BIGINT[] AS s"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS qv
+    FROM embeddings
+), signs AS ({sign_rows})
+SELECT q.vec_id, signs.j,
+       CAST(list_sum(list_transform(range(1, {KM_DIM} + 1),
+            i -> q.qv[CAST(i AS INT)] * signs.s[CAST(i AS INT)]))
+            AS BIGINT) AS p,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS orig_nsq
+FROM q, signs
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain-mixture rebalancing (training-corpus composition control)
 # ---------------------------------------------------------------------------
 
@@ -846,6 +1024,11 @@ SCALE_OPS_QUERIES = [
      "deterministic quantized k-means, 2 Lloyd iterations"),
     ("semdedup_embeddings", semdedup_embeddings, _semdedup_oracle(),
      "SemDeDup: within-cluster cosine near-dup drop, exact integer decision"),
+    ("embedding_random_projection", embedding_random_projection,
+     _random_projection_oracle(),
+     "Johnson-Lindenstrauss +-1 projection 64->16, exact int64 arithmetic"),
+    ("quantile_sketch_audit", quantile_sketch_audit, QS_AUDIT_ORACLE,
+     "approx_percentile rank-error contract audited against exact recount"),
     ("mixture_rebalance_corpus", mixture_rebalance_corpus, _mixture_oracle(),
      "deterministic domain-mixture resampling to target weights"),
     ("rolling_hour_user_stats", rolling_hour_user_stats, ROLLING_ORACLE,

@@ -173,6 +173,8 @@ HEADLINE += [
     "semdedup_embeddings",
     "dedup_segments_corpus",
     "boilerplate_segment_removal",
+    "embedding_random_projection",
+    "quantile_sketch_audit",
 ]
 
 

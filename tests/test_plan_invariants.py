@@ -207,6 +207,13 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # cluster-id self-join (SMJ: both sides the full vec set) + the
     # droppers joined back (broadcast at test scale)
     "semdedup_embeddings": (6, 0, 0, 2),
+    # broadcast fan-out against 16 sign rows: the only Exchange pair
+    # is the BroadcastExchange itself — zero shuffles (BNLJ pair =
+    # the unconditioned broadcast cross join)
+    "embedding_random_projection": (2, 0, 2),
+    # sketch agg + tiny result broadcast back for the exact recount:
+    # two aggs, one BHJ, no SMJ
+    "quantile_sketch_audit": (6, 1, 0),
     # native aggs + pandas UDAF composed via broadcast join on the
     # tiny group key (GROUPED_AGG can't share an agg with JVM fns)
     "pandas_udf_doc_stats": (8, 1, 0),
