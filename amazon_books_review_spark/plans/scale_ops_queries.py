@@ -37,6 +37,11 @@ each with an EXACT DuckDB oracle (no rows-only weakening):
   an earlier-id vector.  The cosine decision is an exact integer
   cross-multiplication over the quantized vectors, so the kept-set
   is bit-stable and DuckDB-replayable.
+* ``triangle_count_copurchase`` — exact triangle count + global
+  clustering coefficient via the degree-oriented edge join
+  (compact-forward): O(E^1.5) under any degree skew, deterministic
+  orientation so DuckDB replays the exact count.  Correctness-only
+  in the bench (the TPC-H-ish co-purchase graph is dense at sf0.1).
 * ``quantile_sketch_audit`` — ``approx_percentile`` (mergeable GK
   sketch, the 100 TB quantile path) audited against its rank-error
   contract by exact recount; hash-checked columns are the exact
@@ -712,6 +717,110 @@ def _semdedup_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented, exact)
+# ---------------------------------------------------------------------------
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts sharing an order), the standard
+    graph-cohesion statistic next to PageRank/components.
+
+    Scale shape — the part that matters at 100 TB: the naive
+    id-ordered triangle join fans out by Σ deg² (a hub node's
+    neighborhood joins against itself), which a power-law graph turns
+    quadratic.  Orienting every edge from its (degree, id)-SMALLER
+    endpoint to the larger one ("compact-forward") caps each node's
+    out-degree at O(sqrt(E)), bounding the wedge join at O(E^1.5)
+    TOTAL regardless of skew — each triangle then appears exactly
+    once as a->b, b->c with check-edge a->c.  The orientation is a
+    total order, so the count is exact, and the tie-break by id makes
+    it deterministic — which is what lets DuckDB replay it.
+
+    Clustering coefficient is emitted in exact parts-per-million
+    (3T * 1e6 // wedges, truncating int division both engines) — no
+    float division in a hash-compared column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees AND orientation
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=True)  # three-way self-join input
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).alias("wedges"),
+        )
+    )
+    return counts.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.expr("(3 * n_triangles * 1000000) div wedges").alias("gcc_ppm"),
+    )
+
+
+TRIANGLE_ORACLE = """
+WITH lp AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+    ) GROUP BY node
+), oriented AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+    FROM und e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e1.b = e2.a
+    JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges,
+       tri.n_triangles,
+       CAST((3 * tri.n_triangles * 1000000)
+            // (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS gcc_ppm
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
 # Quantile sketch audit (approx_percentile vs exact, HLL-audit pattern)
 # ---------------------------------------------------------------------------
 
@@ -1029,6 +1138,8 @@ SCALE_OPS_QUERIES = [
      "Johnson-Lindenstrauss +-1 projection 64->16, exact int64 arithmetic"),
     ("quantile_sketch_audit", quantile_sketch_audit, QS_AUDIT_ORACLE,
      "approx_percentile rank-error contract audited against exact recount"),
+    ("triangle_count_copurchase", triangle_count_copurchase, TRIANGLE_ORACLE,
+     "degree-oriented exact triangle count + clustering coefficient (ppm)"),
     ("mixture_rebalance_corpus", mixture_rebalance_corpus, _mixture_oracle(),
      "deterministic domain-mixture resampling to target weights"),
     ("rolling_hour_user_stats", rolling_hour_user_stats, ROLLING_ORACLE,

@@ -175,6 +175,11 @@ HEADLINE += [
     "boilerplate_segment_removal",
     "embedding_random_projection",
     "quantile_sketch_audit",
+    # triangle_count_copurchase stays correctness-only: the TPC-H-ish
+    # co-purchase graph is DENSE (sf0.1: 1.2M edges over 20k parts,
+    # 148M wedges), so even the degree-oriented O(E^1.5) join carries
+    # a ~1e8-row intermediate — correct, driver-gate-fast at sf0.01,
+    # but not a workload for one shared 32-thread JVM at sf0.1.
 ]
 
 
