@@ -16,7 +16,14 @@ from amazon_books_review_spark.session import (  # noqa: E402
     get_session,
 )
 
-SF_SMOKE = "/root/testdata/sf0.001"
+import os  # noqa: E402
+
+#: override to run the whole suite at another scale, e.g. the
+#: driver's sf0.01 correctness gate:
+#:   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/
+SF_SMOKE = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
