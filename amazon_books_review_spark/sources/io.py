@@ -101,6 +101,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Parquet scan over a directory whose files were written under
+    DIFFERENT schema versions (columns added over time — the normal
+    state of a long-lived ingest table).
+
+    Production path: pass the CURRENT contract ``schema`` — old files
+    surface NULL for later-added columns, no footer merge needed, and
+    the read stays a plain pruned scan.  Discovery path (schema=None):
+    ``mergeSchema`` unions all file footers — correct but pays a
+    footer read per file at planning time, so at 100 TB it's a tool
+    for finding the contract, not for running under it.  (Column
+    REMOVALS or type changes are rejected by Spark's merge — handle
+    those as explicit migrations, e.g. a compaction rewrite.)
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -66,6 +66,30 @@ def data_file_stats(spark: SparkSession, path: str, suffix: str = ".parquet") ->
     return FileStats(n_files=n, total_bytes=total)
 
 
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Reprocess a slice of a partitioned table IN PLACE: overwrite
+    only the partitions present in ``df``, leaving every other
+    partition's files untouched (Spark's dynamic partition overwrite;
+    the open-source equivalent of Delta's ``replaceWhere``).
+
+    This is the backfill primitive at 100 TB — recomputing one bad
+    day must not rewrite (or even list) the other 3,649 days.  The
+    default ``static`` mode would TRUNCATE the whole table first;
+    the mode is pinned per-WRITE here (option, not session conf) so
+    a concurrent writer on the same session cannot be surprised.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
