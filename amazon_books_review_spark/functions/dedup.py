@@ -418,22 +418,27 @@ def connected_components(
         nbr_labels = sym.join(
             labels, sym["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), F.col("label"))
-        new_labels = (
+        # Fold the convergence check into the SAME materialization:
+        # the min-agg joins back to the old labels so the checkpointed
+        # frame carries a per-node changed flag — the subsequent
+        # convergence aggregate then scans the (tiny) checkpoint
+        # instead of paying a fresh join job per round.
+        merged = (
             labels.select("node", "label")
             .unionByName(nbr_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("new_label"))
+            .join(labels.select("node", F.col("label").alias("old_label")), "node")
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).cast("long").alias("ch"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = merged.agg(F.sum("ch")).first()[0]
+        labels = merged.select("node", "label")
+        if not changed:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 

@@ -45,6 +45,21 @@ def null_count_metric(col: str) -> Column:
     return F.sum(F.col(col).isNull().cast("long"))
 
 
+def observe_stream(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> DataFrame:
+    """Streaming form of :func:`with_observation`: attach named
+    aggregate metrics to a STREAMING DataFrame.  ``Observation``
+    objects are batch-only; streams use the string-name overload and
+    surface one metric row PER MICRO-BATCH in
+    ``StreamingQueryProgress.observedMetrics[name]`` — the hook
+    monitoring pipelines poll (or receive via StreamingQueryListener)
+    for per-batch quality gates without a second aggregation.
+    """
+    named = [col.alias(n) for n, col in metrics.items()]
+    return df.observe(name, *named)
+
+
 def corpus_ingest_audit(
     df: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, Observation]:

@@ -32,6 +32,39 @@ def test_corpus_ingest_audit_metrics_exact(spark, sf_dir):
     assert got["max_chars"] == expect["max_chars"]
 
 
+def test_streaming_observe_per_batch_metrics(spark, sf_dir, tmp_path):
+    """Streaming observe: per-micro-batch metrics must appear in
+    observedMetrics and sum to the exact input totals across the
+    availableNow drain."""
+    from amazon_books_review_spark.streaming.queries import _events_stream
+
+    stream = metrics.observe_stream(
+        _events_stream(spark, sf_dir),
+        "ingest",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_user": F.sum(F.col("user_id").isNull().cast("long")),
+        },
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen_rows = 0
+    seen_nulls = 0
+    for p in q.recentProgress:
+        om = p["observedMetrics"].get("ingest") if p.get("observedMetrics") else None
+        if om:
+            seen_rows += om["n_rows"]
+            seen_nulls += om["n_null_user"]
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert seen_rows == batch.count()
+    assert seen_nulls == batch.filter(F.col("user_id").isNull()).count()
+
+
 def test_observation_adds_no_scan_or_shuffle(spark, sf_dir):
     """The whole point: telemetry must ride the existing pass.  The
     observed plan gets a CollectMetrics node and NOTHING else — same
