@@ -81,6 +81,12 @@ QUERIES = [
     # is two linear shuffles.
     "semdedup_embeddings",
     "dedup_segments_corpus",
+    # round-6 fourth wave: all linear claims — boilerplate is two
+    # aggs + a join on segment text, projection is a broadcast
+    # fan-out map, the quantile audit is sketch agg + recount.
+    "boilerplate_segment_removal",
+    "embedding_random_projection",
+    "quantile_sketch_audit",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
