@@ -1,0 +1,272 @@
+"""Corpus-statistics queries: the whole-corpus aggregates a training
+pipeline derives *from* the data before it can curate the data —
+an inverted index, a unigram language model for importance scoring,
+BPE pair statistics (tokenizer training step 1), and group-normalized
+quality scores.
+
+These extend the reference surface (which has no corpus-level
+operators); each is a pure function of the parquet tables with an
+exact DuckDB oracle.  Tokenization matches `functions.text.tokens`
+(trim + split on ``\\s+``) lowercased, so Spark and DuckDB agree on
+token boundaries by construction.
+
+Scale notes are per-query; the shared discipline: nothing here ever
+collects a term list to the driver, hot-term skew is bounded either
+by capping per-term state (inverted index sample) or by aggregating
+to the (doc, term) / (word) grain before the term-keyed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.io import load_table
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str, distinct_per_doc: bool) -> DataFrame:
+    """(doc_id, term) pairs, lowercased whitespace tokens; optionally
+    distinct within each document (set semantics for the index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    if distinct_per_doc:
+        toks = F.array_distinct(toks)
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index with bounded per-term state
+# ---------------------------------------------------------------------------
+
+POSTINGS_SAMPLE_K = 8
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per term, the document frequency and the first
+    ``POSTINGS_SAMPLE_K`` doc_ids (comma-joined, ascending).
+
+    Scale design: one shuffle on ``term``.  ``df`` and the sample rank
+    both come from window functions over the same ``partitionBy(term)``
+    exchange, and the final ``groupBy(term)`` reuses that partitioning
+    (no second Exchange).  Per-term aggregation state is bounded at K
+    doc_ids — a hot term ("the") with 10^9 postings costs a count and
+    K rows, never a 10^9-element collect_list.  Full posting lists at
+    100 TB are a *layout* (sort by term, write bucketed), not a row.
+    """
+    pairs = _doc_terms(spark, sf_dir, distinct_per_doc=True)
+    w = Window.partitionBy("term")
+    ranked = pairs.select(
+        "term",
+        "doc_id",
+        F.count("*").over(w).alias("df"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    ).filter(F.col("rn") <= POSTINGS_SAMPLE_K)
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "postings_sample"
+            ),
+        )
+        .select("term", F.col("df").cast("long").alias("df"), "postings_sample")
+    )
+
+
+INVERTED_INDEX_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), nonempty AS (
+    SELECT * FROM pairs WHERE term <> ''
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTINGS_SAMPLE_K}], ',')
+           AS postings_sample
+FROM nonempty
+GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring (importance-sampling style data selection)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by its mean token log-probability under the
+    corpus's own unigram LM — the classic cheap perplexity proxy used
+    for quality filtering / importance sampling (CCNet-style, with the
+    corpus itself as the LM).
+
+    Scale design: tokens are aggregated to the (doc_id, term) grain
+    *before* the term-keyed join, so the join left side is one row per
+    distinct term per doc (sublinear in token count) and the right side
+    is one row per vocab term.  The vocab total is a 1-row broadcast.
+    Hot terms skew the term join's build side only by one row each.
+    """
+    tok = _doc_terms(spark, sf_dir, distinct_per_doc=False)
+    doc_tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    term_tf = tok.groupBy("term").agg(F.count("*").alias("gtf"))
+    total = term_tf.agg(F.sum("gtf").alias("total"))
+    scored = (
+        doc_tf.join(term_tf, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * (F.log("gtf") - F.log("total")))
+                / F.sum("tf")
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+UNIGRAM_ORACLE = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), nonempty AS (
+    SELECT * FROM tok WHERE term <> ''
+), doc_tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM nonempty GROUP BY doc_id, term
+), term_tf AS (
+    SELECT term, count(*) AS gtf FROM nonempty GROUP BY term
+), total AS (
+    SELECT sum(gtf) AS total FROM term_tf
+)
+SELECT d.doc_id,
+       CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+       round(sum(d.tf * (ln(t.gtf) - ln(total.total))) / sum(d.tf), 6)
+           AS avg_logprob
+FROM doc_tf d JOIN term_tf t USING (term) CROSS JOIN total
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer training, step 1)
+# ---------------------------------------------------------------------------
+
+BPE_MIN_PAIR_COUNT = 2
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word frequency —
+    the first merge-selection step of BPE tokenizer training.
+
+    Scale design: the corpus collapses to the distinct-word frequency
+    table first (the same reduction real BPE trainers make: vocab
+    candidates come from word *types*, weights from word *counts*), so
+    the pair explosion runs over |vocab| rows, not |corpus| tokens.
+    Pair generation is a Catalyst ``transform(sequence(...))`` — no
+    Python in the loop.
+    """
+    words = _doc_terms(spark, sf_dir, distinct_per_doc=False).select(
+        F.col("term").alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").alias("n_word"))
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "n_word",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n_word").cast("long").alias("n"))
+        .filter(F.col("n") >= BPE_MIN_PAIR_COUNT)
+    )
+    return pairs
+
+
+BPE_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+), wc AS (
+    SELECT word, count(*) AS n_word FROM tok
+    WHERE word <> '' GROUP BY word
+), pairs AS (
+    SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair,
+           n_word
+    FROM wc WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(n_word) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+HAVING sum(n_word) >= {BPE_MIN_PAIR_COUNT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group-normalized quality scores
+# ---------------------------------------------------------------------------
+
+
+def source_zscore_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source normalization of a raw quality signal (doc length):
+    z-score against the source's own mean/stddev plus the in-source
+    percentile rank.  Mixture curation compares documents *within* a
+    source, not across sources with different length distributions.
+
+    Scale design: one shuffle on ``source`` serves all three window
+    computations (mean, stddev, rank share the partitioning).  Source
+    cardinality is tiny, so this is the one place a skewed partition is
+    structural — at 100 TB the same query runs as a two-pass groupBy
+    (stats) + broadcast join back, which keeps partitions balanced;
+    both shapes are implemented in `operators/aggregates.py`-style
+    composition, the window form is used here because it is one job.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    mu = F.avg("n_chars").over(w)
+    sd = F.stddev_pop("n_chars").over(w)
+    z = F.when(sd > 0, (F.col("n_chars") - mu) / sd).otherwise(F.lit(0.0))
+    pr = F.percent_rank().over(w.orderBy("n_chars", "doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(z, 6).alias("z_len"),
+        F.round(pr, 9).alias("pct_rank_len"),
+    )
+
+
+ZSCORE_ORACLE = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       round(CASE WHEN stddev_pop(n_chars) OVER w > 0
+                  THEN (n_chars - avg(n_chars) OVER w)
+                       / stddev_pop(n_chars) OVER w
+                  ELSE 0.0 END, 6) AS z_len,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id), 9)
+           AS pct_rank_len
+FROM documents
+WINDOW w AS (PARTITION BY source)
+"""
+
+
+CORPUS_STATS_QUERIES = [
+    ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
+     "inverted index: df + bounded postings sample, one term shuffle"),
+    ("unigram_logprob_score", unigram_logprob_score, UNIGRAM_ORACLE,
+     "corpus unigram-LM mean token logprob per doc (perplexity proxy)"),
+    ("bpe_pair_counts", bpe_pair_counts, BPE_ORACLE,
+     "BPE training step 1: word-frequency-weighted adjacent char pairs"),
+    ("source_zscore_quality", source_zscore_quality, ZSCORE_ORACLE,
+     "per-source z-score + percentile rank of doc length"),
+]

@@ -22,6 +22,7 @@ from amazon_books_review_spark.plans.scale_ops_queries import SCALE_OPS_QUERIES
 from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
+from amazon_books_review_spark.plans.corpus_stats_queries import CORPUS_STATS_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -43,5 +44,6 @@ for _name, _fn, _oracle, _doc in (
     + PYDS_QUERIES
     + RESHAPE_QUERIES
     + SCALE_OPS_QUERIES
+    + CORPUS_STATS_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)
