@@ -107,12 +107,15 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: tokens are aggregated to the (doc_id, term) grain
     *before* the term-keyed join, so the join left side is one row per
     distinct term per doc (sublinear in token count) and the right side
-    is one row per vocab term.  The vocab total is a 1-row broadcast.
-    Hot terms skew the term join's build side only by one row each.
+    is one row per vocab term.  The vocab counts roll up from doc_tf
+    (sum of tf), not from a second pass over the raw token stream —
+    one explode, one shuffle of tokens, everything after runs on the
+    reduced grain.  The vocab total is a 1-row broadcast.  Hot terms
+    skew the term join's build side only by one row each.
     """
     tok = _doc_terms(spark, sf_dir, distinct_per_doc=False)
     doc_tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    term_tf = tok.groupBy("term").agg(F.count("*").alias("gtf"))
+    term_tf = doc_tf.groupBy("term").agg(F.sum("tf").alias("gtf"))
     total = term_tf.agg(F.sum("gtf").alias("total"))
     scored = (
         doc_tf.join(term_tf, "term")

@@ -175,6 +175,12 @@ HEADLINE += [
     "boilerplate_segment_removal",
     "embedding_random_projection",
     "quantile_sketch_audit",
+    # round-6 fifth wave: corpus statistics (inverted index, unigram
+    # LM scoring, BPE pair counts, group-normalized quality)
+    "inverted_index_postings",
+    "unigram_logprob_score",
+    "bpe_pair_counts",
+    "source_zscore_quality",
     # triangle_count_copurchase stays correctness-only: the TPC-H-ish
     # co-purchase graph is DENSE (sf0.1: 1.2M edges over 20k parts,
     # 148M wedges), so even the degree-oriented O(E^1.5) join carries

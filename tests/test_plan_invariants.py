@@ -217,6 +217,17 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # native aggs + pandas UDAF composed via broadcast join on the
     # tiny group key (GROUPED_AGG can't share an agg with JVM fns)
     "pandas_udf_doc_stats": (8, 1, 0),
+    # round-6 corpus statistics
+    # ONE term shuffle: both windows (df count + WindowGroupLimit rank)
+    # and the final groupBy share the partitioning
+    "inverted_index_postings": (2, 0, 0),
+    # (doc,term) agg + term-keyed rollup/join + doc-grain finish; the
+    # BNLJ pair is the 1-row vocab-total broadcast
+    "unigram_logprob_score": (18, 2, 2),
+    # corpus -> word-type freq table -> pair explode -> pair agg
+    "bpe_pair_counts": (4, 0, 0),
+    # ONE source shuffle serves mean/stddev/percent_rank windows
+    "source_zscore_quality": (2, 0, 0),
 }
 
 
