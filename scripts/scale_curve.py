@@ -87,6 +87,17 @@ QUERIES = [
     "boilerplate_segment_removal",
     "embedding_random_projection",
     "quantile_sketch_audit",
+    # round-6 fifth wave: corpus statistics.  All linear-in-tokens
+    # claims; the salted REPx corpus grows the vocabulary REPx too,
+    # so the term-keyed shuffles see REPx distinct keys (the
+    # inverted index's bounded-state cap and the unigram join's
+    # (doc,term)-grain reduce are what's under test).  zscore grows
+    # rows-per-source REPx at fixed source count — the structural
+    # window-skew case its docstring calls out.
+    "inverted_index_postings",
+    "unigram_logprob_score",
+    "bpe_pair_counts",
+    "source_zscore_quality",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
