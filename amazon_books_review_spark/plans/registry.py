@@ -23,6 +23,7 @@ from amazon_books_review_spark.plans.northstar_queries import NORTHSTAR_QUERIES
 from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
 from amazon_books_review_spark.plans.corpus_stats_queries import CORPUS_STATS_QUERIES
+from amazon_books_review_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -45,5 +46,6 @@ for _name, _fn, _oracle, _doc in (
     + RESHAPE_QUERIES
     + SCALE_OPS_QUERIES
     + CORPUS_STATS_QUERIES
+    + BEHAVIOR_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

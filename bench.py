@@ -181,6 +181,11 @@ HEADLINE += [
     "unigram_logprob_score",
     "bpe_pair_counts",
     "source_zscore_quality",
+    # round-6 sixth wave: behavioral analytics + entity resolution
+    "funnel_conversion",
+    "event_transition_matrix",
+    "cohort_retention_weekly",
+    "fuzzy_name_matches",
     # triangle_count_copurchase stays correctness-only: the TPC-H-ish
     # co-purchase graph is DENSE (sf0.1: 1.2M edges over 20k parts,
     # 148M wedges), so even the degree-oriented O(E^1.5) join carries

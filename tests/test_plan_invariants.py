@@ -228,6 +228,15 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "bpe_pair_counts": (4, 0, 0),
     # ONE source shuffle serves mean/stddev/percent_rank windows
     "source_zscore_quality": (2, 0, 0),
+    # round-6 behavioral analytics + ER
+    # ONE user shuffle, three chained stage windows, no self-joins
+    "funnel_conversion": (2, 0, 0),
+    # lead() window shuffle + the |types|^2 rollup
+    "event_transition_matrix": (4, 0, 0),
+    # user window + keyed-distinct/rollup pair
+    "cohort_retention_weekly": (4, 0, 0),
+    # name-type distinct + broadcast block join (vocab-bounded)
+    "fuzzy_name_matches": (6, 2, 0),
 }
 
 
