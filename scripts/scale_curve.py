@@ -98,6 +98,13 @@ QUERIES = [
     "unigram_logprob_score",
     "bpe_pair_counts",
     "source_zscore_quality",
+    # round-6 sixth wave: behavioral analytics (events scale by USER
+    # count — the partition-by-user window claims) + blocked ER
+    # (name vocabulary fixed => flat curve is the expected shape).
+    "funnel_conversion",
+    "event_transition_matrix",
+    "cohort_retention_weekly",
+    "fuzzy_name_matches",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
