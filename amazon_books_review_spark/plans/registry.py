@@ -24,6 +24,7 @@ from amazon_books_review_spark.plans.reference_queries import REFERENCE_QUERIES
 from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
 from amazon_books_review_spark.plans.corpus_stats_queries import CORPUS_STATS_QUERIES
 from amazon_books_review_spark.plans.behavior_queries import BEHAVIOR_QUERIES
+from amazon_books_review_spark.plans.sqlsurface_queries import SQLSURFACE_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -47,5 +48,6 @@ for _name, _fn, _oracle, _doc in (
     + SCALE_OPS_QUERIES
     + CORPUS_STATS_QUERIES
     + BEHAVIOR_QUERIES
+    + SQLSURFACE_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

@@ -1,0 +1,193 @@
+"""Modern-SQL-surface queries: recursive CTE graph reachability, a
+gap-filled date spine, and parameterized SQL.
+
+These exercise the Spark 4 SQL features an engine-parity user expects
+(`WITH RECURSIVE`, named parameter markers) plus the time-series
+gap-fill every calendar rollup needs.  Each has an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# Gap-filled date spine
+# ---------------------------------------------------------------------------
+
+
+def date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts with missing calendar days filled with 0 —
+    the standard date-spine pattern for time-series rollups.
+
+    Scale design: the spine is ``explode(sequence(min, max))`` off a
+    1-row bounds aggregate — calendar-sized (thousands of rows per
+    decade), never fact-sized — and the daily rollup is a partial-agg
+    groupBy on the fact.  The gap-fill join is spine(left, tiny) ⋈
+    daily(agg output, day-cardinality): broadcastable on either side,
+    zero fact re-shuffles.  The anti-pattern this replaces is
+    generating the spine driver-side and parallelizing a Python list.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+DATE_SPINE_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+           CAST(max(o_orderdate) AS DATE) AS d1
+    FROM orders
+), spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+), daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(d.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: bounded-hop reachability on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+REACH_MAX_HOPS = 2
+
+
+def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts reachable from the smallest partkey within 2 co-purchase
+    hops, via Spark 4's ``WITH RECURSIVE`` — min-hop BFS expressed in
+    pure SQL.  Edge semantics match ``pagerank_copurchase``
+    (`plans/scale_ops_queries.py`): distinct same-order part pairs.
+
+    Scale notes: Spark 4.1 supports only UNION ALL recursion (probed:
+    UNION-distinct raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    the frontier does NOT dedup between iterations — duplicate paths
+    multiply by ~avg-degree per hop, which is why the hop bound is 2
+    and why unbounded traversals (connected components) use the
+    iterative DataFrame loop with per-round dedup + localCheckpoint
+    in `functions/dedup.connected_components` instead.  The final
+    min-hop GROUP BY collapses the path multiset.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_orderkey", "l_partkey").createOrReplaceTempView("abr_reach_lp")
+    return spark.sql(
+        f"""
+        WITH lp AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM abr_reach_lp
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ), seed AS (
+            SELECT min(l_partkey) AS p FROM lp
+        )
+        SELECT partkey, CAST(min(hops) AS INT) AS hops FROM (
+            WITH RECURSIVE reach(partkey, hops) AS (
+                SELECT p, 0 FROM seed
+                UNION ALL
+                SELECT e.dst, r.hops + 1
+                FROM reach r JOIN edges e ON e.src = r.partkey
+                WHERE r.hops < {REACH_MAX_HOPS}
+            )
+            SELECT * FROM reach
+        )
+        GROUP BY partkey
+        """
+    )
+
+
+REACH_ORACLE = f"""
+WITH RECURSIVE lp AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey
+), seed AS (
+    SELECT min(l_partkey) AS p FROM lp
+), reach(partkey, hops) AS (
+    SELECT p, 0 FROM seed
+    UNION ALL
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN edges e ON e.src = r.partkey
+    WHERE r.hops < {REACH_MAX_HOPS}
+)
+SELECT partkey, CAST(min(hops) AS INTEGER) AS hops
+FROM reach GROUP BY partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named parameter markers)
+# ---------------------------------------------------------------------------
+
+PARAM_CUTOFF = "1996-01-01"
+PARAM_STATUS = "O"
+
+
+def parameterized_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship-style rollup issued through ``spark.sql`` named
+    parameter markers (`:cutoff`, `:status`) — the injection-safe
+    templating surface; parameters bind as literals so Catalyst still
+    constant-folds and pushes the predicate into the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("abr_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM abr_param_orders
+        WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": PARAM_CUTOFF, "status": PARAM_STATUS},
+    )
+
+
+PARAM_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{PARAM_CUTOFF} 00:00:00'
+  AND o_orderstatus = '{PARAM_STATUS}'
+GROUP BY o_orderpriority
+"""
+
+
+SQLSURFACE_QUERIES = [
+    ("date_spine_gapfill", date_spine_gapfill, DATE_SPINE_ORACLE,
+     "calendar spine via explode(sequence) + 0-filled daily rollup"),
+    ("copurchase_reach", copurchase_reach, REACH_ORACLE,
+     "WITH RECURSIVE bounded-hop BFS over co-purchase edges"),
+    ("parameterized_order_rollup", parameterized_order_rollup, PARAM_ORACLE,
+     "named-parameter spark.sql with pushed, constant-folded binds"),
+]

@@ -186,6 +186,11 @@ HEADLINE += [
     "event_transition_matrix",
     "cohort_retention_weekly",
     "fuzzy_name_matches",
+    # round-6 seventh wave: modern SQL surface (recursive CTE pays the
+    # same edge-derivation self-join pagerank does — ~6s of its ~7s)
+    "date_spine_gapfill",
+    "copurchase_reach",
+    "parameterized_order_rollup",
     # triangle_count_copurchase stays correctness-only: the TPC-H-ish
     # co-purchase graph is DENSE (sf0.1: 1.2M edges over 20k parts,
     # 148M wedges), so even the degree-oriented O(E^1.5) join carries

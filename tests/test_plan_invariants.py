@@ -237,6 +237,14 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
     "fuzzy_name_matches": (6, 2, 0),
+    # round-6 SQL-surface wave
+    # calendar-sized spine + day-cardinality rollup, both broadcastable
+    "date_spine_gapfill": (6, 2, 0),
+    # recursive-CTE internals hide inside the UnionLoop node (static
+    # formatted plan shows only the outer agg pair); generous cap
+    "copurchase_reach": (12, 0, 0),
+    # parameter binds constant-fold: pushed scan + one agg pair
+    "parameterized_order_rollup": (2, 0, 0),
 }
 
 
