@@ -1,0 +1,200 @@
+"""Data-governance queries: k-anonymity audit, train/val label-drift
+(KL contributions), and MAD-based robust outlier flags.
+
+The compliance/monitoring layer of a production data platform — the
+reference has none of it; each query here is a pure function of the
+tables with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+ACCTBAL_BAND = 1000
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group sizes over the quasi-identifier tuple (nation, market
+    segment, account-balance band) with an ``at_risk`` flag for groups
+    smaller than k=5 — the standard re-identification audit run before
+    releasing a dataset.
+
+    Scale design: one shuffle on the quasi-identifier tuple with full
+    partial aggregation; the band coarsening (fixed-width buckets, not
+    data-dependent quantiles) keeps the bucketing map-side and
+    deterministic across releases.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("long")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            band.alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "nationkey",
+            "mktsegment",
+            "acctbal_band",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") < K_ANON).cast("int").alias("at_risk"),
+        )
+    )
+
+
+K_ANON_ORACLE = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       CAST(floor(c_acctbal / {ACCTBAL_BAND}) AS BIGINT) AS acctbal_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) < {K_ANON} AS INTEGER) AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/val label drift (KL divergence contributions)
+# ---------------------------------------------------------------------------
+
+DRIFT_MOD = 10
+DRIFT_TRAIN_LT = 8  # vec_id % 10 < 8 -> train, else val
+
+
+def label_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label probability mass in a deterministic train/val split of
+    the embeddings table, with each label's contribution to
+    KL(train || val) — the dataset-monitoring check that a split (or a
+    new snapshot) didn't shift the label distribution.
+
+    Scale design: one groupBy on ``label`` computing both split counts
+    as conditional sums (single pass); the two split totals ride the
+    same tiny aggregate and broadcast back — the fact table is read
+    once and never re-shuffled.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", (F.col("vec_id") % DRIFT_MOD < DRIFT_TRAIN_LT).alias("is_train")
+    )
+    per_label = emb.groupBy("label").agg(
+        F.sum(F.col("is_train").cast("long")).alias("n_train"),
+        F.sum((~F.col("is_train")).cast("long")).alias("n_val"),
+    )
+    totals = per_label.agg(
+        F.sum("n_train").alias("tot_train"), F.sum("n_val").alias("tot_val")
+    )
+    p_train = F.col("n_train") / F.col("tot_train")
+    p_val = F.col("n_val") / F.col("tot_val")
+    kl_term = F.when(
+        (F.col("n_train") > 0) & (F.col("n_val") > 0),
+        p_train * (F.log(p_train) - F.log(p_val)),
+    ).otherwise(F.lit(None))
+    return (
+        per_label.join(F.broadcast(totals))
+        .select(
+            "label",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_val").cast("long").alias("n_val"),
+            F.round(p_train, 6).alias("p_train"),
+            F.round(p_val, 6).alias("p_val"),
+            F.round(kl_term, 6).alias("kl_term"),
+        )
+    )
+
+
+DRIFT_ORACLE = f"""
+WITH per_label AS (
+    SELECT label,
+           sum(CASE WHEN vec_id % {DRIFT_MOD} < {DRIFT_TRAIN_LT} THEN 1 ELSE 0 END)
+               AS n_train,
+           sum(CASE WHEN vec_id % {DRIFT_MOD} < {DRIFT_TRAIN_LT} THEN 0 ELSE 1 END)
+               AS n_val
+    FROM embeddings GROUP BY label
+), totals AS (
+    SELECT sum(n_train) AS tot_train, sum(n_val) AS tot_val FROM per_label
+)
+SELECT label,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_val AS BIGINT) AS n_val,
+       round(n_train / tot_train, 6) AS p_train,
+       round(n_val / tot_val, 6) AS p_val,
+       round(CASE WHEN n_train > 0 AND n_val > 0
+                  THEN (n_train / tot_train)
+                       * (ln(n_train / tot_train) - ln(n_val / tot_val))
+                  END, 6) AS kl_term
+FROM per_label CROSS JOIN totals
+"""
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier flags
+# ---------------------------------------------------------------------------
+
+MAD_CUTOFF = 3.0
+
+
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose ``value`` deviates from the per-type median by more
+    than 3 robust z-units (|value - median| / MAD) — median/MAD outlier
+    detection, immune to the heavy tails that break mean/stddev rules.
+
+    Scale design: two grouped exact-percentile aggregates over the
+    ``event_type`` key (median, then MAD of the absolute deviations)
+    with the per-type statistics broadcast back to the fact rows —
+    event_type cardinality is tiny, so the fact shuffles twice on a
+    5-value key and never self-joins.  At 100 TB swap the exact
+    ``percentile`` for ``approx_percentile`` (the mergeable-sketch
+    trade `value_percentiles` documents).
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    z = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("z_mad", F.round(z, 6))
+        .filter(F.col("z_mad") > MAD_CUTOFF)
+        .select("event_id", "event_type", "value", "z_mad")
+    )
+
+
+MAD_ORACLE = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(abs(e.value - m.med) / d.mad, 6) AS z_mad
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND round(abs(e.value - m.med) / d.mad, 6) > {MAD_CUTOFF}
+"""
+
+
+GOVERNANCE_QUERIES = [
+    ("k_anonymity_audit", k_anonymity_audit, K_ANON_ORACLE,
+     "quasi-identifier group sizes with k<5 re-identification flags"),
+    ("label_drift_kl", label_drift_kl, DRIFT_ORACLE,
+     "train/val label distribution drift as per-label KL contributions"),
+    ("mad_outlier_flags", mad_outlier_flags, MAD_ORACLE,
+     "median/MAD robust outliers per event type"),
+]

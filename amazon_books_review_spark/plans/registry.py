@@ -25,6 +25,7 @@ from amazon_books_review_spark.plans.traindata_queries import TRAINDATA_QUERIES
 from amazon_books_review_spark.plans.corpus_stats_queries import CORPUS_STATS_QUERIES
 from amazon_books_review_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 from amazon_books_review_spark.plans.sqlsurface_queries import SQLSURFACE_QUERIES
+from amazon_books_review_spark.plans.governance_queries import GOVERNANCE_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -49,5 +50,6 @@ for _name, _fn, _oracle, _doc in (
     + CORPUS_STATS_QUERIES
     + BEHAVIOR_QUERIES
     + SQLSURFACE_QUERIES
+    + GOVERNANCE_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

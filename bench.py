@@ -191,6 +191,10 @@ HEADLINE += [
     "date_spine_gapfill",
     "copurchase_reach",
     "parameterized_order_rollup",
+    # round-6 eighth wave: data governance
+    "k_anonymity_audit",
+    "label_drift_kl",
+    "mad_outlier_flags",
     # triangle_count_copurchase stays correctness-only: the TPC-H-ish
     # co-purchase graph is DENSE (sf0.1: 1.2M edges over 20k parts,
     # 148M wedges), so even the degree-oriented O(E^1.5) join carries

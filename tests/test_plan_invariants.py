@@ -245,6 +245,13 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "copurchase_reach": (12, 0, 0),
     # parameter binds constant-fold: pushed scan + one agg pair
     "parameterized_order_rollup": (2, 0, 0),
+    # round-6 governance wave
+    # ONE quasi-identifier shuffle, map-side band bucketing
+    "k_anonymity_audit": (2, 0, 0),
+    # label groupBy + 1-row totals broadcast (the BNLJ pair)
+    "label_drift_kl": (8, 0, 2),
+    # two tiny-key percentile aggs broadcast back to fact rows
+    "mad_outlier_flags": (12, 6, 0),
 }
 
 
