@@ -105,6 +105,17 @@ QUERIES = [
     "event_transition_matrix",
     "cohort_retention_weekly",
     "fuzzy_name_matches",
+    # round-6 governance + SQL-surface waves.  MAD scales with event
+    # rows (tiny-key percentile aggs), label drift with embeddings;
+    # the date spine is calendar-bounded (flat curve expected).
+    # k_anonymity_audit is NOT here: customer is a passthrough table
+    # in this synthesis, so its 10x run would read 1x data.
+    # copurchase_reach is excluded like triangle_count: its
+    # edge-derivation self-join is pagerank's, already on the curve
+    # via pagerank_copurchase.
+    "label_drift_kl",
+    "mad_outlier_flags",
+    "date_spine_gapfill",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
