@@ -144,9 +144,30 @@ _DRIVER_ROWS: dict[str, tuple[int, str]] = _scan_correctness_artifacts()
 DRIVER_VERIFIED: dict[str, int] = {n: rnd for n, (rnd, _kind) in _DRIVER_ROWS.items()}
 
 
+#: Window pins (round 6): the three watermark streaming queries broke
+#: in round 5's environment (TIMESTAMP_NTZ drift in events.ts) and were
+#: fixed this round.  Their r4 green rows predate the fix, so the
+#: regreen needs a HARD CORRECTNESS row now — they re-enter the window
+#: under canonical names ahead of the staleness rotation (VERDICT r5
+#: "Next round" #1 grades exactly this).  The window holds 50; with 49
+#: never-verified round-6 additions, pinning pushes the alphabetical
+#: tail of the pending set (the two warcish_* queries, covered by
+#: tests/test_warcish.py) to the r7 window.  Remove the pins once
+#: CORRECTNESS_r06.json records their green rows.
+DRIVER_PIN: frozenset = frozenset(
+    {
+        "streaming_windowed_counts",
+        "streaming_stream_stream_join",
+        "streaming_dedup_events",
+    }
+)
+
+
 def driver_name(name: str) -> str:
     """Registration name as exposed to the driver for this round."""
     _load_all()  # the rows-only special case below consults the registry
+    if name in DRIVER_PIN:
+        return name
     info = _DRIVER_ROWS.get(name)
     if info is None:
         return name

@@ -67,13 +67,30 @@ def render() -> str:
         in_win = "yes" if driver_name(name) in window else ""
         lines.append(f"| `{name}` | {kind} | {status} | {in_win} |")
     total = len(all_queries())
+    from amazon_books_review_spark.plans.catalog import DRIVER_PIN
+
+    pins = sorted(DRIVER_PIN & set(DRIVER_VERIFIED))
+    overflow = sorted(
+        n for n in all_queries() if n not in DRIVER_VERIFIED and n not in window
+    )
     lines += [
         "",
         f"{total} queries: {total - pending} driver-green at least once, "
         f"{pending} pending (all inside the next round's window: "
-        f"{'yes' if all(n in window for n in all_queries() if n not in DRIVER_VERIFIED) else 'NO'}).",
-        "",
+        f"{'yes' if not overflow else 'NO'}).",
     ]
+    if pins:
+        lines.append(
+            f"Window pins (forced re-verify after the r5 NTZ regression fix): "
+            + ", ".join(f"`{p}`" for p in pins) + "."
+        )
+    if overflow:
+        lines.append(
+            "Pin overflow — pending names deferred to the following round "
+            "(local-parity green meanwhile): "
+            + ", ".join(f"`{p}`" for p in overflow) + "."
+        )
+    lines.append("")
     return "\n".join(lines)
 
 

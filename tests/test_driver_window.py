@@ -27,6 +27,7 @@ import json
 from pathlib import Path
 
 from amazon_books_review_spark.plans.catalog import (
+    DRIVER_PIN,
     DRIVER_VERIFIED,
     all_oracles,
     all_queries,
@@ -109,24 +110,41 @@ def test_iteration_order_is_alphabetical():
 def test_unverified_queries_fit_in_driver_window():
     # The driver consumes ITERATION order — assert on the iteration prefix,
     # not a re-sort (re-sorting here is exactly what masked the r3 failure).
+    # DRIVER_PIN entries occupy slots under canonical names even though
+    # verified, so up to len(pins) unverified names may overflow to the
+    # next round — but ONLY the alphabetical tail, nothing else.
     window = list(driver_queries())[:WINDOW]
     unverified = [n for n in all_queries() if n not in DRIVER_VERIFIED]
+    pins_applied = sorted(DRIVER_PIN & set(DRIVER_VERIFIED))
     assert len(unverified) <= WINDOW, (
         f"{len(unverified)} unverified queries cannot all fit in the "
         f"{WINDOW}-row window — trim additions this round"
     )
-    outside = [n for n in unverified if n not in window]
-    assert not outside, (
+    outside = sorted(n for n in unverified if n not in window)
+    assert len(outside) <= len(pins_applied), (
         f"{len(outside)} unverified queries fall outside the driver's "
-        f"{WINDOW}-row iteration-order window: {outside}"
+        f"{WINDOW}-row window but only {len(pins_applied)} pin slots "
+        f"explain an overflow: {outside}"
     )
+    # overflow must be exactly the alphabetical tail of the pending set
+    expected_tail = sorted(unverified)[len(unverified) - len(outside):]
+    assert outside == expected_tail, (
+        f"window overflow {outside} is not the alphabetical tail "
+        f"{expected_tail} — the rotation is mis-sorting"
+    )
+    for pin in pins_applied:
+        assert pin in window, f"pinned query {pin} missing from the window"
 
 
 def test_remaining_window_slots_go_to_stalest_verified():
     window = list(driver_queries())[:WINDOW]
     rounds_in = [DRIVER_VERIFIED[canonical_name(k)] for k in window if k.startswith("zz_")]
     rounds_out = [
-        DRIVER_VERIFIED[canonical_name(k)] for k in list(driver_queries())[WINDOW:]
+        DRIVER_VERIFIED[canonical_name(k)]
+        for k in list(driver_queries())[WINDOW:]
+        # pin-overflow pending names sit past the window without a
+        # verified round; they are covered by the overflow test above
+        if canonical_name(k) in DRIVER_VERIFIED
     ]
     # every verified name inside the window is at least as stale as any outside
     if rounds_in and rounds_out:
@@ -145,9 +163,14 @@ def test_spark_entry_simulated_driver_window():
     consumed = [k for k, _fn in list(q.items())[:WINDOW]]
     unverified = {n for n in all_queries() if n not in DRIVER_VERIFIED}
     missing = unverified - set(consumed)
-    assert not missing, (
+    pins_applied = DRIVER_PIN & set(DRIVER_VERIFIED)
+    assert len(missing) <= len(pins_applied) and missing == set(
+        sorted(unverified)[len(unverified) - len(missing):]
+    ), (
         f"driver would NOT verify these never-verified queries: {sorted(missing)}"
     )
+    for pin in pins_applied:
+        assert pin in consumed, f"pinned {pin} not consumed by the driver"
     # Every window entry must carry a hard oracle unless it is on the
     # explicit rows-only allowlist — a new oracle-less registration
     # would otherwise silently consume a hard-gate slot for a weaker
