@@ -93,25 +93,28 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     in `functions/dedup.connected_components` instead.  The final
     min-hop GROUP BY collapses the path multiset.
     """
+    from amazon_books_review_spark.plans.scale_ops_queries import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    li.select("l_orderkey", "l_partkey").createOrReplaceTempView("abr_reach_lp")
+    li.select("l_partkey").createOrReplaceTempView("abr_reach_parts")
+    # edge derivation shares pagerank's bounded-fanout set-explode form
+    # (one order-key shuffle, no fact self-join) and is checkpointed so
+    # each recursion step reads the materialized edge set instead of
+    # re-deriving it per hop (temp views inline into the loop body)
+    copurchase_edges(li, directed=True).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("abr_reach_edges")
     return spark.sql(
         f"""
-        WITH lp AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM abr_reach_lp
-        ), edges AS (
-            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-            FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
-            WHERE a.l_partkey <> b.l_partkey
-        ), seed AS (
-            SELECT min(l_partkey) AS p FROM lp
+        WITH seed AS (
+            SELECT min(l_partkey) AS p FROM abr_reach_parts
         )
         SELECT partkey, CAST(min(hops) AS INT) AS hops FROM (
             WITH RECURSIVE reach(partkey, hops) AS (
                 SELECT p, 0 FROM seed
                 UNION ALL
-                SELECT e.dst, r.hops + 1
-                FROM reach r JOIN edges e ON e.src = r.partkey
+                SELECT /*+ SHUFFLE_HASH(e) */ e.dst, r.hops + 1
+                FROM reach r JOIN abr_reach_edges e ON e.src = r.partkey
                 WHERE r.hops < {REACH_MAX_HOPS}
             )
             SELECT * FROM reach
