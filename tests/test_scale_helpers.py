@@ -232,3 +232,31 @@ def test_observation_single_pass_metrics(spark):
     assert got["rows"] == orders.count()
     assert got["null_status"] == 0
     assert got["total"] > 0
+
+
+def test_copurchase_edges_match_self_join(spark):
+    """The set-explode edge derivation must emit exactly the edge set
+    of the reference fact self-join, in both orientations (the 1.6x
+    speedup is only valid because the sets are identical)."""
+    import pyspark.sql.functions as F
+
+    from amazon_books_review_spark.plans.scale_ops_queries import copurchase_edges
+    from amazon_books_review_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    ref_directed = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    got_directed = copurchase_edges(li, directed=True)
+    assert got_directed.exceptAll(ref_directed).count() == 0
+    assert ref_directed.exceptAll(got_directed).count() == 0
+
+    got_und = copurchase_edges(li, directed=False)
+    assert got_und.filter(F.col("u") >= F.col("v")).count() == 0
+    assert got_und.count() * 2 == got_directed.count()
