@@ -368,3 +368,62 @@ def test_streaming_medallion_incremental_resume(spark, tmp_path, cleaned_inputs)
         for r in second["gold"].collect()
     }
     assert gold[("Old Tome", "History")] == 2  # B3 + B3b
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """ST5 hard evidence: an event arriving AFTER the watermark passed
+    its (already-finalized) window is dropped — the append-mode sink
+    shows the window exactly once, with the on-time count only.
+
+    Two sequential drains against one checkpoint: the first advances
+    the watermark past window W and emits W; the second feeds a late
+    event inside W plus a fresh event.  A broken watermark would
+    re-emit W (duplicate row) or inflate its count.
+    """
+    from pyspark.sql import Row
+
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream,
+    )
+
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def rows(*epoch_s):
+        return spark.createDataFrame([Row(epoch_s=e) for e in epoch_s])
+
+    base = 1_700_000_400  # fixed epoch anchor, multiple of the window size
+
+    def drain():
+        stream = read_stream_parquet(
+            spark, src, rows(0).schema
+        )
+        agg = (
+            stream.withColumn("ts", F.timestamp_seconds("epoch_s"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("long").alias("start_s"), "n")
+        )
+        write_stream(agg, sink, ckpt, output_mode="append").awaitTermination()
+
+    # drain 1: two on-time events in window W=[base, base+300), plus one
+    # an hour later -> watermark = base+3600-600, W finalizes with n=2
+    rows(base + 10, base + 20, base + 3600).write.mode("append").parquet(src)
+    drain()
+    first = {r.start_s: r.n for r in spark.read.parquet(sink).collect()}
+    assert first.get(base) == 2
+
+    # drain 2: a LATE event inside W (far below the persisted watermark)
+    # and a fresh one two hours out (closes the +3600 window too)
+    rows(base + 30, base + 7200).write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink).collect()
+    got = {}
+    for r in out:
+        assert r.start_s not in got, f"window {r.start_s} emitted twice"
+        got[r.start_s] = r.n
+    assert got[base] == 2, "late event leaked into the finalized window"
+    assert got[base + 3600] == 1
