@@ -68,3 +68,49 @@ def test_drop_table(spark):
     assert spark.catalog.tableExists("tc_drop_me")
     tc.drop_table(spark, "tc_drop_me")
     assert not spark.catalog.tableExists("tc_drop_me")
+
+
+def test_analyze_statistics_feed_cbo(spark):
+    """C5+ (scale posture): ANALYZE TABLE table+column statistics land
+    in the metastore and the cost-based optimizer consumes them —
+    `EXPLAIN COST` shows the analyzed rowCount, which is what join-side
+    selection and AQE sizing key off at cluster scale."""
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS STRING) AS s"
+    )
+    tc.save_as_table(df, "tc_stats_table")
+    try:
+        spark.sql("ANALYZE TABLE tc_stats_table COMPUTE STATISTICS")
+        spark.sql(
+            "ANALYZE TABLE tc_stats_table COMPUTE STATISTICS FOR COLUMNS id, k"
+        )
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED tc_stats_table").collect()
+        }
+        assert "Statistics" in desc and "1000 rows" in desc["Statistics"]
+        coldesc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED tc_stats_table id"
+            ).collect()
+        }
+        assert coldesc.get("min") == "0" and coldesc.get("max") == "999"
+        assert coldesc.get("distinct_count") not in (None, "NULL")
+
+        old = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            cost = spark.sql(
+                "EXPLAIN COST SELECT k, count(*) FROM tc_stats_table "
+                "WHERE id < 100 GROUP BY k"
+            ).collect()[0][0]
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+        # relation carries the analyzed count; the filter estimate
+        # (~101 of 1000) comes from the id min/max column stats —
+        # proof CBO consumed them, not just that ANALYZE ran
+        assert "rowCount=1.00E+3" in cost
+        assert "rowCount=101" in cost
+    finally:
+        tc.drop_table(spark, "tc_stats_table")
