@@ -125,3 +125,29 @@ def test_json_malformed_quarantine(spark, tmp_path):
         assert df.filter(F.col("id").isNotNull()).count() == 2
     finally:
         df.unpersist()
+
+
+def test_sql_sugar_surfaces(spark):
+    """GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT / IDENTIFIER() —
+    the Spark 4 SQL conveniences an engine-parity user expects; the
+    IDENTIFIER clause is the injection-safe companion to the named
+    parameter markers in `parameterized_order_rollup`."""
+    spark.range(6).selectExpr("id", "id % 3 AS k", "id * 2 AS v").createOrReplaceTempView(
+        "abr_sugar"
+    )
+    got = {
+        (r.k, r[1])
+        for r in spark.sql(
+            "SELECT k, count(*) FROM abr_sugar GROUP BY ALL"
+        ).collect()
+    }
+    assert got == {(0, 2), (1, 2), (2, 2)}
+    ordered = spark.sql("SELECT k, id FROM abr_sugar ORDER BY ALL").collect()
+    assert [(r.k, r.id) for r in ordered] == sorted((i % 3, i) for i in range(6))
+    cols = spark.sql("SELECT * EXCEPT (v) FROM abr_sugar").columns
+    assert cols == ["id", "k"]
+    n = spark.sql(
+        "SELECT count(*) AS n FROM IDENTIFIER(:tbl)", args={"tbl": "abr_sugar"}
+    ).collect()[0].n
+    assert n == 6
+    spark.catalog.dropTempView("abr_sugar")
