@@ -243,3 +243,144 @@ def test_mg_sketch_union_contains_all_heavy_hitters(noise, heavy_draw, n_parts):
         counts[w] = counts.get(w, 0) + 1
     heavy = {w for w, c in counts.items() if c * (so.MG_CAPACITY + 1) > n}
     assert heavy <= candidates, f"lost heavy hitters: {heavy - candidates}"
+
+
+# --- round-6 analytics operators vs plain-Python references ---------------
+
+event_streams = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user_id
+        st.integers(0, 50),                     # epoch seconds (dense -> ties)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _py_funnel(rows):
+    """Reference funnel: first view, first click >= that view, first
+    purchase >= that click — per user, ties allowed (>=)."""
+    out = {}
+    for uid in {r[0] for r in rows}:
+        evs = sorted((t, e) for u, t, e in rows if u == uid)
+        t_view = min((t for t, e in evs if e == "view"), default=None)
+        t_click = (
+            min((t for t, e in evs if e == "click" and t >= t_view), default=None)
+            if t_view is not None else None
+        )
+        t_purch = (
+            min((t for t, e in evs if e == "purchase" and t >= t_click), default=None)
+            if t_click is not None else None
+        )
+        out[uid] = (t_view, t_click, t_purch)
+    return out
+
+
+@given(rows=event_streams)
+@settings(**_SETTINGS)
+def test_funnel_matches_python_reference(spark, rows):
+    from pyspark.sql import Window
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [Row(user_id=u, epoch_s=t, event_type=e) for u, t, e in rows]
+    ).withColumn("ts", F.timestamp_seconds("epoch_s"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        df.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("t_view")).alias("v"),
+            F.max(F.unix_timestamp("t_click")).alias("c"),
+            F.max(F.unix_timestamp("t_purchase")).alias("p"),
+        )
+    )
+    got = {r.user_id: (r.v, r.c, r.p) for r in staged.collect()}
+    assert got == _py_funnel(rows)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=6), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_bpe_pairs_match_python_reference(spark, words):
+    from collections import Counter
+
+    ref = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += 1
+    df = spark.createDataFrame([Row(w=w) for w in words])
+    got = {
+        r.pair: r.n
+        for r in (
+            df.filter(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1),"
+                        " i -> substring(w, i, 2))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+    }
+    assert got == {k: v for k, v in ref.items()}
+
+
+@given(
+    vals=st.lists(
+        st.integers(-1000, 1000).map(float), min_size=3, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_mad_zscores_match_python_reference(spark, vals):
+    """Exact-percentile MAD pipeline vs a plain-Python median/MAD
+    (linear-interpolation quantile, the percentile/quantile_cont
+    definition both engines share)."""
+    def q50(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = (n - 1) / 2
+        lo, hi = xs[int(mid)], xs[int(mid + 0.5)]
+        return (lo + hi) / 2
+
+    med = q50(vals)
+    mad = q50([abs(v - med) for v in vals])
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    got_med, got_mad = (
+        df.agg(
+            F.percentile("v", F.lit(0.5)).alias("m"),
+            F.percentile(F.abs(F.col("v") - F.lit(med)), F.lit(0.5)).alias("d"),
+        ).collect()[0]
+    )
+    assert math.isclose(got_med, med, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(got_mad, mad, rel_tol=1e-12, abs_tol=1e-12)
