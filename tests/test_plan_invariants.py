@@ -311,3 +311,20 @@ def test_headline_plan_budget(spark, name):
     assert bhj >= min_bhj, f"{name}: {bhj} BroadcastHashJoins (need >= {min_bhj})"
     assert bnlj <= max_bnlj, f"{name}: {bnlj} BNLJs (budget {max_bnlj})"
     assert smj <= max_smj, f"{name}: {smj} SortMergeJoins (budget {max_smj})"
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.HEADLINE name must exist in the catalog (a typo
+    would surface only as an err row in the round artifact), carry no
+    duplicates, and keep the r03-comparable prefix stable."""
+    import bench
+
+    names = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate bench entries"
+    assert bench.R03_SET == bench.HEADLINE[: len(bench.R03_SET)], (
+        "the r03-comparable prefix moved — cross-round totals break"
+    )
+    budgetless = sorted(set(PLAN_BUDGETS) - names)
+    assert not budgetless, f"PLAN_BUDGETS references unknown queries: {budgetless}"
