@@ -838,15 +838,50 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct — rows-only (HLL sketches differ across engines)
+# Approximate distinct — audited (estimate + exact recount + verdict)
 # ---------------------------------------------------------------------------
+
+#: approx_count_distinct is requested at rsd=0.02; the audit verdict
+#: allows 3x the requested relative error (HLL++ rsd is a standard
+#: deviation, not a bound — 3 sigma keeps the verdict deterministic
+#: for any correct implementation while still catching a broken one).
+APPROX_DISTINCT_TOL = 0.06
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate AUDITED against an exact recount.
+
+    Round-6 verdict #4: the raw estimate can never hash-match a DuckDB
+    oracle (sketches differ across engines), which left this as the one
+    ``no_oracle`` catalog entry.  Rebuilt in the ``hll_distinct_audit``
+    shape: hashed columns are the exact count and a tolerance verdict
+    — both engine-independent — while the estimate still exercises the
+    single-pass mergeable-sketch path that replaces COUNT(DISTINCT)'s
+    per-value shuffle at 100 TB.
+    """
     events = load_table(spark, sf_dir, "events")
-    return agg.approx_distinct_count(
-        events, ["event_type"], "user_id", rsd=0.02
+    est = F.col("est").cast("double")
+    ok = (
+        F.abs(est - F.col("exact_users"))
+        <= F.lit(APPROX_DISTINCT_TOL) * F.col("exact_users")
+    ).alias("est_within_tol")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("est"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select("event_type", "exact_users", ok)
     )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_tol
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1866,8 +1901,8 @@ ANALYTICS_QUERIES = [
      "bucketed range join rewrite"),
     ("global_top_orders", global_top_orders, GLOBAL_TOP_ORACLE,
      "global top-k via TakeOrdered"),
-    ("approx_distinct_users", approx_distinct_users, None,
-     "HyperLogLog++ approximate distinct (rows-only: sketch differs by engine)"),
+    ("approx_distinct_users", approx_distinct_users, APPROX_DISTINCT_ORACLE,
+     "HLL++ approximate distinct audited against exact recount (hash-checked)"),
     ("stats_moments", stats_moments, STATS_MOMENTS_ORACLE,
      "mean/stddev/corr from exact decimal power sums (order-independent)"),
     ("value_percentiles", value_percentiles, VALUE_PERCENTILES_ORACLE,

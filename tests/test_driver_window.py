@@ -110,21 +110,25 @@ def test_iteration_order_is_alphabetical():
 def test_unverified_queries_fit_in_driver_window():
     # The driver consumes ITERATION order — assert on the iteration prefix,
     # not a re-sort (re-sorting here is exactly what masked the r3 failure).
-    # DRIVER_PIN entries occupy slots under canonical names even though
-    # verified, so up to len(pins) unverified names may overflow to the
-    # next round — but ONLY the alphabetical tail, nothing else.
+    # ACTIVE DRIVER_PIN entries occupy slots under canonical names even
+    # though verified, so up to len(active pins) unverified names may
+    # overflow to the next round — but ONLY the alphabetical tail, and
+    # every displaced name must still carry a local hard signal (the
+    # oracle-parity suite covers all registered oracles).
+    from amazon_books_review_spark.plans.catalog import _pin_active, all_oracles
+
     window = list(driver_queries())[:WINDOW]
     unverified = [n for n in all_queries() if n not in DRIVER_VERIFIED]
-    pins_applied = sorted(DRIVER_PIN & set(DRIVER_VERIFIED))
+    pins_active = sorted(n for n in DRIVER_PIN if _pin_active(n))
     assert len(unverified) <= WINDOW, (
         f"{len(unverified)} unverified queries cannot all fit in the "
         f"{WINDOW}-row window — trim additions this round"
     )
     outside = sorted(n for n in unverified if n not in window)
-    assert len(outside) <= len(pins_applied), (
+    assert len(outside) <= len(pins_active), (
         f"{len(outside)} unverified queries fall outside the driver's "
-        f"{WINDOW}-row window but only {len(pins_applied)} pin slots "
-        f"explain an overflow: {outside}"
+        f"{WINDOW}-row window but only {len(pins_active)} active pin "
+        f"slots explain an overflow: {outside}"
     )
     # overflow must be exactly the alphabetical tail of the pending set
     expected_tail = sorted(unverified)[len(unverified) - len(outside):]
@@ -132,8 +136,34 @@ def test_unverified_queries_fit_in_driver_window():
         f"window overflow {outside} is not the alphabetical tail "
         f"{expected_tail} — the rotation is mis-sorting"
     )
-    for pin in pins_applied:
+    # a displaced query must not silently skip ALL verification: it needs
+    # a registered oracle so tests/test_oracle_parity.py DuckDB-checks it
+    # locally every pytest run while it waits for its driver slot.
+    oracles = all_oracles()
+    for name in outside:
+        assert name in oracles, (
+            f"{name} was displaced from the driver window by a pin but has "
+            f"no oracle — it would carry no hard signal at all this round"
+        )
+    for pin in pins_active:
         assert pin in window, f"pinned query {pin} missing from the window"
+
+
+def test_expired_pins_return_to_rotation():
+    """A pin whose fix round has a recorded green row must be inert."""
+    from amazon_books_review_spark.plans.catalog import _PIN_FIXED_ROUND, _pin_active
+
+    for name in DRIVER_PIN:
+        rnd = DRIVER_VERIFIED.get(name, -1)
+        if rnd >= _PIN_FIXED_ROUND:
+            assert not _pin_active(name), (
+                f"{name} verified in r{rnd} >= fix round {_PIN_FIXED_ROUND} "
+                f"but the pin still holds a window slot"
+            )
+            assert driver_name(name).startswith("zz_"), name
+        else:
+            assert _pin_active(name), name
+            assert driver_name(name) == name
 
 
 def test_remaining_window_slots_go_to_stalest_verified():
@@ -163,19 +193,21 @@ def test_spark_entry_simulated_driver_window():
     consumed = [k for k, _fn in list(q.items())[:WINDOW]]
     unverified = {n for n in all_queries() if n not in DRIVER_VERIFIED}
     missing = unverified - set(consumed)
-    pins_applied = DRIVER_PIN & set(DRIVER_VERIFIED)
-    assert len(missing) <= len(pins_applied) and missing == set(
+    from amazon_books_review_spark.plans.catalog import _pin_active
+
+    pins_active = {n for n in DRIVER_PIN if _pin_active(n)}
+    assert len(missing) <= len(pins_active) and missing == set(
         sorted(unverified)[len(unverified) - len(missing):]
     ), (
         f"driver would NOT verify these never-verified queries: {sorted(missing)}"
     )
-    for pin in pins_applied:
+    for pin in pins_active:
         assert pin in consumed, f"pinned {pin} not consumed by the driver"
     # Every window entry must carry a hard oracle unless it is on the
     # explicit rows-only allowlist — a new oracle-less registration
     # would otherwise silently consume a hard-gate slot for a weaker
     # rows-only signal.  Extending the allowlist is a conscious act.
-    ROWS_ONLY_OK = {"approx_distinct_users", "sessionize_events_stateful"}
+    ROWS_ONLY_OK = {"sessionize_events_stateful"}
     for key in consumed:
         assert key in o or canonical_name(key) in ROWS_ONLY_OK, (
             f"{key} is in the driver window without an oracle and is not a "

@@ -43,31 +43,20 @@ def test_uniqueness_violations(spark):
     assert dups == {(1, "a"): 2}
 
 
-def test_approx_distinct_within_rsd_bound(spark):
-    """HLL sketch accuracy: approx_count_distinct at rsd=0.02 lands
-    within a generous multiple of the bound against the exact count
-    (the no-oracle catalog row's missing property check)."""
+def test_approx_distinct_audit_verdicts_true(spark):
+    """The audited shape (r6 verdict #4): every per-type HLL estimate
+    must land inside the tolerance so the hashed verdict column is
+    deterministically TRUE — the property the DuckDB oracle pins."""
     from amazon_books_review_spark.plans.analytics_queries import (
         approx_distinct_users,
     )
-    from amazon_books_review_spark.sources.io import load_table
 
-    sf = "/root/testdata/sf0.01"
-    approx = {
-        r.event_type: r.n_distinct_approx
-        for r in approx_distinct_users(spark, sf).collect()
-    }
-    exact = {
-        r.event_type: r.n
-        for r in load_table(spark, sf, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(5, 5 * 0.02 * n), (
-            f"{et}: approx {approx[et]} vs exact {n}"
+    rows = approx_distinct_users(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no event types found"
+    for r in rows:
+        assert r.exact_users > 0
+        assert r.est_within_tol is True, (
+            f"{r.event_type}: estimate outside tolerance of {r.exact_users}"
         )
 
 
