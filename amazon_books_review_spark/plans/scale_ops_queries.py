@@ -477,6 +477,101 @@ def _km_assign(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFr
     )
 
 
+#: Below this k, brute-force n x k assignment beats two-level routing
+#: (the coarse pass alone costs n x g; routing only wins once
+#: k >> 2*sqrt(k)).  At or above it, `_km_final_assignment` switches
+#: to `_km_assign_routed` automatically — this is the r6-verdict fix
+#: for SemDeDup's super-linear n x k term when k scales with n.
+KM_ROUTE_MIN_K = 64
+
+
+def _coarse_cells(centroids: list[tuple[int, list[int]]], g: int):
+    """Partition the k fine centroids into g coarse cells.
+
+    Coarse seeds are the FIRST g fine centroids; every fine centroid
+    joins the cell of its nearest seed (exact int64 squared L2, ties
+    to the lowest seed id), except the seeds themselves which anchor
+    their own cells (guarantees every routable cell is non-empty even
+    under exact centroid collisions).  All driver-side: k x g x dim
+    integer ops on at most a few thousand centroids.
+    """
+    import numpy as np
+
+    fmat = np.array([cv for _, cv in centroids], dtype=np.int64)  # k x dim
+    gmat = fmat[:g]
+    d = (
+        (fmat * fmat).sum(axis=1, keepdims=True)
+        - 2 * (fmat @ gmat.T)
+        + (gmat * gmat).sum(axis=1)
+    )  # k x g
+    cell_of = d.argmin(axis=1)  # ties -> first = lowest seed id
+    cell_of[:g] = np.arange(g)  # seeds anchor their own cells
+    return gmat, cell_of
+
+
+def _km_assign_routed(
+    qdf: DataFrame, centroids: list[tuple[int, list[int]]], g: int
+) -> DataFrame:
+    """Two-level (coarse -> fine) nearest-centroid assignment.
+
+    Each point first finds its nearest of g coarse seeds (n x g
+    matmul), then the nearest FINE centroid within that seed's cell
+    (n x k/g average).  Total n x (g + k/g) ~ n x 2*sqrt(k) at
+    g = sqrt(k) — the IVF cell-routing idea applied to the Lloyd
+    assignment itself, which is what keeps SemDeDup linear when k
+    scales with the corpus (r6 verdict #2: brute force measured
+    63.6x wall at 100x scale; see PERF.md).
+
+    APPROXIMATE by contract: a point whose true nearest fine centroid
+    lives in a different coarse cell gets its best in-cell centroid
+    instead.  But fully DETERMINISTIC — both levels break ties to the
+    lowest id — so the result is bit-identical on any partitioning
+    and DuckDB can replay it CTE-for-CTE (`_kmeans_routed_ctes`).
+    With g=1 the route degenerates to exact brute force (equivalence
+    pytest pins that).
+    """
+    import numpy as np
+
+    fmat = np.array([cv for _, cv in centroids], dtype=np.int64)  # k x dim
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    gmat, cell_of = _coarse_cells(centroids, g)
+    gT = gmat.T
+    gnorm = (gmat * gmat).sum(axis=1)
+    cells = [np.nonzero(cell_of == j)[0] for j in range(g)]
+    cell_T = [fmat[ids].T for ids in cells]  # ids ascending -> argmin=lowest
+    cell_norm = [(fmat[ids] * fmat[ids]).sum(axis=1) for ids in cells]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # B x dim
+            qn = (q * q).sum(axis=1, keepdims=True)
+            coarse = (qn - 2 * (q @ gT) + gnorm).argmin(axis=1)
+            cluster = np.empty(len(q), dtype=np.int64)
+            dist = np.empty(len(q), dtype=np.int64)
+            for j in range(g):
+                m = coarse == j
+                if not m.any():
+                    continue
+                dj = qn[m] - 2 * (q[m] @ cell_T[j]) + cell_norm[j]
+                loc = dj.argmin(axis=1)
+                cluster[m] = cids[cells[j][loc]]
+                dist[m] = dj[np.arange(len(loc)), loc]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qv": pdf["qv"],
+                    "dist_sq": dist,
+                    "cluster": cluster,
+                }
+            )
+
+    return qdf.mapInPandas(
+        assign, schema="vec_id bigint, qv array<bigint>, dist_sq bigint, cluster bigint"
+    )
+
+
 def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2 Lloyd iterations over embeddings quantized to integer millis.
 
@@ -498,12 +593,35 @@ def kmeans_quantized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_final_assignment(
-    spark: SparkSession, sf_dir: str, k: int = KM_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    route: bool | None = None,
+    g: int | None = None,
 ) -> DataFrame:
     """The converged (vec_id, qv, cluster, dist_sq) frame after
     ``KM_ITERS`` Lloyd iterations — shared by the k-means catalog
     query and the SemDeDup operator built on its clustering (which
-    runs a larger ``k``)."""
+    runs a larger ``k``).
+
+    ``route=None`` auto-selects: brute-force n x k assignment below
+    ``KM_ROUTE_MIN_K``, coarse-cell routing (``_km_assign_routed``,
+    g ~ sqrt(k)) at or above it.  Routing applies to EVERY assignment
+    pass including the Lloyd iterations — at k ~ n the iteration
+    assignments are the same super-linear term as the final one.
+    """
+    import math
+
+    if route is None:
+        route = k >= KM_ROUTE_MIN_K
+    if g is None:
+        g = max(1, math.isqrt(k))
+
+    def assign_pass(df: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+        if route:
+            return _km_assign_routed(df, cents, g)
+        return _km_assign(df, cents)
+
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.select(
         "vec_id",
@@ -514,7 +632,7 @@ def _km_final_assignment(
     )
     seeds = qdf.orderBy("vec_id").limit(k).collect()  # k x dim ints
     centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
-    assigned = _km_assign(qdf, centroids)
+    assigned = assign_pass(qdf, centroids)
     for _ in range(KM_ITERS - 1):
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
@@ -527,7 +645,7 @@ def _km_final_assignment(
         for r in sums:
             by_cluster.setdefault(r["cluster"], [0] * KM_DIM)[r["pos"]] = r["m"]
         centroids = [(cid, by_cluster[cid]) for cid in sorted(by_cluster)]
-        assigned = _km_assign(qdf, centroids)
+        assigned = assign_pass(qdf, centroids)
     return assigned
 
 
@@ -583,6 +701,120 @@ def _kmeans_ctes(k: int = KM_K) -> list[str]:
 
 def _kmeans_oracle() -> str:
     ctes = _kmeans_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, dist_sq FROM a{KM_ITERS - 1}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Routed (coarse -> fine) k-means assignment — the large-k scale path
+# ---------------------------------------------------------------------------
+
+#: The catalog pin of the ROUTED semantics runs small (k=10, g=3) so
+#: DuckDB can replay both levels; production sizing is g ~ sqrt(k),
+#: auto-selected in `_km_final_assignment` once k >= KM_ROUTE_MIN_K.
+KM_ROUTED_G = 3
+
+
+def kmeans_routed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized k-means with the coarse-cell ROUTED assignment forced.
+
+    Same 2 Lloyd iterations and integer arithmetic as
+    ``kmeans_quantized_assign``, but every assignment pass goes
+    through ``_km_assign_routed`` (point -> nearest of g coarse seeds
+    -> nearest fine centroid within that seed's cell).  This is the
+    semantics the engine switches to automatically at large k (the
+    SemDeDup k~n regime); pinning it at k=10 / g=3 against a DuckDB
+    replay guarantees the approximate path is deterministic and
+    engine-exact, not just "close".
+    """
+    return _km_final_assignment(
+        spark, sf_dir, k=KM_K, route=True, g=KM_ROUTED_G
+    ).select("vec_id", "cluster", "dist_sq")
+
+
+def _kmeans_routed_ctes(k: int = KM_K, g: int = KM_ROUTED_G) -> list[str]:
+    """CTE chain replaying the two-level routed assignment exactly.
+
+    Per iteration i, four CTEs: ``cell{i}`` maps each fine centroid to
+    a coarse cell (nearest of the first g fine centroids, ties to the
+    lowest seed id; seeds anchor their own cells), ``pc{i}`` routes
+    each point to its nearest coarse seed, ``a{i}`` picks the nearest
+    fine centroid WITHIN the routed cell.  Centroid updates between
+    iterations are identical to the brute-force chain.
+    """
+
+    def dist(lhs: str, rhs: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, {d} + 1), "
+            "i -> ({l}[CAST(i AS INT)] - {r}[CAST(i AS INT)])"
+            " * ({l}[CAST(i AS INT)] - {r}[CAST(i AS INT)])))"
+        ).format(d=KM_DIM, l=lhs, r=rhs)
+
+    def routed(i: int) -> list[str]:
+        cname = f"c{i}"
+        return [
+            (
+                f"cell{i} AS (SELECT cid, cv, "
+                f"CASE WHEN cid < {g} THEN cid ELSE gid END AS gid FROM ("
+                "SELECT f.cid, f.cv, co.cid AS gid, "
+                "row_number() OVER (PARTITION BY f.cid "
+                f"ORDER BY {dist('f.cv', 'co.cv')} ASC, co.cid ASC) AS rn "
+                f"FROM {cname} f JOIN {cname} co ON co.cid < {g}"
+                ") WHERE rn = 1)"
+            ),
+            (
+                f"pc{i} AS (SELECT vec_id, qv, gid FROM ("
+                "SELECT q.vec_id, q.qv, co.cid AS gid, "
+                "row_number() OVER (PARTITION BY q.vec_id "
+                f"ORDER BY {dist('q.qv', 'co.cv')} ASC, co.cid ASC) AS rn "
+                f"FROM q JOIN {cname} co ON co.cid < {g}"
+                ") WHERE rn = 1)"
+            ),
+            (
+                f"a{i} AS (SELECT vec_id, qv, cluster, dist_sq FROM ("
+                "SELECT p.vec_id, p.qv, f.cid AS cluster, "
+                f"CAST({dist('p.qv', 'f.cv')} AS BIGINT) AS dist_sq, "
+                "row_number() OVER (PARTITION BY p.vec_id "
+                f"ORDER BY {dist('p.qv', 'f.cv')} ASC, f.cid ASC) AS rn "
+                f"FROM pc{i} p JOIN cell{i} f ON p.gid = f.gid"
+                ") WHERE rn = 1)"
+            ),
+        ]
+
+    ctes = [
+        (
+            "q AS (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS qv "
+            "FROM embeddings)"
+        ),
+        (
+            "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+            " AS cid, qv AS cv FROM (SELECT vec_id, qv FROM q ORDER BY vec_id"
+            f" LIMIT {k}))"
+        ),
+    ]
+    ctes.extend(routed(0))
+    for i in range(1, KM_ITERS):
+        ctes.append(
+            f"c{i}e AS (SELECT a{i - 1}.cluster AS cid, t.i AS i, "
+            f"CAST(sum(a{i - 1}.qv[CAST(t.i AS INT)]) // count(*) AS BIGINT)"
+            f" AS m "
+            f"FROM a{i - 1}, unnest(range(1, {KM_DIM} + 1)) AS t(i) "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, list(m ORDER BY i) AS cv FROM c{i}e"
+            f" GROUP BY cid)"
+        )
+        ctes.extend(routed(i))
+    return ctes
+
+
+def _kmeans_routed_oracle() -> str:
+    ctes = _kmeans_routed_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -761,6 +993,18 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clustering coefficient is emitted in exact parts-per-million
     (3T * 1e6 // wedges, truncating int division both engines) — no
     float division in a hash-compared column.
+
+    Execution (round-7, the un-quarantine): the wedge enumeration is
+    the EDGE-ITERATOR form, not a three-way self-join.  The oriented
+    out-neighborhoods are materialized as sorted arrays (bounded at
+    O(sqrt(E)) elements by the orientation) and each oriented edge
+    (a,b) contributes |N+(a) ∩ N+(b)| via ``array_intersect`` — the
+    same O(E^1.5) arithmetic bound, but as JVM map-side array work on
+    E rows instead of an O(E^1.5)-ROW shuffle.  On the dense sf0.1
+    graph (1.2M edges, 148M wedges) that is the difference between a
+    ~1.3e9-row SMJ (the r6 quarantine) and ~150M in-core integer
+    comparisons; the only shuffles left are the degree agg, the
+    adjacency groupBy, and two edge⋈adjacency joins — all O(E) rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     und = copurchase_edges(li, directed=False).localCheckpoint(
@@ -771,8 +1015,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # Degree table is NODE-cardinality (20k at sf0.1, |parts| at any
+    # SF) — broadcast, same posture as pagerank's rank broadcast: at
+    # web-scale node counts the hint comes off and these become two
+    # O(E)-row shuffle joins.  The adjacency joins below stay
+    # UN-hinted on purpose: their payload is edge-sized.
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
     keyed = und.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -780,12 +1029,24 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = keyed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=True)  # three-way self-join input
-    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    ).localCheckpoint(eager=True)  # feeds adjacency AND the edge scan
+    adj = oriented.groupBy("a").agg(
+        F.array_sort(F.collect_list("b")).alias("nbrs")
+    )
+    tri = (
+        oriented.join(adj.select("a", F.col("nbrs").alias("na")), "a")
+        .join(
+            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")),
+            "b",
+            "left",
+        )
+        .select(
+            F.when(F.col("nb").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("na", "nb")))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(
@@ -1144,6 +1405,8 @@ SCALE_OPS_QUERIES = [
      "fixed-point integer PageRank, 5 iterations over co-purchase graph"),
     ("kmeans_quantized_assign", kmeans_quantized_assign, _kmeans_oracle(),
      "deterministic quantized k-means, 2 Lloyd iterations"),
+    ("kmeans_routed_assign", kmeans_routed_assign, _kmeans_routed_oracle(),
+     "coarse-cell ROUTED k-means assignment (the large-k scale path), exact replay"),
     ("semdedup_embeddings", semdedup_embeddings, _semdedup_oracle(),
      "SemDeDup: within-cluster cosine near-dup drop, exact integer decision"),
     ("embedding_random_projection", embedding_random_projection,

@@ -193,6 +193,14 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # assignment is map-only over the scan (centroids arrive as
     # literals); zero Exchange is the invariant
     "kmeans_quantized_assign": (0, 0, 0),
+    # routed assignment is the same map-only shape: coarse seeds and
+    # cell membership ship as driver-computed literals, zero Exchange
+    "kmeans_routed_assign": (0, 0, 0),
+    # edge-iterator triangles: degree joins broadcast (node-scale),
+    # adjacency joins may SMJ at scale; the 4 BNLJ are the two 1-row
+    # scalar crossJoins.  NO wedge-sized shuffle exists in the plan —
+    # that's the invariant that un-quarantined it (r7).
+    "triangle_count_copurchase": (20, 2, 4, 2),
     # weights/quota/feasible-total are all broadcast; the BNLJ pair is
     # the 1-row feasible-total cross join
     "mixture_rebalance_corpus": (18, 4, 2),
