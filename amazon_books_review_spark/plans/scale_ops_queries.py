@@ -281,33 +281,67 @@ FROM segs
 # ---------------------------------------------------------------------------
 
 
-def copurchase_edges(li: DataFrame, directed: bool) -> DataFrame:
+def copurchase_edges(
+    li: DataFrame, directed: bool, max_fanout: int | None = None
+) -> DataFrame:
     """Distinct co-purchase edges (parts sharing an order) via
     per-order part-set aggregation + in-row pair explosion — one
     shuffle on the order key instead of the fact self-join's second
     join shuffle (measured 1.6x faster at sf0.1, identical edge set).
 
-    Precondition: per-order distinct-part fan-out is BOUNDED (TPC-H-ish
-    orders hold <= ~13 parts), so the collected set and the <=169-pair
-    explosion stay row-sized.  For an unbounded-fanout relation, fall
-    back to the self-join form — its shuffle cost is the price of not
-    materializing a group in one row.
+    Precondition of the default path: per-order distinct-part fan-out
+    is BOUNDED (TPC-H-ish orders hold <= ~13 parts), so the collected
+    set and the <=169-pair explosion stay row-sized.
+
+    ``max_fanout`` (r6 verdict #6) implements the documented fallback
+    as an actual switch: orders whose distinct-part count exceeds the
+    threshold are EXCLUDED from ``collect_set`` entirely (the huge
+    group never materializes as one row) and take the self-join form,
+    whose shuffle cost is the price of not holding a hot group in one
+    row.  Both branches emit the identical pair semantics; the union
+    dedups once.  The knob costs an extra fan-count aggregation and a
+    count join, so the default (None) keeps the single-shuffle set
+    path for relations with a known fan-out bound — flip it on for
+    inputs where one "order" can be a basket of millions.
 
     ``directed=True`` emits both (src, dst) and (dst, src);
     ``directed=False`` emits each undirected edge once as u < v.
     """
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    pairs = (
-        sets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-    )
-    if directed:
-        pairs = pairs.filter(F.col("src") != F.col("dst"))
-    else:
-        pairs = pairs.filter(F.col("src") < F.col("dst")).select(
-            F.col("src").alias("u"), F.col("dst").alias("v")
+
+    def finish(pairs: DataFrame) -> DataFrame:
+        if directed:
+            pairs = pairs.filter(F.col("src") != F.col("dst"))
+        else:
+            pairs = pairs.filter(F.col("src") < F.col("dst")).select(
+                F.col("src").alias("u"), F.col("dst").alias("v")
+            )
+        return pairs.distinct()
+
+    if max_fanout is None:
+        sets = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
         )
-    return pairs.distinct()
+        pairs = sets.select(F.explode("ps").alias("src"), "ps").select(
+            "src", F.explode("ps").alias("dst")
+        )
+        return finish(pairs)
+
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    fan = lp.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("fan"))
+    keyed = lp.join(fan, "l_orderkey")
+    bounded = keyed.filter(F.col("fan") <= max_fanout)
+    wide = keyed.filter(F.col("fan") > max_fanout)
+    sets = bounded.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    set_pairs = sets.select(F.explode("ps").alias("src"), "ps").select(
+        "src", F.explode("ps").alias("dst")
+    )
+    join_pairs = wide.select("l_orderkey", F.col("l_partkey").alias("src")).join(
+        wide.select("l_orderkey", F.col("l_partkey").alias("dst")),
+        "l_orderkey",
+    ).select("src", "dst")
+    return finish(set_pairs.unionByName(join_pairs))
 
 
 PR_SCALE = 1_000_000_000_000  # rank mass in 1e-12 units

@@ -1,0 +1,209 @@
+"""Streaming schema-drift handling — the OSS rebuild of Auto Loader's
+``cloudFiles.schemaLocation`` contract (reference MA:12/53).
+
+Auto Loader tracks the inferred schema of a file stream in a schema
+location; when a file arrives carrying a NEW column it stops the
+query, merges the addition into the tracked schema, and the next
+start picks up the widened schema from the same checkpoint — rows
+written before the addition surface NULL for the new column.  The
+OSS file sources have no such machinery (they require a fixed
+user-supplied schema), so this module supplies the three pieces:
+
+* :class:`SchemaTracker` — versioned schema ledger under a schema
+  location directory (``v000.json``, ``v001.json``, ...; the highest
+  version is the current contract).  Plain JSON ``StructType``
+  serialization, so any Spark can read it back.
+* :func:`evolve_schema` — merge a discovered schema into the tracked
+  one: tracked columns keep their position and type, genuinely new
+  columns append in discovery order.  Column REMOVALS are tolerated
+  (the tracked contract keeps the column; absent files read NULL —
+  same as ``read_parquet_evolving``); TYPE CHANGES raise
+  :class:`SchemaConflictError` (explicit-migration territory, exactly
+  the batch-side ``read_parquet_evolving`` contract,
+  ``sources/io.py``).
+* :func:`run_evolving_stream` — the stop→merge→restart loop: discover
+  drift from the source's parquet footers, widen the tracked schema,
+  and (re)start the checkpointed stream under the new contract.
+  Restarting from the SAME checkpoint means already-processed files
+  are not re-read — no duplicates — while unprocessed files land
+  under the widened schema — no loss.  Rows the sink received before
+  the widening NULL-fill on read via the evolving batch scan.
+
+Scale notes: drift discovery is a footer-only ``mergeSchema`` read of
+the source listing — metadata cost, no data scan; at a 100 TB source
+you point discovery at the NEW arrivals (``since`` glob / partition)
+rather than the whole directory listing.  The ledger itself is a few
+KB of JSON per version.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
+
+__all__ = [
+    "SchemaConflictError",
+    "SchemaTracker",
+    "discover_parquet_schema",
+    "evolve_schema",
+    "run_evolving_stream",
+]
+
+
+class SchemaConflictError(ValueError):
+    """A column changed TYPE between the tracked and discovered
+    schema.  Additions evolve automatically; type changes are an
+    explicit migration (rewrite or cast view), never silent."""
+
+
+_VERSION_RE = re.compile(r"^v(\d{3,})\.json$")
+
+
+@dataclass
+class SchemaTracker:
+    """Versioned schema ledger (Auto Loader's ``_schemas`` dir shape)."""
+
+    location: str
+
+    def _dir(self) -> Path:
+        p = Path(self.location)
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in self._dir().iterdir():
+            m = _VERSION_RE.match(f.name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current(self) -> StructType | None:
+        versions = self.versions()
+        if not versions:
+            return None
+        return self.schema_at(versions[-1])
+
+    def schema_at(self, version: int) -> StructType:
+        path = self._dir() / f"v{version:03d}.json"
+        return StructType.fromJson(json.loads(path.read_text()))
+
+    def record(self, schema: StructType) -> int:
+        """Persist ``schema`` as the next version; returns the version."""
+        versions = self.versions()
+        nxt = (versions[-1] + 1) if versions else 0
+        path = self._dir() / f"v{nxt:03d}.json"
+        path.write_text(json.dumps(schema.jsonValue(), indent=2))
+        return nxt
+
+
+def discover_parquet_schema(spark: SparkSession, source_dir: str) -> StructType:
+    """Union of all parquet file footers under ``source_dir`` — the
+    drift probe.  Footer metadata only; no row scan."""
+    return spark.read.option("mergeSchema", True).parquet(source_dir).schema
+
+
+def evolve_schema(
+    tracked: StructType, discovered: StructType
+) -> tuple[StructType, list[str]]:
+    """Merge ``discovered`` into ``tracked``.
+
+    Returns ``(merged, new_column_names)``.  Tracked fields keep their
+    order and type (and become nullable if they weren't — old files
+    must still read); discovered-only fields append, forced nullable
+    (pre-drift rows read NULL).  A field present in both with a
+    different dataType raises :class:`SchemaConflictError`.
+    """
+    by_name = {f.name: f for f in discovered.fields}
+    merged: list[StructField] = []
+    for f in tracked.fields:
+        d = by_name.get(f.name)
+        if d is not None and d.dataType != f.dataType:
+            raise SchemaConflictError(
+                f"column {f.name!r} changed type "
+                f"{f.dataType.simpleString()} -> {d.dataType.simpleString()}; "
+                f"schema evolution only ADDS columns — migrate explicitly"
+            )
+        merged.append(StructField(f.name, f.dataType, nullable=True))
+    tracked_names = {f.name for f in tracked.fields}
+    new_cols = [f.name for f in discovered.fields if f.name not in tracked_names]
+    for f in discovered.fields:
+        if f.name not in tracked_names:
+            merged.append(StructField(f.name, f.dataType, nullable=True))
+    return StructType(merged), new_cols
+
+
+def run_evolving_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema_location: str,
+    transform=None,
+    max_restarts: int = 5,
+) -> StructType:
+    """Drain all available source files into ``sink_dir``, widening
+    the tracked schema whenever arrivals carry new columns.
+
+    Each pass: probe the source footers for drift against the tracked
+    schema; on drift, record the widened schema (the "stop the query"
+    step — the previous contract's query is simply not restarted
+    under the old schema); then run an ``availableNow`` pass under the
+    current contract from the SAME checkpoint, so the file-source log
+    guarantees exactly-once per file across restarts.  A post-drain
+    re-probe catches files that arrived mid-pass with newer columns;
+    the loop re-enters until a drain completes with no drift (bounded
+    by ``max_restarts`` — exceeding it raises, because unbounded
+    restart loops hide a producer writing a new column per file).
+
+    ``transform`` (DataFrame -> DataFrame), when given, must tolerate
+    column additions (e.g. select with ``col_or_null`` semantics) —
+    it runs under every schema version.
+
+    Returns the final tracked schema.  Read the sink with
+    ``read_parquet_evolving(spark, sink_dir, schema=<returned>)`` —
+    pre-drift rows NULL-fill the added columns.
+    """
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream,
+    )
+
+    tracker = SchemaTracker(schema_location)
+    for _ in range(max_restarts + 1):
+        tracked = tracker.current()
+        discovered = discover_parquet_schema(spark, source_dir)
+        if tracked is None:
+            # first start: the discovery IS the initial contract
+            tracked = discovered
+            tracker.record(tracked)
+        else:
+            merged, new_cols = evolve_schema(tracked, discovered)
+            if new_cols:
+                tracker.record(merged)
+                tracked = merged
+        stream = read_stream_parquet(spark, source_dir, tracked)
+        if transform is not None:
+            stream = transform(stream)
+        q = write_stream(
+            stream,
+            sink_dir,
+            checkpoint_dir,
+            available_now=True,
+        )
+        q.awaitTermination()
+        # post-drain probe: drift that arrived mid-pass re-enters the loop
+        _, late_cols = evolve_schema(
+            tracked, discover_parquet_schema(spark, source_dir)
+        )
+        if not late_cols:
+            return tracked
+    raise RuntimeError(
+        f"schema still drifting after {max_restarts} restarts — "
+        f"producer is adding columns faster than the stream can evolve"
+    )

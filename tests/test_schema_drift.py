@@ -1,0 +1,164 @@
+"""Streaming schema drift (Auto Loader ``cloudFiles.schemaLocation``
+rebuild, VERDICT r6 #5): a mid-stream column addition must land
+without data loss OR duplication across the stop→merge→restart, and
+pre-drift rows must NULL-fill the added column on read.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from amazon_books_review_spark.sources.io import read_parquet_evolving
+from amazon_books_review_spark.streaming.schema_drift import (
+    SchemaConflictError,
+    SchemaTracker,
+    evolve_schema,
+    run_evolving_stream,
+)
+
+
+def _dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "sink": str(tmp_path / "sink"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "schemas": str(tmp_path / "schemas"),
+    }
+
+
+def test_column_addition_across_restart_no_loss_no_dup(spark, tmp_path):
+    d = _dirs(tmp_path)
+    spark.range(0, 5).select(
+        F.col("id"), (F.col("id") * 10).alias("a")
+    ).coalesce(1).write.mode("append").parquet(d["src"])
+
+    s0 = run_evolving_stream(
+        spark, d["src"], d["sink"], d["ckpt"], d["schemas"]
+    )
+    assert [f.name for f in s0.fields] == ["id", "a"]
+    assert SchemaTracker(d["schemas"]).versions() == [0]
+
+    # drift: new files carry an extra column c
+    spark.range(5, 9).select(
+        F.col("id"), (F.col("id") * 10).alias("a"), F.lit("new").alias("c")
+    ).coalesce(1).write.mode("append").parquet(d["src"])
+
+    s1 = run_evolving_stream(
+        spark, d["src"], d["sink"], d["ckpt"], d["schemas"]
+    )
+    assert [f.name for f in s1.fields] == ["id", "a", "c"]
+    assert SchemaTracker(d["schemas"]).versions() == [0, 1]
+
+    out = read_parquet_evolving(spark, d["sink"], schema=s1)
+    rows = {r.id: r for r in out.collect()}
+    # no loss, no duplication: ids 0..8 exactly once
+    assert sorted(rows) == list(range(9))
+    assert out.count() == 9
+    # pre-drift rows NULL-fill c; post-drift rows carry it
+    for i in range(5):
+        assert rows[i].c is None
+    for i in range(5, 9):
+        assert rows[i].c == "new"
+    # the untouched column survived both passes
+    assert all(rows[i].a == i * 10 for i in range(9))
+
+
+def test_drift_present_at_first_start_is_absorbed(spark, tmp_path):
+    """Both schema generations already on disk at first start: the
+    initial contract is the footer union — one version, no restart."""
+    d = _dirs(tmp_path)
+    spark.range(0, 3).select("id").coalesce(1).write.mode("append").parquet(
+        d["src"]
+    )
+    spark.range(3, 6).select(
+        "id", F.lit(1.5).alias("x")
+    ).coalesce(1).write.mode("append").parquet(d["src"])
+
+    schema = run_evolving_stream(
+        spark, d["src"], d["sink"], d["ckpt"], d["schemas"]
+    )
+    assert {f.name for f in schema.fields} == {"id", "x"}
+    assert SchemaTracker(d["schemas"]).versions() == [0]
+    out = read_parquet_evolving(spark, d["sink"], schema=schema)
+    assert out.count() == 6
+    assert out.filter(F.col("x").isNull()).count() == 3
+
+
+def test_type_change_raises_conflict(spark, tmp_path):
+    d = _dirs(tmp_path)
+    spark.range(0, 2).select(
+        "id", F.lit(1).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(d["src"])
+    run_evolving_stream(spark, d["src"], d["sink"], d["ckpt"], d["schemas"])
+
+    tracked = SchemaTracker(d["schemas"]).current()
+    drifted = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    with pytest.raises(SchemaConflictError, match="changed type"):
+        evolve_schema(tracked, drifted)
+
+
+def test_column_removal_tolerated_null_fills(spark, tmp_path):
+    """A producer DROPPING a column must not break the contract: the
+    tracked schema keeps it, new files read NULL — symmetric with the
+    addition case, and exactly read_parquet_evolving's stance."""
+    d = _dirs(tmp_path)
+    spark.range(0, 2).select(
+        "id", F.lit("k").alias("gone")
+    ).coalesce(1).write.mode("append").parquet(d["src"])
+    run_evolving_stream(spark, d["src"], d["sink"], d["ckpt"], d["schemas"])
+
+    spark.range(2, 4).select("id").coalesce(1).write.mode("append").parquet(
+        d["src"]
+    )
+    schema = run_evolving_stream(
+        spark, d["src"], d["sink"], d["ckpt"], d["schemas"]
+    )
+    # no new version: removal is not drift
+    assert SchemaTracker(d["schemas"]).versions() == [0]
+    out = read_parquet_evolving(spark, d["sink"], schema=schema)
+    assert out.count() == 4
+    assert out.filter(F.col("gone").isNull()).count() == 2
+
+
+def test_transform_runs_under_every_schema_version(spark, tmp_path):
+    """The user transform applies across versions (it must tolerate
+    additions — here a projection that keeps all columns plus a
+    derived one)."""
+    d = _dirs(tmp_path)
+    spark.range(0, 3).select("id").coalesce(1).write.mode("append").parquet(
+        d["src"]
+    )
+
+    def transform(df):
+        return df.withColumn("id2", F.col("id") * 2)
+
+    run_evolving_stream(
+        spark, d["src"], d["sink"], d["ckpt"], d["schemas"], transform=transform
+    )
+    spark.range(3, 5).select(
+        "id", F.lit(7).cast("long").alias("extra")
+    ).coalesce(1).write.mode("append").parquet(d["src"])
+    run_evolving_stream(
+        spark, d["src"], d["sink"], d["ckpt"], d["schemas"], transform=transform
+    )
+
+    merged = SchemaTracker(d["schemas"]).current()
+    sink_schema = StructType(
+        merged.fields[:1]
+        + [f for f in merged.fields if f.name == "extra"]
+    )
+    out = spark.read.option("mergeSchema", True).parquet(d["sink"])
+    assert out.count() == 5
+    assert {r.id2 for r in out.collect()} == {0, 2, 4, 6, 8}
+    assert out.filter(F.col("extra").isNotNull()).count() == 2
+    assert sink_schema is not None  # merged contract readable
