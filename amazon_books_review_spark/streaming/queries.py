@@ -254,6 +254,82 @@ JOIN events v
 """
 
 
+#: salt fan-out for the skew-hardened stream-stream join.  Sizing: the
+#: hot key's state splits SALTS ways; the replicated side's state (and
+#: arrival volume) multiplies by SALTS — pick the smallest value that
+#: caps the hot partition, not the largest you can afford.
+STREAM_JOIN_SALTS = 4
+
+
+def streaming_stream_stream_join_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST4 + skew hardening — the watermarked stream-stream join under
+    a SALTED key (r6 verdict stretch #9).
+
+    Why: AQE skew-join splitting does not exist for stateful
+    streaming — the state store hash-partitions on the join key at
+    first start and that layout is frozen into the checkpoint, so one
+    hot user pins that partition's state size AND its task's CPU
+    forever.  The batch remedy (``operators/joins.py:salted_join``)
+    ports directly: the purchase side scatters across
+    ``STREAM_JOIN_SALTS`` sub-keys via a DETERMINISTIC per-row hash
+    (``rand()`` would re-roll on task retry and drop/duplicate rows —
+    doubly fatal under streaming replay), the view side replicates to
+    every salt, and the join key becomes (user, salt).  The hot
+    user's join state now spreads over SALTS state-store partitions;
+    the price is SALTS× state and input on the replicated side.
+
+    Result set is row-identical to the unsalted join — same oracle,
+    and the equivalence is pytest-pinned against
+    :func:`streaming_stream_stream_join`.  Watermarks/eviction are
+    unchanged: both sides still evict on their event-time watermark;
+    salting touches only the key layout, never the time columns.
+    """
+    events = _events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.pmod(F.hash("event_id"), F.lit(STREAM_JOIN_SALTS)).alias("_salt"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(STREAM_JOIN_SALTS - 1))),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (purchases["_salt"] == views["_salt"])
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "view_id", "user_id")
+    out = fixtures.ephemeral_dir("abr_ss_join_salted_")
+    with _state_partitions(spark):
+        q = write_stream(
+            joined,
+            f"{out}/data",
+            f"{out}/ckpt",
+            query_name="stream_stream_join_salted",
+        )
+        q.awaitTermination()
+    return read_parquet(spark, f"{out}/data")
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 + A4 — streaming exactly-once repair for an at-least-once
     source: the event stream is unioned with itself (every event
@@ -415,6 +491,9 @@ STREAMING_QUERIES = [
      "ST7+J1: append-mode stream-static join == batch join"),
     ("streaming_stream_stream_join", streaming_stream_stream_join, STREAM_STREAM_JOIN_ORACLE,
      "ST4: watermarked stream-stream join with time-range state eviction"),
+    ("streaming_stream_stream_join_salted", streaming_stream_stream_join_salted,
+     STREAM_STREAM_JOIN_ORACLE,
+     "ST4 skew-hardened: salted key layout spreads a hot user across state partitions"),
     ("streaming_dedup_events", streaming_dedup_events, STREAM_DEDUP_ORACLE,
      "ST4+A4: dropDuplicatesWithinWatermark repairs at-least-once delivery"),
     ("streaming_session_window_counts", streaming_session_window_counts,

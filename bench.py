@@ -204,6 +204,7 @@ HEADLINE += [
     "triangle_count_copurchase",
     # round-7 additions
     "kmeans_routed_assign",
+    "streaming_stream_stream_join_salted",
 ]
 
 

@@ -61,6 +61,10 @@ def test_unigram_logprob_conservation(spark, sf_dir):
 
 
 def test_bpe_pair_mass_conservation(spark, sf_dir):
+    from amazon_books_review_spark.plans.corpus_stats_queries import (
+        BPE_MIN_PAIR_COUNT,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("w")
@@ -68,15 +72,35 @@ def test_bpe_pair_mass_conservation(spark, sf_dir):
     expected = words.select(
         (F.length("w") - 1).alias("n_pairs")
     ).agg(F.sum("n_pairs")).collect()[0][0]
-    # pair mass before the min-count filter equals token-level pair count;
-    # recompute without the filter via the public function's building blocks
-    got_df = bpe_pair_counts(spark, sf_dir)
-    got = got_df.agg(F.sum("n")).collect()[0][0]
-    # filtered total <= expected, and the gap is exactly the dropped
-    # singleton pairs (each contributing 1)
-    assert got <= expected
-    n_dropped = expected - got
-    assert n_dropped >= 0
+    # UNFILTERED pair mass must equal the token-level pair count
+    # exactly — an undercounting bug in the word-type reduction or the
+    # pair explosion fails here, not just "<=".
+    unfiltered = (
+        words.groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("n_word"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+            "n_word",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n_word").cast("long").alias("n"))
+    )
+    unfiltered_mass = unfiltered.agg(F.sum("n")).collect()[0][0]
+    assert unfiltered_mass == expected
+    # and the public (filtered) output drops EXACTLY the sub-threshold
+    # pair mass — the docstring's "gap is the dropped pairs" claim
+    got = bpe_pair_counts(spark, sf_dir).agg(F.sum("n")).collect()[0][0] or 0
+    dropped_mass = (
+        unfiltered.filter(F.col("n") < BPE_MIN_PAIR_COUNT)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)))
+        .collect()[0][0]
+    )
+    assert got + dropped_mass == expected
 
 
 def test_zscore_group_mean_is_zero(spark, sf_dir):

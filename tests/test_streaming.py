@@ -427,3 +427,47 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
         got[r.start_s] = r.n
     assert got[base] == 2, "late event leaked into the finalized window"
     assert got[base + 3600] == 1
+
+
+def test_salted_stream_stream_join_equals_unsalted(spark):
+    """Skew hardening (r6 verdict stretch #9): the salted watermarked
+    join must emit the exact row set of the unsalted one, and the
+    deterministic salt must actually SCATTER a hot key's purchase
+    rows across multiple sub-keys (the state-partition spread the
+    variant exists for)."""
+    from amazon_books_review_spark.streaming.queries import (
+        STREAM_JOIN_SALTS,
+        streaming_stream_stream_join,
+        streaming_stream_stream_join_salted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        (r.purchase_id, r.view_id, r.user_id)
+        for r in streaming_stream_stream_join(spark, sf).collect()
+    }
+    salted = {
+        (r.purchase_id, r.view_id, r.user_id)
+        for r in streaming_stream_stream_join_salted(spark, sf).collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+    # scatter: the busiest user's purchases spread over >1 salt bucket
+    from amazon_books_review_spark.sources.io import load_table
+
+    purchases = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.pmod(F.hash("event_id"), F.lit(STREAM_JOIN_SALTS)).alias("salt"),
+        )
+    )
+    hot = (
+        purchases.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("salt").alias("k"))
+        .orderBy(F.col("n").desc())
+        .first()
+    )
+    assert hot.n >= STREAM_JOIN_SALTS, "testdata too small for the scatter check"
+    assert hot.k > 1, "hot user's purchases all landed on one salt"
