@@ -75,12 +75,17 @@ QUERIES = [
     "rolling_hour_user_stats",
     # round-6 third wave: SemDeDup's per-cluster quadratic term is
     # the claim under test (clusters grow REPx at fixed k here; the
-    # kscaled entry below scales k instead, which the 100x run showed
-    # just moves the super-linear term into the n x k assignment —
-    # k* ~ sqrt(n) is the balance point, see PERF.md); segment dedup
-    # is two linear shuffles.
+    # kscaled entry below scales k instead — the r6 100x run showed
+    # brute-force assignment then goes super-linear (63.6x), and the
+    # r7 coarse-cell routing (auto at k >= KM_ROUTE_MIN_K) brought it
+    # to 7.25x for 105x output, see PERF.md); segment dedup is two
+    # linear shuffles.
     "semdedup_embeddings",
     "dedup_segments_corpus",
+    # round-7: un-quarantined triangle count (edge-iterator form) —
+    # the claim is that adjacency-array intersection work scales with
+    # the true wedge count while every shuffle stays O(E) rows.
+    "triangle_count_copurchase",
     # round-6 fourth wave: all linear claims — boilerplate is two
     # aggs + a join on segment text, projection is a broadcast
     # fan-out map, the quantile audit is sketch agg + recount.
