@@ -1,0 +1,117 @@
+"""Lakehouse-semantics queries, round 7.
+
+The reference's medallion layer gets row-level upserts from Delta
+MERGE (environment-gated here, COVERAGE.md §2.11); these queries pin
+the engine's own MERGE carrier (`operators/merge.py`) against an
+exact DuckDB replay — all three clauses in one statement:
+
+    WHEN MATCHED              THEN UPDATE (full-row replace)
+    WHEN NOT MATCHED          THEN INSERT
+    WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE
+
+Money rides as integer cents and dates as formatted strings so every
+hashed column is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.operators.merge import merge_dataframes
+from amazon_books_review_spark.sources.io import load_table
+
+#: deterministic partitioning of the key space into merge behaviors
+MERGE_UPD_MOD = 97  # keys % 97 == 0 arrive as source updates (+10% price)
+MERGE_INS_MOD = 101  # keys % 101 == 0 spawn an insert under key + OFFSET
+MERGE_DEL_MOD = 103  # target-only 'F' keys % 103 == 0 are deleted
+MERGE_KEY_OFFSET = 10_000_000  # insert-key offset; above max o_orderkey at test SFs
+
+
+def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+    )
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders: one FULL OUTER join resolves updates,
+    inserts, and conditional deletes in a single pass.
+
+    Source = 10%-price-bumped copies of keys % {u} (updates) plus new
+    rows under key + {off} for keys % {i} (inserts); target-only 'F'
+    orders with key % {d} are deleted.  Update arithmetic is integer
+    (cents + cents div 10) so the merged row set hash-matches DuckDB
+    exactly.
+
+    Scale: one shuffle per side on the merge key — the identical join
+    a Delta MERGE plans before its file rewrite; pair with
+    `maintenance.backfill_partitions` to scope the rewrite to touched
+    partitions instead of the whole table.
+    """.format(u=MERGE_UPD_MOD, i=MERGE_INS_MOD, d=MERGE_DEL_MOD, off=MERGE_KEY_OFFSET)
+    target = _orders_cents(spark, sf_dir)
+    updates = target.filter(F.col("o_orderkey") % MERGE_UPD_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("price_cents") + F.expr("price_cents div 10")).alias("price_cents"),
+        "o_day",
+    )
+    inserts = target.filter(F.col("o_orderkey") % MERGE_INS_MOD == 0).select(
+        (F.col("o_orderkey") + F.lit(MERGE_KEY_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(10_000).cast("long").alias("price_cents"),
+        "o_day",
+    )
+    return merge_dataframes(
+        target,
+        updates.unionByName(inserts),
+        "o_orderkey",
+        delete_when=(
+            (F.col("t_o_orderstatus") == "F")
+            & (F.col("t_o_orderkey") % MERGE_DEL_MOD == 0)
+        ),
+    )
+
+
+MERGE_UPSERT_ORACLE = f"""
+WITH t AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_day
+    FROM orders
+), s AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           price_cents + price_cents // 10 AS price_cents, o_day
+    FROM t WHERE o_orderkey % {MERGE_UPD_MOD} = 0
+    UNION ALL
+    SELECT o_orderkey + {MERGE_KEY_OFFSET}, o_custkey, 'N',
+           CAST(10000 AS BIGINT), o_day
+    FROM t WHERE o_orderkey % {MERGE_INS_MOD} = 0
+)
+SELECT CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey
+            ELSE t.o_orderkey END AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.price_cents
+            ELSE t.price_cents END AS price_cents,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_day
+            ELSE t.o_day END AS o_day
+FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NOT NULL
+   OR NOT (t.o_orderstatus = 'F' AND t.o_orderkey % {MERGE_DEL_MOD} = 0)
+"""
+
+
+LAKEHOUSE_QUERIES = [
+    ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE,
+     "MERGE INTO semantics (update + insert + conditional delete) in one full-outer pass"),
+]

@@ -26,6 +26,7 @@ from amazon_books_review_spark.plans.corpus_stats_queries import CORPUS_STATS_QU
 from amazon_books_review_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 from amazon_books_review_spark.plans.sqlsurface_queries import SQLSURFACE_QUERIES
 from amazon_books_review_spark.plans.governance_queries import GOVERNANCE_QUERIES
+from amazon_books_review_spark.plans.lakehouse_queries import LAKEHOUSE_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -51,5 +52,6 @@ for _name, _fn, _oracle, _doc in (
     + BEHAVIOR_QUERIES
     + SQLSURFACE_QUERIES
     + GOVERNANCE_QUERIES
+    + LAKEHOUSE_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

@@ -205,6 +205,7 @@ HEADLINE += [
     # round-7 additions
     "kmeans_routed_assign",
     "streaming_stream_stream_join_salted",
+    "merge_upsert_orders",
 ]
 
 

@@ -201,6 +201,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # scalar crossJoins.  NO wedge-sized shuffle exists in the plan —
     # that's the invariant that un-quarantined it (r7).
     "triangle_count_copurchase": (20, 2, 4, 2),
+    # MERGE: one full-outer SMJ on the key (both sides shuffle once)
+    # plus the source-union's scan — full outer can't broadcast
+    "merge_upsert_orders": (4, 0, 0, 2),
     # weights/quota/feasible-total are all broadcast; the BNLJ pair is
     # the 1-row feasible-total cross join
     "mixture_rebalance_corpus": (18, 4, 2),
