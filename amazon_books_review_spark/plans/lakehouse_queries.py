@@ -111,7 +111,56 @@ WHERE s.o_orderkey IS NOT NULL
 """
 
 
+def cdc_orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between two snapshots: the pre-merge orders
+    table vs the post-``merge_upsert_orders`` result.
+
+    Exactly Delta CDF's row vocabulary (insert / delete /
+    update_preimage / update_postimage), derived engine-side with one
+    full-outer key join (`operators/cdc.py`).  CDF is MERGE's inverse,
+    so the oracle can state the expected feed in closed form from the
+    merge's own key-partitioning rules — a diff bug OR a merge bug
+    breaks the hash.
+    """
+    from amazon_books_review_spark.operators.cdc import snapshot_diff
+
+    old = _orders_cents(spark, sf_dir)
+    new = merge_upsert_orders(spark, sf_dir)
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+CDC_ORACLE = f"""
+WITH t AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_day
+    FROM orders
+)
+-- inserts: the spawned keys (never collide with existing keys)
+SELECT o_orderkey + {MERGE_KEY_OFFSET} AS o_orderkey, o_custkey,
+       'N' AS o_orderstatus, CAST(10000 AS BIGINT) AS price_cents, o_day,
+       'insert' AS _change_type
+FROM t WHERE o_orderkey % {MERGE_INS_MOD} = 0
+UNION ALL
+-- deletes: target-only 'F' keys on the delete modulus
+SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, o_day, 'delete'
+FROM t WHERE o_orderstatus = 'F' AND o_orderkey % {MERGE_DEL_MOD} = 0
+      AND o_orderkey % {MERGE_UPD_MOD} <> 0
+UNION ALL
+-- updates with an actual value change (cents div 10 > 0): pre + post
+SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, o_day,
+       'update_preimage'
+FROM t WHERE o_orderkey % {MERGE_UPD_MOD} = 0 AND price_cents // 10 > 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       price_cents + price_cents // 10, o_day, 'update_postimage'
+FROM t WHERE o_orderkey % {MERGE_UPD_MOD} = 0 AND price_cents // 10 > 0
+"""
+
+
 LAKEHOUSE_QUERIES = [
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE,
      "MERGE INTO semantics (update + insert + conditional delete) in one full-outer pass"),
+    ("cdc_orders_changes", cdc_orders_changes, CDC_ORACLE,
+     "Change Data Feed between snapshots (Delta CDF vocabulary) via one key diff join"),
 ]

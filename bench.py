@@ -206,6 +206,7 @@ HEADLINE += [
     "kmeans_routed_assign",
     "streaming_stream_stream_join_salted",
     "merge_upsert_orders",
+    "cdc_orders_changes",
 ]
 
 

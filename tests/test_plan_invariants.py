@@ -204,6 +204,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # MERGE: one full-outer SMJ on the key (both sides shuffle once)
     # plus the source-union's scan — full outer can't broadcast
     "merge_upsert_orders": (4, 0, 0, 2),
+    # CDF diff: the merge's full-outer SMJ plus the diff's own — two
+    # logical joins, each one Exchange pair; change fan-out is in-row
+    "cdc_orders_changes": (8, 0, 0, 4),
     # weights/quota/feasible-total are all broadcast; the BNLJ pair is
     # the 1-row feasible-total cross join
     "mixture_rebalance_corpus": (18, 4, 2),
