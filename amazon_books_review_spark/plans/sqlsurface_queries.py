@@ -186,6 +186,72 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join reduction (Catalyst runtime filtering)
+# ---------------------------------------------------------------------------
+
+#: conf overrides that let the injection demo run at test scale: the
+#: application-side threshold defaults to 10 GiB (the feature targets
+#: big fact scans), and the build side must not auto-broadcast (a BHJ
+#: already prunes the stream side; bloom exists for the SMJ case).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join under test: lineitem (fact/application side) x a
+    selectively filtered orders subset (creation side).  Catalyst's
+    InjectRuntimeFilter plants a bloom-filter aggregate on the orders
+    subquery and a ``might_contain`` predicate on the lineitem scan,
+    so fact rows that cannot join are dropped AT THE SCAN, before the
+    shuffle — the semi-join reduction that matters when the fact side
+    is 100 TB and the filtered dim is thousands of keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def runtime_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered fact⋈dim join, materialized under the bloom
+    confs (injection happens at physical planning, so the run is
+    forced inside the override window; the returned frame is the
+    checkpointed result).  Result values are the plain join's — the
+    bloom filter is sound (no false negatives), which is exactly what
+    the shared oracle verifies."""
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        return _bloom_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+BLOOM_JOIN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
 SQLSURFACE_QUERIES = [
     ("date_spine_gapfill", date_spine_gapfill, DATE_SPINE_ORACLE,
      "calendar spine via explode(sequence) + 0-filled daily rollup"),
@@ -193,4 +259,6 @@ SQLSURFACE_QUERIES = [
      "WITH RECURSIVE bounded-hop BFS over co-purchase edges"),
     ("parameterized_order_rollup", parameterized_order_rollup, PARAM_ORACLE,
      "named-parameter spark.sql with pushed, constant-folded binds"),
+    ("runtime_bloom_join_reduction", runtime_bloom_join_reduction, BLOOM_JOIN_ORACLE,
+     "Catalyst runtime bloom filter: fact scan pre-filtered by the dim subset's keys"),
 ]

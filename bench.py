@@ -207,6 +207,7 @@ HEADLINE += [
     "streaming_stream_stream_join_salted",
     "merge_upsert_orders",
     "cdc_orders_changes",
+    "runtime_bloom_join_reduction",
 ]
 
 

@@ -342,3 +342,32 @@ def test_bench_headline_names_resolve():
     )
     budgetless = sorted(set(PLAN_BUDGETS) - names)
     assert not budgetless, f"PLAN_BUDGETS references unknown queries: {budgetless}"
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The bloom demo's inner join must actually receive the runtime
+    filter: a bloom aggregate on the creation (orders) side and a
+    might_contain predicate on the application (lineitem) side —
+    without the injection the query is just a plain join and the demo
+    is vacuous."""
+    from amazon_books_review_spark.plans.sqlsurface_queries import (
+        _BLOOM_CONFS,
+        _bloom_join,
+    )
+
+    old = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = _bloom_join(spark, SF)
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert "bloom_filter_agg" in plan or "BloomFilter" in plan
