@@ -1,0 +1,92 @@
+"""sources/versioned.py — time travel over plain parquet."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.sources.versioned import (
+    VersionNotFoundError,
+    VersionedTable,
+)
+
+
+def test_version_as_of_roundtrip(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.write(spark.range(0, 3), note="initial") == 0
+    assert t.write(spark.range(0, 5), note="grew") == 1
+    assert t.write(spark.range(0, 2), note="shrank") == 2
+
+    assert t.read(spark, version=0).count() == 3
+    assert t.read(spark, version=1).count() == 5
+    assert t.read(spark).count() == 2  # latest
+    assert t.latest_version() == 2
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["n_rows"] for h in hist] == [3, 5, 2]
+    assert hist[1]["note"] == "grew"
+
+
+def test_missing_version_raises(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    with pytest.raises(VersionNotFoundError):
+        t.read(spark)
+    t.write(spark.range(1))
+    with pytest.raises(VersionNotFoundError, match="never committed"):
+        t.read(spark, version=7)
+
+
+def test_uncommitted_data_dir_is_invisible(spark, tmp_path):
+    """A data directory without a manifest entry (crashed write) must
+    not be readable as a version and must be reclaimed by vacuum."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(spark.range(0, 4))
+    # simulate a write that died before the manifest append
+    spark.range(0, 99).write.parquet(str(tmp_path / "tbl" / "v=1"))
+    assert t.latest_version() == 0
+    with pytest.raises(VersionNotFoundError):
+        t.read(spark, version=1)
+    t.vacuum(keep_last=1)
+    assert not (tmp_path / "tbl" / "v=1").exists()
+    assert t.read(spark).count() == 4
+
+
+def test_vacuum_keeps_history_drops_data(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    for n in (2, 4, 6, 8):
+        t.write(spark.range(0, n))
+    removed = t.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    # expired data gone, history intact and marked
+    hist = {h["version"]: h for h in t.history()}
+    assert hist[0]["vacuumed"] and hist[1]["vacuumed"]
+    assert hist[0]["n_rows"] == 2  # DESCRIBE HISTORY still answers
+    with pytest.raises(VersionNotFoundError, match="vacuumed"):
+        t.read(spark, version=0)
+    assert t.read(spark, version=2).count() == 6
+    assert t.read(spark, version=3).count() == 8
+    # idempotent
+    assert t.vacuum(keep_last=2) == []
+
+
+def test_time_travel_pairs_with_cdc(spark, tmp_path):
+    """snapshot_diff across two committed versions == the write delta,
+    the lakehouse triad (merge -> versioned write -> change feed)."""
+    from amazon_books_review_spark.operators.cdc import snapshot_diff
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k long, s string"))
+    feed = snapshot_diff(
+        t.read(spark, version=0), t.read(spark, version=1), "k"
+    )
+    kinds = {(r.k, r._change_type) for r in feed.collect()}
+    assert kinds == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (3, "insert"),
+    }
