@@ -264,9 +264,80 @@ WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 """
 
 
+# ---------------------------------------------------------------------------
+# Purchase attribution (first / last touch)
+# ---------------------------------------------------------------------------
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: each purchase credits the
+    user's earliest and the most recent non-purchase event strictly
+    before it; purchases with no prior touch credit ``(none)``.
+
+    Scale design: ONE shuffle on user_id serves both attribution
+    windows (``first``/``last`` with ignorenulls over the same
+    unbounded-preceding frame) — the naive formulation is two
+    events⋈events as-of self-joins, i.e. two extra fact-sized
+    shuffles plus a per-purchase scan of the touch history.  Tie
+    order is pinned (ts, event_id) so the credit assignment is
+    deterministic and engine-exact.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH ev AS (
+    SELECT event_type,
+           first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                       IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+    FROM events
+)
+SELECT coalesce(first_touch, '(none)') AS first_touch,
+       coalesce(last_touch, '(none)') AS last_touch,
+       count(*) AS n_purchases
+FROM ev
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 BEHAVIOR_QUERIES = [
     ("funnel_conversion", funnel_conversion, FUNNEL_ORACLE,
      "order-respecting 3-stage funnel, one user shuffle, no self-joins"),
+    ("purchase_attribution", purchase_attribution, ATTRIBUTION_ORACLE,
+     "first/last-touch purchase attribution, one user shuffle for both windows"),
     ("event_transition_matrix", event_transition_matrix, TRANSITION_ORACLE,
      "first-order Markov transition counts via lead() window"),
     ("cohort_retention_weekly", cohort_retention_weekly, COHORT_ORACLE,

@@ -208,6 +208,7 @@ HEADLINE += [
     "merge_upsert_orders",
     "cdc_orders_changes",
     "runtime_bloom_join_reduction",
+    "purchase_attribution",
 ]
 
 

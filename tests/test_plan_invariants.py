@@ -247,6 +247,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "funnel_conversion": (2, 0, 0),
     # lead() window shuffle + the |types|^2 rollup
     "event_transition_matrix": (4, 0, 0),
+    # ONE user shuffle serves both attribution windows + final rollup
+    "purchase_attribution": (4, 0, 0),
     # user window + keyed-distinct/rollup pair
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
