@@ -112,3 +112,57 @@ def drop_table(spark: SparkSession, table: str) -> None:
     that is the metastore contract, same as the reference's Delta
     tables)."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# Cost-based-optimizer statistics (ANALYZE TABLE)
+# ---------------------------------------------------------------------------
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``.
+
+    Feeds the cost-based optimizer: table-level ``sizeInBytes`` /
+    ``rowCount`` drive broadcast-side selection and join reordering
+    (``spark.sql.cbo.enabled`` + ``joinReorder.enabled``); per-column
+    NDV / min / max / null counts sharpen filter-selectivity
+    estimates.  At 100 TB this is an operational discipline, not an
+    optimization detail — without fresh stats the planner falls back
+    to raw file sizes, which overestimate post-filter cardinalities
+    and push broadcastable sides into shuffle joins.  Re-run after
+    each large ingest (the metadata cost is a scan-light pass; column
+    stats add one aggregate over the named columns only).
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_stats(spark: SparkSession, table: str) -> dict:
+    """Parsed CBO statistics: ``{"size_bytes": int, "row_count":
+    int | None}`` from the DESCRIBE EXTENDED Statistics row, plus
+    ``columns``: per-column stats (distinct_count / nulls / min /
+    max as strings) for every column that has them."""
+    stats: dict = {"size_bytes": None, "row_count": None, "columns": {}}
+    for r in describe_extended(spark, table).collect():
+        if r.col_name == "Statistics":
+            # e.g. "12345 bytes, 678 rows" (rows absent before ANALYZE)
+            parts = [p.strip(",") for p in r.data_type.split()]
+            if "bytes" in parts:
+                stats["size_bytes"] = int(parts[parts.index("bytes") - 1])
+            if "rows" in parts:
+                stats["row_count"] = int(parts[parts.index("rows") - 1])
+    for c in spark.catalog.listColumns(table):
+        rows = spark.sql(f"DESCRIBE EXTENDED {table} {c.name}").collect()
+        col = {r.info_name: r.info_value for r in rows}
+        if col.get("distinct_count", "NULL") != "NULL":
+            stats["columns"][c.name] = {
+                "distinct_count": col.get("distinct_count"),
+                "num_nulls": col.get("num_nulls"),
+                "min": col.get("min"),
+                "max": col.get("max"),
+            }
+    return stats

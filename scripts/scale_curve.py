@@ -86,6 +86,15 @@ QUERIES = [
     # the claim is that adjacency-array intersection work scales with
     # the true wedge count while every shuffle stays O(E) rows.
     "triangle_count_copurchase",
+    # round-7 lakehouse + optimizer wave: MERGE and its CDF inverse
+    # are one key-shuffle-per-side joins (orders scale REPx); the
+    # bloom join's claim is that the injected might_contain keeps the
+    # fact scan's post-filter volume proportional to the dim subset;
+    # attribution is one user-window shuffle (events scale by users).
+    "merge_upsert_orders",
+    "cdc_orders_changes",
+    "runtime_bloom_join_reduction",
+    "purchase_attribution",
     # round-6 fourth wave: all linear claims — boilerplate is two
     # aggs + a join on segment text, projection is a broadcast
     # fan-out map, the quantile audit is sketch agg + recount.

@@ -114,3 +114,35 @@ def test_analyze_statistics_feed_cbo(spark):
         assert "rowCount=101" in cost
     finally:
         tc.drop_table(spark, "tc_stats_table")
+
+
+def test_analyze_table_populates_cbo_stats(spark):
+    """ANALYZE TABLE feeds the CBO: row_count lands in the table
+    Statistics row and per-column NDV/min/max become visible —
+    the freshness discipline 100 TB planning depends on."""
+    from amazon_books_review_spark.sources.table_catalog import (
+        analyze_table,
+        drop_table,
+        save_as_table,
+        table_stats,
+    )
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id AS STRING) AS s"
+    )
+    save_as_table(df, "abr_cbo_stats_t")
+    try:
+        before = table_stats(spark, "abr_cbo_stats_t")
+        assert before["row_count"] is None  # no ANALYZE yet
+        analyze_table(spark, "abr_cbo_stats_t", columns=["id", "grp"])
+        after = table_stats(spark, "abr_cbo_stats_t")
+        assert after["row_count"] == 1000
+        assert after["size_bytes"] and after["size_bytes"] > 0
+        grp = after["columns"]["grp"]
+        assert grp["min"] == "0" and grp["max"] == "6"
+        assert int(grp["distinct_count"]) == 7
+        assert int(grp["num_nulls"]) == 0
+        assert int(after["columns"]["id"]["distinct_count"]) >= 900  # NDV approx
+        assert "s" not in after["columns"]  # only analyzed columns carry stats
+    finally:
+        drop_table(spark, "abr_cbo_stats_t")
