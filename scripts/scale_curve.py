@@ -95,6 +95,9 @@ QUERIES = [
     "cdc_orders_changes",
     "runtime_bloom_join_reduction",
     "purchase_attribution",
+    # routed assignment at fixed k (the k-scaling claim itself is
+    # measured by semdedup_kscaled below, routing included)
+    "kmeans_routed_assign",
     # round-6 fourth wave: all linear claims — boilerplate is two
     # aggs + a join on segment text, projection is a broadcast
     # fan-out map, the quantile audit is sketch agg + recount.
