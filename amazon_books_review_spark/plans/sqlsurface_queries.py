@@ -262,3 +262,83 @@ SQLSURFACE_QUERIES = [
     ("runtime_bloom_join_reduction", runtime_bloom_join_reduction, BLOOM_JOIN_ORACLE,
      "Catalyst runtime bloom filter: fact scan pre-filtered by the dim subset's keys"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Modern aggregate surface (Spark 4 / ANSI aggregates)
+# ---------------------------------------------------------------------------
+
+
+def modern_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One grouped pass exercising the modern ANSI aggregate surface:
+    ``mode``, ``listagg WITHIN GROUP``, ``count_if``, ``bool_and`` /
+    ``bool_or``, ``median``, ``percentile_disc``, and ``max_by`` —
+    every one a single-pass partial-aggregable function (no window, no
+    self-join), which is why they matter at 100 TB: each replaces a
+    window-rank or join-back idiom with plain map-side combine.
+
+    Determinism notes baked into the query: ``max_by``'s ordering key
+    is made UNIQUE (cents * 1e7 + orderkey) so ties cannot flap the
+    hash; money is integer cents; ``median`` interpolates in double
+    and is rounded; ``mode`` rides group sizes large enough that a
+    frequency tie is effectively impossible at the tested SFs (a tie
+    would be nondeterministic in any engine).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ma_orders")
+    return spark.sql(
+        """
+        WITH t AS (
+            SELECT o_orderpriority,
+                   o_orderstatus,
+                   o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   date_format(o_orderdate, 'yyyy-MM-dd') AS o_day
+            FROM ma_orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               mode(o_orderstatus) AS modal_status,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count_if(o_orderstatus = 'F') AS n_finished,
+               bool_and(cents > 0) AS all_positive,
+               bool_or(cents > 50000000) AS any_over_500k,
+               round(median(cents), 1) AS median_cents,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                   AS p50_disc_cents,
+               max_by(o_day, cents * 10000000 + o_orderkey)
+                   AS priciest_order_day
+        FROM t
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+MODERN_AGG_ORACLE = """
+WITH t AS (
+    SELECT o_orderpriority, o_orderstatus, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_day
+    FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       mode(o_orderstatus) AS modal_status,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       bool_and(cents > 0) AS all_positive,
+       bool_or(cents > 50000000) AS any_over_500k,
+       round(median(cents), 1) AS median_cents,
+       CAST(quantile_disc(cents, 0.5) AS DOUBLE) AS p50_disc_cents,
+       max_by(o_day, cents * 10000000 + o_orderkey) AS priciest_order_day
+FROM t
+GROUP BY o_orderpriority
+"""
+
+
+SQLSURFACE_QUERIES.append(
+    ("modern_aggregates_showcase", modern_aggregates_showcase, MODERN_AGG_ORACLE,
+     "ANSI aggregate surface: mode/listagg/count_if/bool_and/median/percentile_disc/max_by in one partial-aggregable pass")
+)

@@ -209,6 +209,7 @@ HEADLINE += [
     "cdc_orders_changes",
     "runtime_bloom_join_reduction",
     "purchase_attribution",
+    "modern_aggregates_showcase",
 ]
 
 

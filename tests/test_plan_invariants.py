@@ -249,6 +249,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "event_transition_matrix": (4, 0, 0),
     # ONE user shuffle serves both attribution windows + final rollup
     "purchase_attribution": (4, 0, 0),
+    # grouped pass + the DISTINCT-listagg expand phase (two Exchange
+    # pairs); still no window and no join — that IS the showcase
+    "modern_aggregates_showcase": (4, 0, 0),
     # user window + keyed-distinct/rollup pair
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
