@@ -384,3 +384,79 @@ def test_mad_zscores_match_python_reference(spark, vals):
     )
     assert math.isclose(got_med, med, rel_tol=1e-12, abs_tol=1e-12)
     assert math.isclose(got_mad, mad, rel_tol=1e-12, abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / CDC algebra (round 7)
+# ---------------------------------------------------------------------------
+
+_kv_tables = st.tuples(
+    st.dictionaries(st.integers(0, 15), st.integers(-3, 3), max_size=12),
+    st.dictionaries(st.integers(0, 15), st.integers(-3, 3), max_size=12),
+)
+
+
+@given(_kv_tables)
+@settings(**_SETTINGS)
+def test_merge_upsert_is_dict_update(spark, tables):
+    """Plain upsert == Python dict.update on the key space."""
+    from amazon_books_review_spark.operators.merge import merge_dataframes
+
+    t, s = tables
+    target = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in t.items()] or [Row(k=None, v=None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    source = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in s.items()] or [Row(k=None, v=None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: r.v for r in merge_dataframes(target, source, "k").collect()}
+    expected = dict(t)
+    expected.update(s)
+    assert got == expected
+
+
+@given(_kv_tables)
+@settings(**_SETTINGS)
+def test_snapshot_diff_feed_reconstructs_new(spark, tables):
+    """For ANY snapshot pair: old + feed == new (apply deletes, then
+    upsert post-images/inserts) and the feed equals the dict diff."""
+    from amazon_books_review_spark.operators.cdc import snapshot_diff
+    from amazon_books_review_spark.operators.merge import merge_dataframes
+
+    a, b = tables
+    old = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in a.items()] or [Row(k=None, v=None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in b.items()] or [Row(k=None, v=None)],
+        "k long, v long",
+    ).filter(F.col("k").isNotNull())
+    feed = snapshot_diff(old, new, "k").collect()
+    kinds = {(r.k, r._change_type) for r in feed}
+    expected_kinds = set()
+    for k in set(a) | set(b):
+        if k in a and k not in b:
+            expected_kinds.add((k, "delete"))
+        elif k in b and k not in a:
+            expected_kinds.add((k, "insert"))
+        elif a[k] != b[k]:
+            expected_kinds.add((k, "update_preimage"))
+            expected_kinds.add((k, "update_postimage"))
+    assert kinds == expected_kinds
+    # replay: old minus deletes, merged with inserts+postimages == new
+    deletes = {r.k for r in feed if r._change_type == "delete"}
+    upserts = [
+        Row(k=r.k, v=r.v)
+        for r in feed
+        if r._change_type in ("insert", "update_postimage")
+    ]
+    base = old.filter(~F.col("k").isin(list(deletes)) if deletes else F.lit(True))
+    if upserts:
+        src = spark.createDataFrame(upserts, "k long, v long")
+        replayed = merge_dataframes(base, src, "k")
+    else:
+        replayed = base
+    assert {r.k: r.v for r in replayed.collect()} == b
