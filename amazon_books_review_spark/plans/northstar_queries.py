@@ -451,7 +451,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_TOPK_ORACLE = f"""
+def _ivf_oracle(nprobe: int = IVF_NPROBE) -> str:
+    return f"""
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS e,
            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -477,7 +478,7 @@ WITH v AS (
            ) AS r
     FROM probes, cent
 ), probe_cells AS (
-    SELECT query_id, qv, qn, cell FROM routed WHERE r <= {IVF_NPROBE}
+    SELECT query_id, qv, qn, cell FROM routed WHERE r <= {nprobe}
 ), scored AS (
     SELECT p.query_id, c.vec_id AS neighbor_id,
            round(list_inner_product(p.qv, c.e) / (p.qn * c.nrm), 6) AS sim
@@ -491,6 +492,104 @@ WITH v AS (
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
 """
+
+
+IVF_TOPK_ORACLE = _ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (exact vs IVF, same probes, same k)
+# ---------------------------------------------------------------------------
+
+#: the two probe widths the audit contrasts — the knob the tuning
+#: loop turns.  At the synthetic SFs label-cells are only weakly
+#: aligned with cosine neighborhoods, so the nprobe=2 recall is low
+#: by construction; the audit's value is showing the recall CURVE.
+ANN_AUDIT_NPROBES = (2, 4)
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF ANN path against brute-force cosine top-k,
+    at two nprobe settings side by side.
+
+    The one number an ANN operator is accountable for: per probe
+    query, |IVF top-k ∩ exact top-k| / k.  All rankings are
+    deterministic (rounded sims, id tie-break), so the recalls are
+    ENGINE-EXACT and DuckDB replays them to the integer — unlike the
+    sketch audits, no tolerance band is needed.  At 100 TB this query
+    IS the nprobe tuning loop: run on a probe sample after each
+    re-clustering, read the recall-vs-cost curve, pick the knob.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=TOPK_K)
+    out = exact.select("query_id", "neighbor_id")
+    for np_ in ANN_AUDIT_NPROBES:
+        approx = similarity.ivf_topk(
+            emb, probes, "vec_id", "embedding", "label",
+            dim=EMB_DIM, k=TOPK_K, nprobe=np_,
+        )
+        out = out.join(
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+    aggs = [F.count(F.lit(1)).alias("n_exact")]
+    for np_ in ANN_AUDIT_NPROBES:
+        aggs.append(
+            F.coalesce(F.sum(f"hit_np{np_}"), F.lit(0))
+            .cast("long")
+            .alias(f"n_hit_np{np_}")
+        )
+    per_q = out.groupBy("query_id").agg(*aggs)
+    cols = ["query_id", "n_exact"]
+    for np_ in ANN_AUDIT_NPROBES:
+        cols.append(f"n_hit_np{np_}")
+        per_q = per_q.withColumn(
+            f"recall_pct_np{np_}",
+            F.expr(f"n_hit_np{np_} * 100 div n_exact"),
+        )
+        cols.append(f"recall_pct_np{np_}")
+    lo, hi = ANN_AUDIT_NPROBES[0], ANN_AUDIT_NPROBES[-1]
+    per_q = per_q.withColumn(
+        "wider_probe_no_worse",
+        F.col(f"recall_pct_np{hi}") >= F.col(f"recall_pct_np{lo}"),
+    )
+    return per_q.select(*cols, "wider_probe_no_worse")
+
+
+def _ann_recall_oracle() -> str:
+    lo, hi = ANN_AUDIT_NPROBES[0], ANN_AUDIT_NPROBES[-1]
+    return f"""
+WITH exact_tk AS ({COSINE_TOPK_ORACLE}),
+ivf_lo AS ({_ivf_oracle(lo)}),
+ivf_hi AS ({_ivf_oracle(hi)}),
+hits AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit_lo,
+           CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit_hi
+    FROM exact_tk e
+    LEFT JOIN ivf_lo a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    LEFT JOIN ivf_hi b
+      ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(hit_lo) AS BIGINT) AS n_hit_np{lo},
+       CAST((sum(hit_lo) * 100) // count(*) AS BIGINT) AS recall_pct_np{lo},
+       CAST(sum(hit_hi) AS BIGINT) AS n_hit_np{hi},
+       CAST((sum(hit_hi) * 100) // count(*) AS BIGINT) AS recall_pct_np{hi},
+       (sum(hit_hi) * 100) // count(*) >= (sum(hit_lo) * 100) // count(*)
+           AS wider_probe_no_worse
+FROM hits
+GROUP BY query_id
+"""
+
+
+ANN_RECALL_ORACLE = _ann_recall_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1275,6 +1374,8 @@ NORTHSTAR_QUERIES = [
      "same query, numpy/Arrow mapInPandas strategy (per-task partial top-k)"),
     ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
+    ("ann_recall_audit", ann_recall_audit, ANN_RECALL_ORACLE,
+     "recall@k of the IVF path vs brute-force top-k — engine-exact audit"),
     ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,
      "IVF-style ANN: centroid routing (nprobe=2) + in-cell exact search"),
     ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE,

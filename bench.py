@@ -210,6 +210,7 @@ HEADLINE += [
     "runtime_bloom_join_reduction",
     "purchase_attribution",
     "modern_aggregates_showcase",
+    "ann_recall_audit",
 ]
 
 

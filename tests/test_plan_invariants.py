@@ -252,6 +252,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # grouped pass + the DISTINCT-listagg expand phase (two Exchange
     # pairs); still no window and no join — that IS the showcase
     "modern_aggregates_showcase": (4, 0, 0),
+    # three top-k pipelines (exact + 2 IVF widths) + recall joins; the
+    # BNLJ are the intended probe broadcasts, SMJ the recall joins
+    "ann_recall_audit": (32, 4, 6, 4),
     # user window + keyed-distinct/rollup pair
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
