@@ -342,3 +342,64 @@ SQLSURFACE_QUERIES.append(
     ("modern_aggregates_showcase", modern_aggregates_showcase, MODERN_AGG_ORACLE,
      "ANSI aggregate surface: mode/listagg/count_if/bool_and/median/percentile_disc/max_by in one partial-aggregable pass")
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURN) + collation
+# ---------------------------------------------------------------------------
+
+
+def sql_udf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs + collation in one rollup.
+
+    The scale point: a SQL UDF's body INLINES into the Catalyst plan
+    (it is a named expression, not a function call), so ``cents()``
+    and ``price_band()`` below cost the same as writing the CASE
+    inline — whole-stage codegen, partial aggregation, pushdown all
+    intact — where a row-Python UDF would add a serialization
+    boundary.  The plan test asserts no Python eval node exists.
+    ``COLLATE UTF8_LCASE`` gives case-insensitive matching as a type
+    property instead of ``lower()`` scans on both sides.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("su_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION su_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION su_price_band(c BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN c < 5000000 THEN 'low' "
+        "WHEN c < 20000000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT su_price_band(su_cents(o_totalprice)) AS band,
+               count(*) AS n_orders,
+               sum(su_cents(o_totalprice)) AS total_cents
+        FROM su_orders
+        WHERE o_orderpriority COLLATE UTF8_LCASE = '1-urgent'
+        GROUP BY 1
+        """
+    )
+
+
+SQL_UDF_ORACLE = """
+WITH t AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE lower(o_orderpriority) = '1-urgent'
+)
+SELECT CASE WHEN cents < 5000000 THEN 'low'
+            WHEN cents < 20000000 THEN 'mid' ELSE 'high' END AS band,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM t
+GROUP BY 1
+"""
+
+
+SQLSURFACE_QUERIES.append(
+    ("sql_udf_rollup", sql_udf_rollup, SQL_UDF_ORACLE,
+     "SQL UDFs (CREATE FUNCTION ... RETURN) inline into Catalyst + UTF8_LCASE collation filter")
+)

@@ -211,6 +211,7 @@ HEADLINE += [
     "purchase_attribution",
     "modern_aggregates_showcase",
     "ann_recall_audit",
+    "sql_udf_rollup",
 ]
 
 

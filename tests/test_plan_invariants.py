@@ -255,6 +255,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # three top-k pipelines (exact + 2 IVF widths) + recall joins; the
     # BNLJ are the intended probe broadcasts, SMJ the recall joins
     "ann_recall_audit": (32, 4, 6, 4),
+    # SQL UDFs inline: one agg Exchange pair, zero Python eval nodes
+    "sql_udf_rollup": (2, 0, 0),
     # user window + keyed-distinct/rollup pair
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
@@ -379,3 +381,12 @@ def test_runtime_bloom_filter_injected(spark):
             spark.conf.set(k, v)
     assert "might_contain" in plan, "runtime bloom filter not injected"
     assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+
+
+def test_sql_udf_inlines_no_python_boundary(spark):
+    """CREATE FUNCTION ... RETURN bodies must inline as Catalyst
+    expressions — a Python eval node here would mean the engine
+    regressed to the serialization boundary SQL UDFs exist to avoid."""
+    plan = plan_of(spark, "sql_udf_rollup")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
