@@ -311,3 +311,97 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+# --- Gopher quality rules --------------------------------------------------
+
+#: Rae et al. 2021 (Gopher), Appendix A1.1 — the published document
+#: filter thresholds, verbatim.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher quality-filter suite as ONE Catalyst scan.
+
+    Emits every rule as its own boolean plus the conjunction
+    (``keep``), so a 100 TB corpus run can both filter and report
+    per-rule kill counts from the same pass — re-running one rule at a
+    time re-scans the corpus once per rule, which is the anti-pattern.
+    All expressions are built-in (split / filter / aggregate higher-
+    order functions): no Python boundary, whole-stage codegen intact.
+
+    Rules (Rae et al. 2021, A1.1): word count within
+    [{min_w}, {max_w}]; mean word length within [{min_l}, {max_l}];
+    symbol-to-word ratio (# or ellipsis) <= {sym}; <= {bul:.0%} of
+    lines bullet-led; <= {ell:.0%} of lines ellipsis-terminated;
+    >= {alpha:.0%} of words containing an alphabetic character;
+    >= {stop} distinct stopwords present.
+    """.format(
+        min_w=GOPHER_MIN_WORDS, max_w=GOPHER_MAX_WORDS,
+        min_l=GOPHER_MIN_MEAN_WORD_LEN, max_l=GOPHER_MAX_MEAN_WORD_LEN,
+        sym=GOPHER_MAX_SYMBOL_RATIO, bul=GOPHER_MAX_BULLET_LINE_FRAC,
+        ell=GOPHER_MAX_ELLIPSIS_LINE_FRAC, alpha=GOPHER_MIN_ALPHA_WORD_FRAC,
+        stop=GOPHER_MIN_STOPWORDS,
+    )
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("double")
+    word_chars = F.expr(
+        f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
+        "w -> length(w)), 0L, (a, x) -> a + x)"
+    )
+    mean_wl = word_chars / n_words
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": (n_hash + n_ellipsis) / n_words
+        <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_bullet_lines": bullet_lines / n_lines <= GOPHER_MAX_BULLET_LINE_FRAC,
+        "ok_ellipsis_lines": ellipsis_lines / n_lines
+        <= GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        "ok_alpha_words": alpha_words / n_words >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

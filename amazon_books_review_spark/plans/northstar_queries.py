@@ -498,6 +498,70 @@ IVF_TOPK_ORACLE = _ivf_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality-filter suite
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document filters (Rae et al. 2021 A1.1)
+    over the corpus in one scan — see
+    :func:`functions.text.gopher_quality_flags`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs, "doc_id", "text")
+
+
+GOPHER_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\\s+') AS words,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           list_sum(list_transform(words, w -> len(w))) * 1.0 / len(words)
+               AS mean_wl,
+           len(text) - len(replace(text, '#', '')) AS n_hash,
+           (len(text) - len(replace(text, '...', ''))) / 3
+               + (len(text) - len(replace(text, '…', ''))) AS n_ell,
+           len(list_filter(lines,
+               l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+           len(list_filter(lines,
+               l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS ell_lines,
+           len(lines) * 1.0 AS n_lines,
+           len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+           len(list_intersect(list_distinct(words),
+               {list(text.GOPHER_STOPWORDS)!r})) AS n_stop
+    FROM d
+), flags AS (
+    SELECT doc_id, n_words,
+           n_words >= {text.GOPHER_MIN_WORDS}
+               AND n_words <= {text.GOPHER_MAX_WORDS} AS ok_word_count,
+           mean_wl >= {text.GOPHER_MIN_MEAN_WORD_LEN}
+               AND mean_wl <= {text.GOPHER_MAX_MEAN_WORD_LEN}
+               AS ok_mean_word_len,
+           (n_hash + n_ell) * 1.0 / n_words <= {text.GOPHER_MAX_SYMBOL_RATIO}
+               AS ok_symbol_ratio,
+           bullet_lines / n_lines <= {text.GOPHER_MAX_BULLET_LINE_FRAC}
+               AS ok_bullet_lines,
+           ell_lines / n_lines <= {text.GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+               AS ok_ellipsis_lines,
+           alpha_words * 1.0 / n_words >= {text.GOPHER_MIN_ALPHA_WORD_FRAC}
+               AS ok_alpha_words,
+           n_stop >= {text.GOPHER_MIN_STOPWORDS} AS ok_stopwords
+    FROM m
+)
+SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+       ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+       ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+           AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+           AND ok_stopwords AS keep
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN recall audit (exact vs IVF, same probes, same k)
 # ---------------------------------------------------------------------------
 
@@ -1374,6 +1438,8 @@ NORTHSTAR_QUERIES = [
      "same query, numpy/Arrow mapInPandas strategy (per-task partial top-k)"),
     ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
+    ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,
+     "Gopher (Rae et al. 2021) document filters: per-rule flags + keep in one scan"),
     ("ann_recall_audit", ann_recall_audit, ANN_RECALL_ORACLE,
      "recall@k of the IVF path vs brute-force top-k — engine-exact audit"),
     ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,

@@ -212,6 +212,7 @@ HEADLINE += [
     "modern_aggregates_showcase",
     "ann_recall_audit",
     "sql_udf_rollup",
+    "gopher_quality_rules",
 ]
 
 

@@ -183,3 +183,32 @@ def test_weighted_sample_is_stable_and_biased_long(spark):
     kept = a.count()
     total = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert 0 < kept < total, "threshold sampling must actually drop docs"
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each Gopher rule must trip on a crafted violating document and
+    pass on a clean one (the synthetic corpus never exercises the
+    line-based rules, so this is their only coverage)."""
+    from amazon_books_review_spark.functions.text import gopher_quality_flags
+
+    good_words = ("the and to of that have with be " + "solid " * 60).strip()
+    docs = [
+        (0, good_words),                                  # clean -> keep
+        (1, "short doc the and"),                         # word count
+        (2, " ".join(["a"] * 80) + " the and"),           # mean word len < 3
+        (3, good_words + " " + "#" * 1 * 1 + (" #" * 20)),  # symbol ratio
+        (4, "\n".join(["- bullet line the and to of"] * 10)),  # bullet lines
+        (5, "\n".join([good_words[:40] + "..."] * 10)),   # ellipsis lines
+        (6, ("12345 " * 70) + "the and"),                 # alpha fraction
+        (7, ("solid " * 70).strip()),                     # stopwords < 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[0].keep is True
+    assert out[1].ok_word_count is False and out[1].keep is False
+    assert out[2].ok_mean_word_len is False
+    assert out[3].ok_symbol_ratio is False
+    assert out[4].ok_bullet_lines is False
+    assert out[5].ok_ellipsis_lines is False
+    assert out[6].ok_alpha_words is False
+    assert out[7].ok_stopwords is False

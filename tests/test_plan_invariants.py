@@ -257,6 +257,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "ann_recall_audit": (32, 4, 6, 4),
     # SQL UDFs inline: one agg Exchange pair, zero Python eval nodes
     "sql_udf_rollup": (2, 0, 0),
+    # pure per-row rule evaluation: zero Exchange is the invariant
+    "gopher_quality_rules": (0, 0, 0),
     # user window + keyed-distinct/rollup pair
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
