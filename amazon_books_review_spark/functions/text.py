@@ -405,3 +405,134 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+# --- Gopher repetition rules ----------------------------------------------
+
+#: Rae et al. 2021, Appendix A1.2 — repetition thresholds, verbatim.
+#: top-n-gram rule: chars inside the single most frequent n-gram
+#: (count x gram length) / doc chars must not exceed the bound.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+#: dup-n-gram rule: chars inside ALL n-grams occurring >= 2 times
+#: (count x gram length, the standard overlap-free proxy) / doc chars.
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+
+
+def gopher_repetition_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The Gopher repetition-filter suite (Rae et al. 2021 A1.2).
+
+    Line rules evaluate row-locally (array ops over the newline
+    split).  The n-gram rules need per-(doc, n, gram) frequencies, so
+    the grams explode ONCE for all nine n at once (one scan, one
+    Generate chain) and reduce at (doc, n, gram) grain before any
+    further aggregation — the same grain discipline as the BPE /
+    unigram-LM queries: a hot gram costs one row after the first
+    shuffle, never one row per occurrence.  Char masses use the
+    standard count x gram-length proxy (exact overlap accounting
+    needs interval union, which no production filter pays for); both
+    engines compute the identical proxy, so the flags hash-match.
+
+    Scale shape: one token-linear shuffle (x9 for the n range), two
+    small-grain aggregations riding (doc, n) -> doc, one doc-grain
+    join for the line flags.
+    """
+    text = F.col(text_col)
+    toks = tokens(text_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / F.greatest(
+        n_lines, F.lit(1.0)
+    )
+    # chars inside duplicated lines: per distinct line, count * length
+    # when count >= 2 (O(L^2) per row; L = lines per doc, small)
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(lines),
+            lambda l: F.when(
+                F.size(F.filter(lines, lambda x: x == l)) >= 2,
+                F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).cast("long").alias("n_chars"),
+        toks.alias("toks"),
+        (dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC).alias("ok_dup_lines"),
+        (
+            dup_line_chars / F.greatest(F.length(text), F.lit(1)).cast("double")
+            <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+        ).alias("ok_dup_line_chars"),
+    )
+    ns = sorted(set(GOPHER_TOP_NGRAM_MAX) | set(GOPHER_DUP_NGRAM_MAX))
+    per_n = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                word_ngrams_sliced(F.col("toks"), n).alias("grams"),
+            )
+            for n in ns
+        ]
+    )
+    grams = (
+        base.select("doc_id", "n_chars", F.explode(per_n).alias("e"))
+        .select(
+            "doc_id", "n_chars", F.col("e.n").alias("n"),
+            F.explode("e.grams").alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mass = F.col("c") * F.length("gram")
+    per_doc_n = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(mass).alias("top_mass"),
+        F.sum(F.when(F.col("c") >= 2, mass).otherwise(F.lit(0))).alias(
+            "dup_mass"
+        ),
+    )
+    aggs = []
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        aggs.append(
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, F.col("top_mass"))), F.lit(0)
+                )
+                / F.col("n_chars")
+                <= thr
+            ).alias(f"ok_top_{n}gram")
+        )
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        aggs.append(
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, F.col("dup_mass"))), F.lit(0)
+                )
+                / F.col("n_chars")
+                <= thr
+            ).alias(f"ok_dup_{n}gram")
+        )
+    ngram_flags = per_doc_n.groupBy("doc_id", "n_chars").agg(*aggs)
+    out = base.select(
+        "doc_id", "ok_dup_lines", "ok_dup_line_chars"
+    ).join(ngram_flags.drop("n_chars"), "doc_id", "left")
+    flag_cols = (
+        ["ok_dup_lines", "ok_dup_line_chars"]
+        + [f"ok_top_{n}gram" for n in GOPHER_TOP_NGRAM_MAX]
+        + [f"ok_dup_{n}gram" for n in GOPHER_DUP_NGRAM_MAX]
+    )
+    # a doc too short to have any n-gram of some n passes that rule
+    out = out.select(
+        "doc_id",
+        *[F.coalesce(F.col(c), F.lit(True)).alias(c) for c in flag_cols],
+    )
+    keep = None
+    for c in flag_cols:
+        keep = F.col(c) if keep is None else (keep & F.col(c))
+    return out.withColumn("keep", keep)

@@ -561,6 +561,78 @@ FROM flags
 """
 
 
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher repetition filters (Rae et al. 2021 A1.2)
+    — see :func:`functions.text.gopher_repetition_flags`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_repetition_flags(docs, "doc_id", "text")
+
+
+def _gopher_repetition_oracle() -> str:
+    ns = sorted(set(text.GOPHER_TOP_NGRAM_MAX) | set(text.GOPHER_DUP_NGRAM_MAX))
+    flag_exprs = []
+    for n, thr in text.GOPHER_TOP_NGRAM_MAX.items():
+        flag_exprs.append(
+            f"coalesce(max(CASE WHEN n = {n} THEN top_mass END), 0) * 1.0"
+            f" / any_value(n_chars) <= {thr} AS ok_top_{n}gram"
+        )
+    for n, thr in text.GOPHER_DUP_NGRAM_MAX.items():
+        flag_exprs.append(
+            f"coalesce(max(CASE WHEN n = {n} THEN dup_mass END), 0) * 1.0"
+            f" / any_value(n_chars) <= {thr} AS ok_dup_{n}gram"
+        )
+    flag_names = (
+        [f"ok_top_{n}gram" for n in text.GOPHER_TOP_NGRAM_MAX]
+        + [f"ok_dup_{n}gram" for n in text.GOPHER_DUP_NGRAM_MAX]
+    )
+    all_flags = ["ok_dup_lines", "ok_dup_line_chars"] + flag_names
+    coalesced = [
+        f"coalesce(ng.{f}, TRUE) AS {f}" for f in flag_names
+    ]
+    return f"""
+WITH d AS (
+    SELECT doc_id, text, len(text) AS n_chars,
+           string_split_regex(trim(text), '\\s+') AS words,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+), line_flags AS (
+    SELECT doc_id,
+           1.0 - len(list_distinct(lines)) * 1.0 / greatest(len(lines), 1)
+               <= {text.GOPHER_MAX_DUP_LINE_FRAC} AS ok_dup_lines,
+           list_sum(list_transform(list_distinct(lines),
+               l -> CASE WHEN len(list_filter(lines, x -> x = l)) >= 2
+                    THEN len(list_filter(lines, x -> x = l)) * len(l)
+                    ELSE 0 END)) * 1.0 / greatest(n_chars, 1)
+               <= {text.GOPHER_MAX_DUP_LINE_CHAR_FRAC} AS ok_dup_line_chars
+    FROM d
+), g AS (
+    SELECT doc_id, n_chars, nn.n AS n,
+           unnest([array_to_string(words[i:i+nn.n-1], ' ')
+                   for i in range(1, len(words) - nn.n + 2)]) AS gram
+    FROM d, (SELECT unnest({ns!r}) AS n) nn
+    WHERE len(words) >= nn.n
+), counts AS (
+    SELECT doc_id, n_chars, n, gram, count(*) AS c, len(gram) AS glen
+    FROM g GROUP BY ALL
+), per_doc_n AS (
+    SELECT doc_id, n_chars, n,
+           max(c * glen) AS top_mass,
+           sum(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS dup_mass
+    FROM counts GROUP BY doc_id, n_chars, n
+), ngram_flags AS (
+    SELECT doc_id, {", ".join(flag_exprs)}
+    FROM per_doc_n GROUP BY doc_id
+)
+SELECT lf.doc_id, lf.ok_dup_lines, lf.ok_dup_line_chars,
+       {", ".join(coalesced)},
+       {" AND ".join(f"coalesce(ng.{f}, TRUE)" if f.startswith("ok_top") or f.startswith("ok_dup_") and "gram" in f else f"lf.{f}" for f in all_flags)} AS keep
+FROM line_flags lf LEFT JOIN ngram_flags ng USING (doc_id)
+"""
+
+
+GOPHER_REPETITION_ORACLE = _gopher_repetition_oracle()
+
+
 # ---------------------------------------------------------------------------
 # ANN recall audit (exact vs IVF, same probes, same k)
 # ---------------------------------------------------------------------------
@@ -1438,6 +1510,8 @@ NORTHSTAR_QUERIES = [
      "same query, numpy/Arrow mapInPandas strategy (per-task partial top-k)"),
     ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
+    ("gopher_repetition_rules", gopher_repetition_rules, GOPHER_REPETITION_ORACLE,
+     "Gopher repetition filters: top/dup n-gram char mass + dup lines, one gram shuffle"),
     ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,
      "Gopher (Rae et al. 2021) document filters: per-rule flags + keep in one scan"),
     ("ann_recall_audit", ann_recall_audit, ANN_RECALL_ORACLE,

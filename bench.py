@@ -213,6 +213,7 @@ HEADLINE += [
     "ann_recall_audit",
     "sql_udf_rollup",
     "gopher_quality_rules",
+    "gopher_repetition_rules",
 ]
 
 

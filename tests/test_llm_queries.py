@@ -212,3 +212,28 @@ def test_gopher_rules_fire_individually(spark):
     assert out[5].ok_ellipsis_lines is False
     assert out[6].ok_alpha_words is False
     assert out[7].ok_stopwords is False
+
+
+def test_gopher_repetition_rules_fire(spark):
+    """Crafted docs trip each repetition-rule family; a clean varied
+    doc keeps."""
+    from amazon_books_review_spark.functions.text import (
+        gopher_repetition_flags,
+    )
+
+    varied = " ".join(f"w{i}" for i in range(100))
+    docs = [
+        (0, varied),                                      # clean
+        (1, "\n".join(["same line here"] * 10)),          # dup lines (+chars)
+        (2, ("ab " * 200).strip()),                       # top 2-gram mass
+        (3, ("one two three four five " * 50).strip()),   # dup 5-gram mass
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition_flags(df, "doc_id", "text").collect()}
+    assert out[0].keep is True
+    assert out[1].ok_dup_lines is False
+    assert out[1].ok_dup_line_chars is False
+    assert out[2].ok_top_2gram is False
+    assert out[3].ok_dup_5gram is False
+    for d in (1, 2, 3):
+        assert out[d].keep is False
