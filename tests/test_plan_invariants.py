@@ -259,9 +259,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "sql_udf_rollup": (2, 0, 0),
     # pure per-row rule evaluation: zero Exchange is the invariant
     "gopher_quality_rules": (0, 0, 0),
-    # one gram shuffle + (doc,n)->doc reductions + doc-grain join (SMJ
-    # allowed at scale: both sides doc-cardinality)
-    "gopher_repetition_rules": (8, 0, 0, 2),
+    # row-local sorted-run accumulation: zero Exchange is the invariant
+    "gopher_repetition_rules": (0, 0, 0),
     # user window + keyed-distinct/rollup pair
     "cohort_retention_weekly": (4, 0, 0),
     # name-type distinct + broadcast block join (vocab-bounded)
