@@ -434,9 +434,13 @@ def _run_masses(grams: Column) -> Column:
     widths): 8.1s -> 6.0s warm at sf0.1 with identical flags, and the
     remaining cost is pure map-side gram construction (perfectly
     partition-parallel; the shuffle variant ALSO paid it, plus the
-    network).  Next lever if ever needed: token-hash n-grams with
-    prefix-sum lengths — drops the string building, at the price of a
-    modular-arithmetic replica in the oracle.
+    network).  Token-hash n-grams (xxhash64 per token, polynomial
+    window signature + windowed length sums) were prototyped and
+    measured NO win — 6.4s vs 6.0s at sf0.1: Catalyst's projection
+    collapse re-inlines the hash/length arrays into every per-gram
+    slice-aggregate, so the O(n)-per-gram arithmetic costs what the
+    string building did.  Don't re-attempt without a way to pin the
+    arrays materialized (no such expression-level mechanism today).
     """
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
