@@ -48,6 +48,16 @@ def merge_dataframes(
     * target-only rows: deleted when ``delete_when`` holds (default:
       never — plain upsert).
 
+    ``update_set`` semantics (matches SQL/Delta MERGE):
+
+    * ``update_set=None`` — ``WHEN MATCHED THEN UPDATE SET *``:
+      every column of a matched row is replaced by the SOURCE value
+      (full-row replace, Delta's star form).
+    * ``update_set={...}`` (possibly partial) — ``WHEN MATCHED THEN
+      UPDATE SET a = expr, ...``: listed columns take their
+      expression; UNLISTED columns keep their TARGET value, exactly
+      as a partial ``SET`` list does in SQL MERGE.
+
     Column references inside the condition/update expressions use the
     prefixed names ``t_<col>`` / ``s_<col>`` (both sides survive into
     the join row).  Output columns are exactly the target's.
@@ -77,11 +87,14 @@ def merge_dataframes(
     do_delete = in_target & (~in_source) & (
         delete_when if delete_when is not None else F.lit(False)
     )
+    # None => UPDATE SET * (source wins every column); a partial dict
+    # leaves unlisted columns at the TARGET value, like SQL MERGE.
+    update_default = "s" if update_set is None else "t"
     update_set = dict(update_set or {})
 
     out_cols = []
     for c in target.columns:
-        upd = update_set.get(c, F.col(f"s_{c}"))
+        upd = update_set.get(c, F.col(f"{update_default}_{c}"))
         expr = (
             F.when(do_update, upd)
             .when(do_insert, F.col(f"s_{c}"))

@@ -53,7 +53,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Delta MERGE plans before its file rewrite; pair with
     `maintenance.backfill_partitions` to scope the rewrite to touched
     partitions instead of the whole table.
-    """.format(u=MERGE_UPD_MOD, i=MERGE_INS_MOD, d=MERGE_DEL_MOD, off=MERGE_KEY_OFFSET)
+    """
     target = _orders_cents(spark, sf_dir)
     updates = target.filter(F.col("o_orderkey") % MERGE_UPD_MOD == 0).select(
         "o_orderkey",
@@ -78,6 +78,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("t_o_orderkey") % MERGE_DEL_MOD == 0)
         ),
     )
+
+
+# A formatted literal as the first statement is not a docstring —
+# bind the mod constants into __doc__ after definition instead.
+merge_upsert_orders.__doc__ = merge_upsert_orders.__doc__.format(
+    u=MERGE_UPD_MOD, i=MERGE_INS_MOD, d=MERGE_DEL_MOD, off=MERGE_KEY_OFFSET
+)
 
 
 MERGE_UPSERT_ORACLE = f"""

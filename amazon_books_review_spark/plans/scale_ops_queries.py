@@ -520,26 +520,38 @@ KM_ROUTE_MIN_K = 64
 
 
 def _coarse_cells(centroids: list[tuple[int, list[int]]], g: int):
-    """Partition the k fine centroids into g coarse cells.
+    """Partition the k fine centroids into coarse cells.
 
-    Coarse seeds are the FIRST g fine centroids; every fine centroid
-    joins the cell of its nearest seed (exact int64 squared L2, ties
-    to the lowest seed id), except the seeds themselves which anchor
-    their own cells (guarantees every routable cell is non-empty even
-    under exact centroid collisions).  All driver-side: k x g x dim
-    integer ops on at most a few thousand centroids.
+    Coarse seeds are the fine centroids whose CLUSTER ID is < g —
+    matching the oracle's ``co.cid < g`` predicate exactly, NOT list
+    position: if a cid < g cluster empties during a Lloyd iteration
+    (its centroid drops out of the list), positions shift but ids do
+    not, and the surviving seeds stay aligned with the SQL replay.
+    Every fine centroid joins the cell of its nearest seed (exact
+    int64 squared L2, ties to the lowest seed id), except the seeds
+    themselves which anchor their own cells (guarantees every
+    routable cell is non-empty even under exact centroid collisions).
+    All driver-side: k x g x dim integer ops on at most a few
+    thousand centroids.
     """
     import numpy as np
 
     fmat = np.array([cv for _, cv in centroids], dtype=np.int64)  # k x dim
-    gmat = fmat[:g]
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    seed_mask = cids < g  # centroids arrive sorted by cid, so seeds stay ascending
+    if not seed_mask.any():
+        raise ValueError(
+            f"routed assignment: every seed cluster (cid < {g}) emptied — "
+            "cannot route; rerun with a larger g or route=False"
+        )
+    gmat = fmat[seed_mask]
     d = (
         (fmat * fmat).sum(axis=1, keepdims=True)
         - 2 * (fmat @ gmat.T)
         + (gmat * gmat).sum(axis=1)
-    )  # k x g
-    cell_of = d.argmin(axis=1)  # ties -> first = lowest seed id
-    cell_of[:g] = np.arange(g)  # seeds anchor their own cells
+    )  # k x n_seeds
+    cell_of = d.argmin(axis=1)  # ties -> first = lowest seed id (ascending)
+    cell_of[seed_mask] = np.arange(int(seed_mask.sum()))  # seeds anchor their own cells
     return gmat, cell_of
 
 
@@ -569,9 +581,10 @@ def _km_assign_routed(
     fmat = np.array([cv for _, cv in centroids], dtype=np.int64)  # k x dim
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     gmat, cell_of = _coarse_cells(centroids, g)
+    n_cells = gmat.shape[0]  # < g only if a seed cluster emptied mid-Lloyd
     gT = gmat.T
     gnorm = (gmat * gmat).sum(axis=1)
-    cells = [np.nonzero(cell_of == j)[0] for j in range(g)]
+    cells = [np.nonzero(cell_of == j)[0] for j in range(n_cells)]
     cell_T = [fmat[ids].T for ids in cells]  # ids ascending -> argmin=lowest
     cell_norm = [(fmat[ids] * fmat[ids]).sum(axis=1) for ids in cells]
 
@@ -584,7 +597,7 @@ def _km_assign_routed(
             coarse = (qn - 2 * (q @ gT) + gnorm).argmin(axis=1)
             cluster = np.empty(len(q), dtype=np.int64)
             dist = np.empty(len(q), dtype=np.int64)
-            for j in range(g):
+            for j in range(n_cells):
                 m = coarse == j
                 if not m.any():
                     continue

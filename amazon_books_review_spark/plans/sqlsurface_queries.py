@@ -278,8 +278,14 @@ def modern_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-rank or join-back idiom with plain map-side combine.
 
     Determinism notes baked into the query: ``max_by``'s ordering key
-    is made UNIQUE (cents * 1e7 + orderkey) so ties cannot flap the
-    hash; money is integer cents; ``median`` interpolates in double
+    is made UNIQUE by appending the orderkey — as a fixed-width
+    zero-padded string (12 digits of cents + 18 of orderkey), because
+    a ``cents * C + orderkey`` integer key silently collides once
+    orderkeys outgrow C (the round-7 review caught exactly that at
+    SF >= ~1.7) and an int64 wide enough to avoid it would overflow;
+    lexicographic order on the padded key equals numeric order in
+    both engines up to the documented 1e12-cents / 1e18-orderkey
+    bounds.  Money is integer cents; ``median`` interpolates in double
     and is rounded; ``mode`` rides group sizes large enough that a
     frequency tie is effectively impossible at the tested SFs (a tie
     would be nondeterministic in any engine).
@@ -307,7 +313,8 @@ def modern_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(median(cents), 1) AS median_cents,
                percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
                    AS p50_disc_cents,
-               max_by(o_day, cents * 10000000 + o_orderkey)
+               max_by(o_day, lpad(CAST(cents AS STRING), 12, '0')
+                             || lpad(CAST(o_orderkey AS STRING), 18, '0'))
                    AS priciest_order_day
         FROM t
         GROUP BY o_orderpriority
@@ -332,7 +339,9 @@ SELECT o_orderpriority,
        bool_or(cents > 50000000) AS any_over_500k,
        round(median(cents), 1) AS median_cents,
        CAST(quantile_disc(cents, 0.5) AS DOUBLE) AS p50_disc_cents,
-       max_by(o_day, cents * 10000000 + o_orderkey) AS priciest_order_day
+       max_by(o_day, lpad(CAST(cents AS VARCHAR), 12, '0')
+                     || lpad(CAST(o_orderkey AS VARCHAR), 18, '0'))
+           AS priciest_order_day
 FROM t
 GROUP BY o_orderpriority
 """

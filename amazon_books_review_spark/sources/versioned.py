@@ -3,29 +3,41 @@
 The reference's platform gets ``VERSION AS OF`` / ``DESCRIBE
 HISTORY`` from Delta's transaction log (delta-spark is absent here,
 COVERAGE.md §2.11).  This module supplies the same read contract over
-plain parquet:
+plain parquet, with Delta-style OPTIMISTIC CONCURRENCY for writers:
 
-* each write lands under ``<table>/v=N/`` (N monotonically
-  increasing) and appends one entry to ``<table>/_versions.json`` —
-  the manifest is the commit point, so a crashed write that never
-  reached the manifest is invisible to readers (write-ordering gives
-  the same reader guarantee a Delta log provides for this
-  single-writer layout);
-* ``read_versioned(..., version=N)`` is ``VERSION AS OF N``;
-  ``version=None`` reads the latest committed snapshot;
+* a writer first CLAIMS a version number by atomically creating
+  ``_claims/v=N`` with ``O_EXCL`` — two racing writers cannot both
+  claim N; the loser recomputes the next free number and retries
+  (the same loser-retry protocol a Delta commit runs against its
+  ``_delta_log/N.json``);
+* the claimed snapshot lands under ``<table>/v=N/``; the COMMIT
+  point is the atomic rename of ``_commits/v=N.json`` into place —
+  a crashed write leaves a claim + orphan directory, never a
+  readable half-snapshot;
+* ``read(..., version=N)`` is ``VERSION AS OF N``; ``version=None``
+  reads the latest committed snapshot;
 * ``history()`` is ``DESCRIBE HISTORY`` (version, timestamp, row
-  count, operation note);
+  count, operation note), merged across commit files and any legacy
+  ``_versions.json`` manifest;
 * ``vacuum(keep_last=K)`` drops data directories of expired versions
   while keeping their history rows — the storage/time-travel trade
   made explicit.
 
+Concurrency contract: concurrent ``write()`` calls are SAFE — the
+claim CAS linearizes them (property-tested with interleaved
+writers).  ``vacuum()`` is maintenance: it never touches claimed
+versions (so it cannot delete an in-flight writer's data, the race
+the round-7 review flagged), but reclaiming *stale* claims
+(``reclaim_stale_claims=True``) assumes no writer is mid-flight on
+them — run that mode from a single maintenance process only.
+
 Scale notes: a snapshot write is a normal parquet write (full
-parallelism); the manifest is O(versions) JSON — metadata, never
-data.  Partition-scoped evolution composes via
+parallelism); claims and commits are O(versions) metadata files,
+never data.  Partition-scoped evolution composes via
 ``maintenance.backfill_partitions`` INSIDE a version directory;
-cross-version dedup of unchanged files (Delta's real trick) is out of
-scope — the contract here is correctness of time travel, priced at
-full-copy storage per snapshot, reclaimed by ``vacuum``.
+cross-version dedup of unchanged files (Delta's real trick) is out
+of scope — the contract here is correctness of time travel, priced
+at full-copy storage per snapshot, reclaimed by ``vacuum``.
 """
 
 from __future__ import annotations
@@ -38,62 +50,137 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MANIFEST = "_versions.json"
+_MANIFEST = "_versions.json"  # legacy single-file manifest (read + migrated)
+_CLAIMS = "_claims"
+_COMMITS = "_commits"
 
 
 class VersionNotFoundError(LookupError):
-    """Requested version absent from the manifest (never written, or
+    """Requested version absent from the commit log (never written, or
     its data was vacuumed)."""
 
 
 @dataclass
 class VersionedTable:
-    """Single-writer versioned parquet table rooted at ``path``."""
+    """Versioned parquet table rooted at ``path`` (multi-writer safe)."""
 
     path: str
 
-    # -- manifest -----------------------------------------------------------
-    def _manifest_path(self) -> Path:
-        return Path(self.path) / _MANIFEST
+    # -- layout -------------------------------------------------------------
+    def _root(self) -> Path:
+        return Path(self.path)
+
+    def _claims_dir(self) -> Path:
+        return self._root() / _CLAIMS
+
+    def _commits_dir(self) -> Path:
+        return self._root() / _COMMITS
+
+    def _commit_path(self, version: int) -> Path:
+        return self._commits_dir() / f"v={version}.json"
+
+    def _legacy_manifest(self) -> Path:
+        return self._root() / _MANIFEST
+
+    # -- history ------------------------------------------------------------
+    def _commit_entries(self) -> dict[int, dict]:
+        """version -> entry from per-version commit files + legacy manifest."""
+        entries: dict[int, dict] = {}
+        legacy = self._legacy_manifest()
+        if legacy.exists():
+            for h in json.loads(legacy.read_text()):
+                entries[h["version"]] = h
+        commits = self._commits_dir()
+        if commits.is_dir():
+            for p in commits.glob("v=*.json"):
+                try:
+                    h = json.loads(p.read_text())
+                except (OSError, ValueError):
+                    continue  # racing rename; the tmp never parses as committed
+                entries[h["version"]] = h  # commit files win over legacy rows
+        return entries
 
     def history(self) -> list[dict]:
-        p = self._manifest_path()
-        if not p.exists():
-            return []
-        return json.loads(p.read_text())
+        return sorted(self._commit_entries().values(), key=lambda h: h["version"])
 
     def latest_version(self) -> int | None:
         hist = self.history()
         return hist[-1]["version"] if hist else None
 
+    def _claimed_versions(self) -> set[int]:
+        claims = self._claims_dir()
+        out: set[int] = set()
+        if claims.is_dir():
+            for p in claims.glob("v=*"):
+                try:
+                    out.add(int(p.name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return out
+
+    def _migrate_legacy(self) -> None:
+        """Fold a legacy ``_versions.json`` into per-version commit
+        files (called from mutation paths so vacuum's flag rewrites
+        have one canonical home).  Read paths merge both, so a purely
+        read workload never needs this."""
+        legacy = self._legacy_manifest()
+        if not legacy.exists():
+            return
+        self._commits_dir().mkdir(parents=True, exist_ok=True)
+        for h in json.loads(legacy.read_text()):
+            cp = self._commit_path(h["version"])
+            if not cp.exists():
+                tmp = cp.with_suffix(".json.tmp")
+                tmp.write_text(json.dumps(h, indent=2))
+                tmp.replace(cp)
+        legacy.unlink()
+
     # -- write --------------------------------------------------------------
     def write(self, df: DataFrame, note: str = "") -> int:
         """Write ``df`` as the next snapshot; returns its version.
 
-        The data directory is written FIRST, the manifest entry
-        appended LAST — readers resolve versions through the manifest,
-        so a failure between the two leaves an orphan directory (noise
-        for vacuum), never a readable half-snapshot.
+        Protocol (safe under concurrent writers):
+
+        1. CLAIM: atomically create ``_claims/v=N`` with ``O_EXCL``
+           for the smallest N above every claimed/committed version.
+           A loser of the race gets ``FileExistsError`` and retries
+           with the next number — two writers can never both own N.
+        2. DATA: write the parquet under ``v=N`` (exclusive by claim).
+        3. COMMIT: rename ``_commits/v=N.json`` into place — the
+           atomic commit point.  A crash before this leaves a claim +
+           orphan directory (vacuum noise), never a readable
+           half-snapshot.
         """
-        hist = self.history()
-        version = (hist[-1]["version"] + 1) if hist else 0
-        data_dir = Path(self.path) / f"v={version}"
+        root = self._root()
+        root.mkdir(parents=True, exist_ok=True)
+        self._migrate_legacy()
+        self._claims_dir().mkdir(parents=True, exist_ok=True)
+        self._commits_dir().mkdir(parents=True, exist_ok=True)
+
+        while True:
+            taken = self._claimed_versions() | set(self._commit_entries())
+            version = (max(taken) + 1) if taken else 0
+            try:
+                # O_CREAT|O_EXCL — the compare-and-swap that linearizes writers
+                with open(self._claims_dir() / f"v={version}", "x"):
+                    pass
+                break
+            except FileExistsError:
+                continue  # lost the race for this number; recompute and retry
+
+        data_dir = root / f"v={version}"
         df.write.mode("errorifexists").parquet(str(data_dir))
         n_rows = df.sparkSession.read.parquet(str(data_dir)).count()
-        hist.append(
-            {
-                "version": version,
-                "committed_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-                ),
-                "n_rows": n_rows,
-                "note": note,
-                "vacuumed": False,
-            }
-        )
-        tmp = self._manifest_path().with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(hist, indent=2))
-        tmp.replace(self._manifest_path())  # atomic manifest swap
+        entry = {
+            "version": version,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "n_rows": n_rows,
+            "note": note,
+            "vacuumed": False,
+        }
+        tmp = self._commit_path(version).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(entry, indent=2))
+        tmp.replace(self._commit_path(version))  # atomic commit
         return version
 
     # -- read ---------------------------------------------------------------
@@ -119,31 +206,53 @@ class VersionedTable:
         return spark.read.parquet(str(Path(self.path) / f"v={version}"))
 
     # -- retention ----------------------------------------------------------
-    def vacuum(self, keep_last: int) -> list[int]:
+    def vacuum(self, keep_last: int, reclaim_stale_claims: bool = False) -> list[int]:
         """Drop data for all but the last ``keep_last`` committed
-        versions (history rows survive, marked ``vacuumed``).  Also
-        removes orphan ``v=*`` directories no manifest entry claims.
-        Returns the versions whose data was removed."""
+        versions (history rows survive, marked ``vacuumed``).
+
+        Orphan ``v=*`` directories are removed ONLY when no claim
+        marker covers them — a claimed-but-uncommitted version is an
+        in-flight ``write()`` whose data must not be deleted out from
+        under it (the round-7-flagged race).  Crashed claims are
+        therefore indistinguishable from in-flight ones and leak by
+        default; ``reclaim_stale_claims=True`` removes claimed-but-
+        uncommitted versions too — ONLY safe when the caller
+        guarantees no writer is currently mid-flight (single
+        maintenance process).
+
+        Returns the committed versions whose data was removed.
+        """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        self._migrate_legacy()
         hist = self.history()
-        keep = {h["version"] for h in hist[-keep_last:]}
         removed: list[int] = []
-        for h in hist[:-keep_last] if len(hist) > keep_last else []:
-            if h["vacuumed"] or h["version"] in keep:
+        expired = hist[:-keep_last] if len(hist) > keep_last else []
+        for h in expired:
+            if h["vacuumed"]:
                 continue
             shutil.rmtree(Path(self.path) / f"v={h['version']}", ignore_errors=True)
             h["vacuumed"] = True
+            cp = self._commit_path(h["version"])
+            cp.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cp.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(h, indent=2))
+            tmp.replace(cp)
             removed.append(h["version"])
-        claimed = {h["version"] for h in hist}
-        for d in Path(self.path).glob("v=*"):
+        committed = {h["version"] for h in hist}
+        claimed = self._claimed_versions()
+        for d in self._root().glob("v=*"):
             try:
                 v = int(d.name.split("=", 1)[1])
             except ValueError:
                 continue
-            if v not in claimed:
-                shutil.rmtree(d, ignore_errors=True)  # orphan of a failed write
-        tmp = self._manifest_path().with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(hist, indent=2))
-        tmp.replace(self._manifest_path())
+            if v in committed:
+                continue
+            if v in claimed and not reclaim_stale_claims:
+                continue  # possibly in-flight — never race a writer
+            shutil.rmtree(d, ignore_errors=True)
+            (self._claims_dir() / f"v={v}").unlink(missing_ok=True)
+        if reclaim_stale_claims:
+            for v in claimed - committed:
+                (self._claims_dir() / f"v={v}").unlink(missing_ok=True)
         return removed

@@ -41,10 +41,21 @@ def test_update_set_partial_columns(spark):
             update_set={"v": F.col("t_v") + F.col("s_v")},
         ).collect()
     }
-    # v merges, name replaces from source (default for unlisted cols)
-    assert out[2] == ("B", 220)
-    assert out[3] == ("C", 330)
+    # v merges; name is UNLISTED in the partial SET, so it keeps the
+    # TARGET value — SQL MERGE 'UPDATE SET v = ...' semantics
+    assert out[2] == ("b", 220)
+    assert out[3] == ("c", 330)
     assert out[9] == ("i", 900)  # inserts unaffected by update_set
+
+
+def test_update_set_none_is_full_row_replace(spark):
+    """update_set=None is UPDATE SET * — every column from source."""
+    out = {
+        r.k: (r.name, r.v)
+        for r in merge_dataframes(_t(spark), _s(spark), "k").collect()
+    }
+    assert out[2] == ("B", 200)
+    assert out[3] == ("C", 300)
 
 
 def test_matched_condition_gates_update(spark):

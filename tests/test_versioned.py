@@ -73,6 +73,69 @@ def test_vacuum_keeps_history_drops_data(spark, tmp_path):
     assert t.vacuum(keep_last=2) == []
 
 
+def test_claim_collision_forces_retry(spark, tmp_path):
+    """A lost O_EXCL claim race skips to the next free version —
+    the loser never overwrites the claimed number's data."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(spark.range(0, 3))
+    # another writer holds the claim for v=1 (in-flight, uncommitted)
+    (tmp_path / "tbl" / "_claims").mkdir(exist_ok=True)
+    (tmp_path / "tbl" / "_claims" / "v=1").touch()
+    assert t.write(spark.range(0, 7)) == 2  # retried past the claim
+    assert t.read(spark).count() == 7
+    assert [h["version"] for h in t.history()] == [0, 2]
+
+
+def test_concurrent_writers_linear_history(spark, tmp_path):
+    """Property (VERDICT r7 #7): interleaved writers yield a linear
+    history with no lost snapshot — every write commits a distinct
+    version whose read returns exactly its row count."""
+    import threading
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    results: dict[tuple[int, int], int] = {}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def writer(wid: int):
+        try:
+            barrier.wait()
+            for i in range(4):
+                n = 10 * wid + i + 1  # distinct row count per write
+                results[(wid, i)] = t.write(spark.range(0, n), note=f"w{wid}.{i}")
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    versions = sorted(results.values())
+    assert len(versions) == 8 and len(set(versions)) == 8  # no lost snapshot
+    assert [h["version"] for h in t.history()] == versions  # linear
+    for (wid, i), v in results.items():
+        assert t.read(spark, version=v).count() == 10 * wid + i + 1
+
+
+def test_vacuum_never_touches_claimed_versions(spark, tmp_path):
+    """The r7-flagged race: vacuum racing an in-flight write (data
+    dir written, commit not yet renamed) must NOT delete its data."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(spark.range(0, 4))
+    # simulate an in-flight writer: claim taken, data written, no commit
+    (tmp_path / "tbl" / "_claims" / "v=1").touch()
+    spark.range(0, 99).write.parquet(str(tmp_path / "tbl" / "v=1"))
+    t.vacuum(keep_last=1)
+    assert (tmp_path / "tbl" / "v=1").exists()  # in-flight data survives
+    # maintenance mode (caller guarantees no writers) reclaims it
+    t.vacuum(keep_last=1, reclaim_stale_claims=True)
+    assert not (tmp_path / "tbl" / "v=1").exists()
+    assert not (tmp_path / "tbl" / "_claims" / "v=1").exists()
+    assert t.read(spark).count() == 4
+
+
 def test_time_travel_pairs_with_cdc(spark, tmp_path):
     """snapshot_diff across two committed versions == the write delta,
     the lakehouse triad (merge -> versioned write -> change feed)."""
