@@ -12,6 +12,8 @@ package register their public operators here as they are implemented
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import re
 from collections.abc import Callable
@@ -25,12 +27,34 @@ from amazon_books_review_spark.session import ensure_session_confs
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def hash_parts(source_text: str, oracle: str | None) -> str:
+    """Digest of (implementation source, oracle SQL) — the unit the
+    verification ledger keys on.  Shared by live registration and
+    ``scripts/refresh_verified_hashes.py`` (which applies it to
+    sources dumped from historical driver-round trees)."""
+    body = source_text + "\n--oracle--\n" + (oracle or "")
+    return hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def src_hash(fn: Callable, oracle: str | None) -> str:
+    """Stable digest of a query's implementation + oracle SQL.
+
+    Covers the registered function's own source (``inspect.getsource``
+    — decorator-free, since registration receives the raw function)
+    and the oracle string.  Helpers the function CALLS are not folded
+    in: a helper-only rewrite must bump something in the caller (the
+    r7 `_run_masses` rewrite pattern) or evict via the refresh script.
+    """
+    return hash_parts(inspect.getsource(fn), oracle)
+
+
 @dataclass(frozen=True)
 class CatalogEntry:
     name: str
     fn: QueryFn
     oracle: str | None  # None => non-SQL-expressible, rows-only check
     doc: str = ""
+    src_hash: str = ""
 
 
 _REGISTRY: dict[str, CatalogEntry] = {}
@@ -46,7 +70,10 @@ def query(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], Q
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = CatalogEntry(name=name, fn=wrapped, oracle=oracle, doc=doc)
+        _REGISTRY[name] = CatalogEntry(
+            name=name, fn=wrapped, oracle=oracle, doc=doc,
+            src_hash=src_hash(fn, oracle),
+        )
         return fn
 
     return deco
@@ -144,6 +171,43 @@ _DRIVER_ROWS: dict[str, tuple[int, str]] = _scan_correctness_artifacts()
 DRIVER_VERIFIED: dict[str, int] = {n: rnd for n, (rnd, _kind) in _DRIVER_ROWS.items()}
 
 
+# --- Change-aware eviction (VERDICT r7 #2) ---------------------------------
+#
+# A green CORRECTNESS row certifies the implementation THE DRIVER RAN,
+# not whatever the source says today.  ``verified_hashes.json`` records,
+# per query, the `src_hash` of the implementation + oracle as of the
+# commit the green row was produced against (seeded from the historical
+# driver-round trees; refreshed each round by
+# ``scripts/refresh_verified_hashes.py``).  A query whose CURRENT hash
+# differs — or that has no recorded hash at all — drops back to
+# unverified and re-enters the window under its canonical name, ahead
+# of the staleness rotation.  This is exactly how the r7 triangle-count
+# rewrite kept a stale r6 signal; the ledger closes that hole.
+
+_HASH_LEDGER_PATH = Path(__file__).resolve().parent / "verified_hashes.json"
+
+
+def _load_verified_hashes() -> dict[str, str]:
+    try:
+        return json.loads(_HASH_LEDGER_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+#: name -> src_hash the last green driver row was verified against.
+VERIFIED_HASHES: dict[str, str] = _load_verified_hashes()
+
+
+def change_evicted(name: str) -> bool:
+    """True when ``name``'s green row no longer covers its source."""
+    if name not in DRIVER_VERIFIED:
+        return False  # never verified — already pending, nothing to evict
+    entry = _REGISTRY.get(name)
+    if entry is None:
+        return False
+    return VERIFIED_HASHES.get(name) != entry.src_hash
+
+
 #: Window pins (round 6): the three watermark streaming queries broke
 #: in round 5's environment (TIMESTAMP_NTZ drift in events.ts) and were
 #: fixed in round 6.  Their r4 green rows predated the fix, so the
@@ -183,6 +247,9 @@ def driver_name(name: str) -> str:
         return name
     info = _DRIVER_ROWS.get(name)
     if info is None:
+        return name
+    if change_evicted(name):
+        # Source or oracle changed since the green row — re-verify.
         return name
     rnd, kind = info
     if kind == "rows" and _REGISTRY.get(name) is not None and _REGISTRY[name].oracle is not None:

@@ -22,6 +22,7 @@ from amazon_books_review_spark.plans.catalog import (  # noqa: E402
     DRIVER_VERIFIED,
     all_oracles,
     all_queries,
+    change_evicted,
     driver_name,
     driver_queries,
 )
@@ -51,19 +52,28 @@ def render() -> str:
         "50 `queries()` entries in dict iteration order, so driver-green and",
         "local-parity-green are distinct claims.  **pending** = no",
         "CORRECTNESS file contains a green row for the name yet (these are",
-        "local-parity green at sf0.001/sf0.01 only); \"in window\" = the",
-        "name is inside the next round's 50-row window.",
+        "local-parity green at sf0.001/sf0.01 only); **evicted** = the",
+        "implementation or oracle changed AFTER its last green row",
+        "(`verified_hashes.json` source-hash mismatch), so it re-enters the",
+        "window under its canonical name; \"in window\" = the name is inside",
+        "the next round's 50-row window.",
         "",
         "| Query | Oracle | Last driver round | In next window |",
         "|---|---|---|---|",
     ]
     pending = 0
+    evicted = 0
     for name in sorted(all_queries()):
         kind = "oracle" if name in oracles else "rows-only"
         rnd = DRIVER_VERIFIED.get(name)
-        status = f"r{rnd}" if rnd is not None else "**pending**"
         if rnd is None:
+            status = "**pending**"
             pending += 1
+        elif change_evicted(name):
+            status = f"r{rnd} → **evicted**"
+            evicted += 1
+        else:
+            status = f"r{rnd}"
         in_win = "yes" if driver_name(name) in window else ""
         lines.append(f"| `{name}` | {kind} | {status} | {in_win} |")
     total = len(all_queries())
@@ -76,7 +86,8 @@ def render() -> str:
     lines += [
         "",
         f"{total} queries: {total - pending} driver-green at least once, "
-        f"{pending} pending (all inside the next round's window: "
+        f"{pending} pending, {evicted} change-evicted for re-verification "
+        f"(all pending inside the next round's window: "
         f"{'yes' if not overflow else 'NO'}).",
     ]
     if pins:

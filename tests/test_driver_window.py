@@ -91,6 +91,76 @@ def test_red_row_invalidates_earlier_green(tmp_path):
     assert out == {"q_stays_green": (1, "hash"), "q_new": (2, "hash")}
 
 
+def test_changed_source_evicts_ledger_entry(monkeypatch):
+    """VERDICT r7 #2: a query rewritten after its green row must drop
+    back to unverified and re-enter the window under its canonical
+    name.  Simulated by perturbing the recorded hash — equivalent to
+    the source changing, since eviction is exactly hash inequality."""
+    import amazon_books_review_spark.plans.catalog as cat
+
+    # pick any currently-verified, non-evicted, unpinned name
+    name = next(
+        n for n in sorted(cat.DRIVER_VERIFIED)
+        if not cat.change_evicted(n) and not cat._pin_active(n)
+    )
+    assert driver_name(name).startswith("zz_")
+    monkeypatch.setitem(cat.VERIFIED_HASHES, name, "0" * 16)
+    assert cat.change_evicted(name)
+    assert driver_name(name) == name  # canonical -> leads the window
+
+
+def test_missing_hash_entry_evicts(monkeypatch):
+    """No recorded hash at all (new ledger, unresolved round) must
+    fail safe: treat as changed, re-verify."""
+    import amazon_books_review_spark.plans.catalog as cat
+
+    name = next(
+        n for n in sorted(cat.DRIVER_VERIFIED)
+        if not cat.change_evicted(n) and not cat._pin_active(n)
+    )
+    monkeypatch.delitem(cat.VERIFIED_HASHES, name)
+    assert cat.change_evicted(name)
+    assert driver_name(name) == name
+
+
+def test_src_hash_tracks_source_and_oracle():
+    """hash_parts must differ on either a source or an oracle change
+    and be stable otherwise (the ledger's soundness)."""
+    from amazon_books_review_spark.plans.catalog import hash_parts
+
+    h = hash_parts("def q(): ...", "SELECT 1")
+    assert h == hash_parts("def q(): ...", "SELECT 1")
+    assert h != hash_parts("def q(): pass", "SELECT 1")
+    assert h != hash_parts("def q(): ...", "SELECT 2")
+    assert h != hash_parts("def q(): ...", None)
+
+
+def test_evicted_names_lead_the_window():
+    """Change-evicted names sort under canonical names — before every
+    zz_-prefixed verified name — so the driver re-checks them FIRST."""
+    import amazon_books_review_spark.plans.catalog as cat
+
+    window = list(driver_queries())[:WINDOW]
+    evicted = sorted(n for n in all_queries() if cat.change_evicted(n))
+    for n in evicted:
+        assert n in window, f"evicted {n} missing from the driver window"
+        assert not driver_name(n).startswith("zz_")
+
+
+def test_ledger_covers_every_verified_query():
+    """Every name with a green driver row needs a recorded hash, else
+    it is perpetually evicted — fine for a round, wrong as steady
+    state.  Run scripts/refresh_verified_hashes.py after the driver
+    commits a round's artifacts."""
+    import amazon_books_review_spark.plans.catalog as cat
+
+    unhashed = set(cat.DRIVER_VERIFIED) - set(cat.VERIFIED_HASHES)
+    assert not unhashed, (
+        f"verified names without a ledger hash: {sorted(unhashed)} — "
+        f"run scripts/refresh_verified_hashes.py"
+    )
+
+
 def test_queries_and_oracles_share_the_mapping():
     dq = driver_queries()
     do = driver_oracles()
