@@ -451,12 +451,20 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(nprobe: int = IVF_NPROBE) -> str:
+def _ivf_oracle(
+    nprobe: int = IVF_NPROBE, cells_prelude: str = "", cells_join: str = ""
+) -> str:
+    """IVF replay, parameterized on the CELL SOURCE: by default each
+    vector's ``label`` column is its cell; passing ``cells_prelude``
+    (extra leading CTEs ending in one named ``km(vec_id, cluster)``)
+    plus ``cells_join`` routes over learned k-means cells instead —
+    the `ann_recall_audit_kmeans` comparison."""
+    label_src = "km.cluster" if cells_join else "ve.label"
     return f"""
-WITH v AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS e,
-           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-    FROM embeddings
+WITH {cells_prelude}v AS (
+    SELECT ve.vec_id, {label_src} AS label, ve.embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(ve.embedding::DOUBLE[], ve.embedding::DOUBLE[])) AS nrm
+    FROM embeddings ve{cells_join}
 ), cent AS (
     SELECT label AS cell,
            list(round(avg_val, 6) ORDER BY i) AS centroid
@@ -726,6 +734,116 @@ GROUP BY query_id
 
 
 ANN_RECALL_ORACLE = _ann_recall_oracle()
+
+
+def ann_recall_audit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_recall_audit` with LEARNED cells: IVF routes over k-means
+    clusters of the embedding space instead of the `label` column.
+
+    The r7 audit documented that label-cells are only weakly aligned
+    with cosine neighborhoods (they are metadata, not geometry), which
+    capped recall at small nprobe.  Clustering the vectors themselves
+    (the quantized deterministic k-means the SemDeDup operator runs)
+    makes cells = neighborhoods, so the same nprobe buys more recall —
+    `tests/test_ann_kmeans.py` pins that the mean recall@k at each
+    audited nprobe is no worse than the label-cell audit's.  Output
+    schema is identical to `ann_recall_audit`, so the two results join
+    1:1 on query_id for the comparison.
+
+    Scale shape: clustering cost is the k-means operator's (bounded
+    driver sync of k x dim ints per iteration); the audit itself adds
+    one vec_id equi-join to tag cells, then the standard broadcast-
+    centroid routing + per-cell candidate join.  At 100 TB this pair
+    of audits is the re-clustering acceptance test: rerun both after
+    each index rebuild, ship the cheaper one that clears the recall
+    bar.
+    """
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KM_K,
+        _km_final_assignment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _km_final_assignment(spark, sf_dir, k=KM_K, route=False).select(
+        "vec_id", F.col("cluster").alias("km_cell")
+    )
+    emb_k = emb.join(cells, "vec_id").select("vec_id", "embedding", "km_cell")
+    probes = emb_k.filter(F.col("vec_id") < N_PROBES)
+    exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=TOPK_K)
+    out = exact.select("query_id", "neighbor_id")
+    for np_ in ANN_AUDIT_NPROBES:
+        approx = similarity.ivf_topk(
+            emb_k, probes, "vec_id", "embedding", "km_cell",
+            dim=EMB_DIM, k=TOPK_K, nprobe=np_,
+        )
+        out = out.join(
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+    aggs = [F.count(F.lit(1)).alias("n_exact")]
+    for np_ in ANN_AUDIT_NPROBES:
+        aggs.append(
+            F.coalesce(F.sum(f"hit_np{np_}"), F.lit(0))
+            .cast("long")
+            .alias(f"n_hit_np{np_}")
+        )
+    per_q = out.groupBy("query_id").agg(*aggs)
+    cols = ["query_id", "n_exact"]
+    for np_ in ANN_AUDIT_NPROBES:
+        cols.append(f"n_hit_np{np_}")
+        per_q = per_q.withColumn(
+            f"recall_pct_np{np_}",
+            F.expr(f"n_hit_np{np_} * 100 div n_exact"),
+        )
+        cols.append(f"recall_pct_np{np_}")
+    lo, hi = ANN_AUDIT_NPROBES[0], ANN_AUDIT_NPROBES[-1]
+    per_q = per_q.withColumn(
+        "wider_probe_no_worse",
+        F.col(f"recall_pct_np{hi}") >= F.col(f"recall_pct_np{lo}"),
+    )
+    return per_q.select(*cols, "wider_probe_no_worse")
+
+
+def _ann_recall_kmeans_oracle() -> str:
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KM_ITERS,
+        _kmeans_ctes,
+    )
+
+    prelude = (
+        ",\n".join(_kmeans_ctes())
+        + f",\nkm AS (SELECT vec_id, cluster FROM a{KM_ITERS - 1}),\n"
+    )
+    join = "\n    JOIN km ON km.vec_id = ve.vec_id"
+    lo, hi = ANN_AUDIT_NPROBES[0], ANN_AUDIT_NPROBES[-1]
+    return f"""
+WITH exact_tk AS ({COSINE_TOPK_ORACLE}),
+ivf_lo AS ({_ivf_oracle(lo, cells_prelude=prelude, cells_join=join)}),
+ivf_hi AS ({_ivf_oracle(hi, cells_prelude=prelude, cells_join=join)}),
+hits AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit_lo,
+           CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit_hi
+    FROM exact_tk e
+    LEFT JOIN ivf_lo a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    LEFT JOIN ivf_hi b
+      ON b.query_id = e.query_id AND b.neighbor_id = e.neighbor_id
+)
+SELECT query_id,
+       count(*) AS n_exact,
+       CAST(sum(hit_lo) AS BIGINT) AS n_hit_np{lo},
+       CAST((sum(hit_lo) * 100) // count(*) AS BIGINT) AS recall_pct_np{lo},
+       CAST(sum(hit_hi) AS BIGINT) AS n_hit_np{hi},
+       CAST((sum(hit_hi) * 100) // count(*) AS BIGINT) AS recall_pct_np{hi},
+       (sum(hit_hi) * 100) // count(*) >= (sum(hit_lo) * 100) // count(*)
+           AS wider_probe_no_worse
+FROM hits
+GROUP BY query_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1516,6 +1634,8 @@ NORTHSTAR_QUERIES = [
      "Gopher (Rae et al. 2021) document filters: per-rule flags + keep in one scan"),
     ("ann_recall_audit", ann_recall_audit, ANN_RECALL_ORACLE,
      "recall@k of the IVF path vs brute-force top-k — engine-exact audit"),
+    ("ann_recall_audit_kmeans", ann_recall_audit_kmeans, _ann_recall_kmeans_oracle(),
+     "same audit over LEARNED k-means cells — recall at equal nprobe vs label-cells"),
     ("similarity_ivf_topk", similarity_ivf_topk, IVF_TOPK_ORACLE,
      "IVF-style ANN: centroid routing (nprobe=2) + in-cell exact search"),
     ("embedding_neardup_pairs", embedding_neardup_pairs, EMBEDDING_NEARDUP_ORACLE,

@@ -214,6 +214,8 @@ HEADLINE += [
     "sql_udf_rollup",
     "gopher_quality_rules",
     "gopher_repetition_rules",
+    # round-8 additions
+    "ann_recall_audit_kmeans",
 ]
 
 
