@@ -196,7 +196,10 @@ def clean_books_ratings(raw: DataFrame) -> DataFrame:
 
 
 def silver_books_reviews(
-    details: DataFrame, reviews: DataFrame, fidelity: bool = True
+    details: DataFrame,
+    reviews: DataFrame,
+    fidelity: bool = True,
+    salts: int | None = None,
 ) -> DataFrame:
     """MA:116-121 — the silver join, batch or streaming input alike.
 
@@ -205,10 +208,31 @@ def silver_books_reviews(
     and ``YEAR(to_date(Year_of_publish))`` re-derivation (needs LEGACY
     parser).  fidelity=False uses the range predicate and trusts the
     already-int year — the plan a 100 TB deployment wants.
+
+    ``salts`` hardens the join against hot-``Title`` skew (SURVEY
+    §4.2 #3): the review side scatters over ``salts`` sub-keys via a
+    deterministic per-row hash (replay-safe — ``rand()`` would re-roll
+    on retry), the details side replicates to every salt, and the key
+    becomes (Title, salt).  Streamed inputs: the hot title's join
+    state spreads over ``salts`` state-store partitions, which AQE
+    cannot do for stateful streaming.  Result set is row-identical to
+    the unsalted join (pytest-pinned).
     """
+    if salts is not None:
+        # salt BEFORE aliasing so the alias survives onto the join plan
+        reviews = reviews.withColumn(
+            "_salt",
+            F.pmod(F.hash("User_id", "review_Time", "Title"), F.lit(salts)),
+        )
+        details = details.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+        )
     d = details.alias("a")
     r = reviews.alias("b")
-    joined = r.join(d, F.col("a.Title") == F.col("b.Title"), "inner")
+    cond = F.col("a.Title") == F.col("b.Title")
+    if salts is not None:
+        cond = cond & (F.col("a._salt") == F.col("b._salt"))
+    joined = r.join(d, cond, "inner")
 
     if fidelity:
         year_col = F.year(F.to_date(F.col("a.Year_of_publish").cast("string"), "yyyy"))

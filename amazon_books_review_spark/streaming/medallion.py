@@ -86,6 +86,7 @@ def run_streaming_medallion(
     fidelity: bool = True,
     max_files_per_trigger: int | None = None,
     fmt: str | None = None,
+    salts: int | None = None,
 ) -> dict[str, DataFrame]:
     """Drain the full medallion with availableNow triggers.
 
@@ -99,6 +100,13 @@ def run_streaming_medallion(
     sink format, MA:34-39) and parquet otherwise.  Gold semantics are
     identical across formats — the pytest gate runs both when delta
     is present.
+
+    ``salts`` (VERDICT r7 #8) runs the silver join skew-hardened: the
+    reference pipeline's hot-``Title`` key (SURVEY §4.2 #3) scatters
+    over that many sub-keys — in the fidelity stream-stream form this
+    spreads the hot title's join STATE across state-store partitions
+    (``streaming/queries.STREAM_JOIN_SALTS`` documents the sizing
+    trade); results are row-identical to unsalted (pytest-pinned).
 
     Returns the materialized bronze/silver/gold tables as batch
     DataFrames.
@@ -145,7 +153,9 @@ def run_streaming_medallion(
         # Scale shape: details is a static dimension side; zero join
         # state, re-snapshotted per micro-batch.
         details_side = read_table_format(spark, paths.details_bronze, fmt)
-    silver_df = silver_books_reviews(details_side, reviews_stream, fidelity=fidelity)
+    silver_df = silver_books_reviews(
+        details_side, reviews_stream, fidelity=fidelity, salts=salts
+    )
     q3 = write_stream(
         silver_df,
         paths.silver,

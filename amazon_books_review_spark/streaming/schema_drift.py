@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
 
 __all__ = [
+    "LiveEvolvingStream",
     "SchemaConflictError",
     "SchemaTracker",
     "discover_parquet_schema",
@@ -207,3 +208,186 @@ def run_evolving_stream(
         f"schema still drifting after {max_restarts} restarts — "
         f"producer is adding columns faster than the stream can evolve"
     )
+
+
+class LiveEvolvingStream:
+    """Drift handling for a CONTINUOUSLY RUNNING query (VERDICT r7 #6).
+
+    `run_evolving_stream` is caller-driven: drift is only discovered
+    between drains.  This class keeps a continuous-trigger query live
+    and detects drift WHILE it runs: each :meth:`poll_once` probes for
+    new columns and, on drift, stops the query, widens the tracked
+    schema, and restarts it from the SAME checkpoint — the file-source
+    log makes the transition exactly-once per file (no loss, no dup).
+    Production wraps :meth:`poll_once` in a sleep loop (:meth:`run`);
+    tests drive it step-by-step for determinism.
+
+    Two ingestion modes:
+
+    * **direct** (``staging_dir=None``): producers write straight into
+      ``source_dir`` and the poller probes its footers.  Row-level
+      exactly-once holds unconditionally, but a file that lands
+      between polls can be CONSUMED under the old contract — its rows
+      arrive with the new column NULL (the post-hoc-detection race;
+      Auto Loader closes it only because its listing does inference
+      before commit).
+    * **admission-gated** (``staging_dir=...``): producers drop files
+      in staging; the poller validates each file's footer against the
+      tracked contract and only then moves it into ``source_dir`` —
+      restarting FIRST when a file widens the schema.  The running
+      query never sees a column it cannot read, so the drift
+      transition is column-complete as well as exactly-once.  This is
+      the 100 TB shape: the admission step is a footer-only check +
+      rename, and the mover is the natural place for arrival audit
+      logs.
+
+    :meth:`finish` stops the live query and runs one final
+    ``availableNow`` drain through `run_evolving_stream` (same
+    checkpoint), making completion deterministic regardless of where
+    the poller was when the producer stopped.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        sink_dir: str,
+        checkpoint_dir: str,
+        schema_location: str,
+        transform=None,
+        staging_dir: str | None = None,
+        max_restarts: int = 5,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.sink_dir = sink_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.schema_location = schema_location
+        self.transform = transform
+        self.staging_dir = staging_dir
+        self.max_restarts = max_restarts
+        self.tracker = SchemaTracker(schema_location)
+        self.tracked: StructType | None = self.tracker.current()
+        self.restarts = 0
+        self._query = None
+        Path(source_dir).mkdir(parents=True, exist_ok=True)
+        if staging_dir is not None:
+            Path(staging_dir).mkdir(parents=True, exist_ok=True)
+
+    # -- internals ----------------------------------------------------------
+    def _source_has_files(self) -> bool:
+        return any(Path(self.source_dir).glob("*.parquet"))
+
+    def _staged_files(self) -> list[Path]:
+        if self.staging_dir is None:
+            return []
+        return sorted(Path(self.staging_dir).glob("*.parquet"))
+
+    def _start_query(self) -> None:
+        from amazon_books_review_spark.sources.io import (
+            read_stream_parquet,
+            write_stream,
+        )
+
+        stream = read_stream_parquet(self.spark, self.source_dir, self.tracked)
+        if self.transform is not None:
+            stream = self.transform(stream)
+        self._query = write_stream(
+            stream, self.sink_dir, self.checkpoint_dir, available_now=False
+        )
+
+    def _stop_query(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query.awaitTermination()
+            self._query = None
+
+    def _widen(self, discovered: StructType) -> bool:
+        """Record a widened contract if ``discovered`` adds columns;
+        returns whether a (stop→widen→restart) transition ran."""
+        if self.tracked is None:
+            self.tracked = discovered
+            self.tracker.record(discovered)
+            return False
+        merged, new_cols = evolve_schema(self.tracked, discovered)
+        if not new_cols:
+            return False
+        was_running = self._query is not None
+        if was_running:
+            self.restarts += 1
+            if self.restarts > self.max_restarts:
+                raise RuntimeError(
+                    f"schema still drifting after {self.max_restarts} live "
+                    f"restarts — producer is adding columns per file"
+                )
+            self._stop_query()
+        self.tracker.record(merged)
+        self.tracked = merged
+        if was_running:
+            self._start_query()
+        # a pre-start widening is a version bump, not a restart
+        return was_running
+
+    def _admit_staged(self) -> int:
+        """Move footer-validated staged files into the source dir,
+        widening (with restart) BEFORE admitting a wider file."""
+        import os
+
+        admitted = 0
+        for f in self._staged_files():
+            file_schema = self.spark.read.parquet(str(f)).schema
+            self._widen(file_schema)  # no-op unless the file adds columns
+            os.replace(f, Path(self.source_dir) / f.name)
+            admitted += 1
+        return admitted
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> None:
+        """Establish the contract (admitting any staged files first)
+        and start the continuous query.  With no files anywhere yet,
+        the start is deferred to the first :meth:`poll_once` that
+        finds one."""
+        self._admit_staged()
+        if self.tracked is None:
+            if not self._source_has_files():
+                return  # nothing to infer a contract from yet
+            self.tracked = discover_parquet_schema(self.spark, self.source_dir)
+            self.tracker.record(self.tracked)
+        if self._query is None:
+            self._start_query()
+
+    def poll_once(self) -> bool:
+        """One drift probe; returns True if a restart transition ran."""
+        if self.tracked is None or self._query is None:
+            before = self.restarts
+            self.start()
+            return self.restarts > before
+        if self.staging_dir is not None:
+            before = self.restarts
+            self._admit_staged()
+            return self.restarts > before
+        return self._widen(discover_parquet_schema(self.spark, self.source_dir))
+
+    def run(self, duration_s: float, poll_interval_s: float = 1.0) -> None:
+        """Production loop: poll for ``duration_s`` seconds."""
+        import time
+
+        self.start()
+        deadline = time.monotonic() + duration_s
+        while time.monotonic() < deadline:
+            self.poll_once()
+            time.sleep(poll_interval_s)
+
+    def finish(self) -> StructType:
+        """Stop the live query and drain deterministically."""
+        self._admit_staged()
+        self._stop_query()
+        return run_evolving_stream(
+            self.spark,
+            self.source_dir,
+            self.sink_dir,
+            self.checkpoint_dir,
+            self.schema_location,
+            transform=self.transform,
+            max_restarts=self.max_restarts,
+        )
