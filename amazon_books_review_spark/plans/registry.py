@@ -27,6 +27,7 @@ from amazon_books_review_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 from amazon_books_review_spark.plans.sqlsurface_queries import SQLSURFACE_QUERIES
 from amazon_books_review_spark.plans.governance_queries import GOVERNANCE_QUERIES
 from amazon_books_review_spark.plans.lakehouse_queries import LAKEHOUSE_QUERIES
+from amazon_books_review_spark.plans.selection_queries import SELECTION_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
 
 query(
@@ -53,5 +54,6 @@ for _name, _fn, _oracle, _doc in (
     + SQLSURFACE_QUERIES
     + GOVERNANCE_QUERIES
     + LAKEHOUSE_QUERIES
+    + SELECTION_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

@@ -1,0 +1,370 @@
+"""Training-data SELECTION queries, round 8.
+
+Three operators a 100 TB pretraining pipeline runs between cleaning
+and sampling — each scores or characterizes documents so a later
+mixture step can weight them:
+
+* :func:`dsir_importance_weights` — Data Selection via Importance
+  Resampling (Xie et al. 2023): per-document importance log-weights
+  from hashed n-gram features, log p_target(f) - log p_raw(f) summed
+  over the document's tokens.  The feature space is hashed to a fixed
+  ``DSIR_BUCKETS``-sized table, so the model side is a broadcast no
+  matter the corpus size.
+* :func:`zipf_slope_by_lang` — per-language Zipf fit: OLS slope of
+  ln(freq) on ln(rank) over the top terms.  The canonical corpus
+  health check (natural text sits near slope -1; a drifting slope
+  after a filtering step means the filter bent the distribution).
+* :func:`quality_logistic_score` — a fixed-weight logistic quality
+  model over cheap per-doc features (the shape of fastText-style
+  quality classifiers used by CCNet/RefinedWeb, with deterministic
+  published weights instead of a trained model, since training is
+  out of scope and the OPERATOR is the deliverable).
+
+Determinism discipline (same as the rest of the catalog): feature
+hashing rides md5 (`functions/sampling.hash_bucket`, replayable in
+any engine), money-free doubles are rounded at the output, and every
+rank tie breaks on the term string.
+
+Scale shapes: dsir is one token shuffle to (doc, bucket) grain plus
+a B-row broadcast; zipf reduces to (lang, term) grain before its
+top-V window; the logistic score is a zero-shuffle scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amazon_books_review_spark.functions.sampling import hash_bucket
+from amazon_books_review_spark.functions.text import GOPHER_STOPWORDS
+from amazon_books_review_spark.sources.io import load_table
+
+# --- DSIR ------------------------------------------------------------------
+
+#: hashed feature-table size — at 100 TB this stays a broadcast;
+#: collisions are part of the method (hashed n-gram features).
+DSIR_BUCKETS = 64
+DSIR_SALT = "dsir"
+#: the target distribution: English docs stand in for "the quality
+#: domain we want more of" (DSIR's target corpus input).
+DSIR_TARGET_LANG = "en"
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance log-weights per document.
+
+    Feature model: word unigrams hashed to ``DSIR_BUCKETS`` buckets
+    via md5.  Both distributions are add-1 smoothed over the bucket
+    space; a document's weight is the token-count-weighted MEAN of
+    per-bucket log ratios (mean, not sum, so long documents are not
+    automatically "more target-like").
+
+    Scale: tokens reduce to (doc_id, bucket) grain in ONE token
+    shuffle and that grain is checkpointed, so the bucket statistics
+    (a single conditional aggregate — raw and target counts in one
+    pass) and the scoring join share the materialization instead of
+    re-tokenizing the corpus per consumer; the log-ratio table is a
+    B-row broadcast.  Nothing grows with corpus size except the
+    linear scan — the exact property DSIR was designed for.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _tokens(docs).withColumn(
+        "bucket", hash_bucket(F.col("term"), DSIR_SALT, DSIR_BUCKETS)
+    )
+    doc_b = (
+        feat.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # (docs x <=B) rows; tokenize ONCE
+    )
+    b_stats = doc_b.groupBy("bucket").agg(
+        F.sum("tf").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+        ).alias("tc"),
+    )
+    spine = (
+        spark.range(DSIR_BUCKETS)
+        .select(F.col("id").alias("bucket"))
+        .join(b_stats, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+        )
+    )
+    totals = spine.agg(
+        F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
+    )
+    lam = (
+        spine.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tc") + 1) / (F.col("t_total") + DSIR_BUCKETS))
+                - F.log((F.col("rc") + 1) / (F.col("r_total") + DSIR_BUCKETS))
+            ).alias("lam"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("lam")) / F.sum("tf"), 6
+            ).alias("dsir_logweight"),
+        )
+        .select("doc_id", "lang", "n_tokens", "dsir_logweight")
+    )
+
+
+def _md5_bucket_sql(expr: str, salt: str, buckets: int) -> str:
+    """DuckDB twin of sampling.hash_bucket for an arbitrary VARCHAR
+    expression: first 7 hex chars of md5(salt|expr), base-16 decoded
+    by char-position arithmetic, mod buckets."""
+    digit = lambda i: f"(strpos('0123456789abcdef', substr(md5('{salt}|' || {expr}), {i}, 1)) - 1)"  # noqa: E731
+    val = digit(1)
+    for i in range(2, 8):
+        val = f"({val} * 16 + {digit(i)})"
+    return f"(({val}) % {buckets})"
+
+
+DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), nonempty AS (
+    SELECT * FROM tok WHERE term <> ''
+), feat AS (
+    SELECT doc_id, lang,
+           {_md5_bucket_sql('term', DSIR_SALT, DSIR_BUCKETS)} AS bucket
+    FROM nonempty
+), doc_b AS (
+    SELECT doc_id, lang, bucket, count(*) AS tf
+    FROM feat GROUP BY doc_id, lang, bucket
+), spine AS (
+    SELECT g.bucket,
+           coalesce(r.rc, 0) AS rc,
+           coalesce(t.tc, 0) AS tc
+    FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket) g
+    LEFT JOIN (SELECT bucket, sum(tf) AS rc FROM doc_b GROUP BY bucket) r
+      USING (bucket)
+    LEFT JOIN (SELECT bucket, sum(tf) AS tc FROM doc_b
+               WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket) t
+      USING (bucket)
+), totals AS (
+    SELECT sum(rc) AS r_total, sum(tc) AS t_total FROM spine
+), lam AS (
+    SELECT bucket,
+           ln((tc + 1) * 1.0 / (t_total + {DSIR_BUCKETS}))
+         - ln((rc + 1) * 1.0 / (r_total + {DSIR_BUCKETS})) AS lam
+    FROM spine CROSS JOIN totals
+)
+SELECT d.doc_id, d.lang,
+       CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+       round(sum(d.tf * l.lam) / sum(d.tf), 6) AS dsir_logweight
+FROM doc_b d JOIN lam l USING (bucket)
+GROUP BY d.doc_id, d.lang
+"""
+
+
+# --- Zipf fit --------------------------------------------------------------
+
+#: fit over the top-V terms per language (the head is where Zipf is
+#: defined; the long tail is finite-corpus noise).
+ZIPF_TOP = 100
+
+
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit: OLS slope/intercept of ln(freq) over
+    ln(rank) for the ``ZIPF_TOP`` most frequent terms.
+
+    Natural language sits near slope -1 (Zipf's law); the operator's
+    job in a pipeline is drift detection — re-run after a filtering
+    stage, a slope that moved materially means the filter reshaped
+    the token distribution, not just removed documents.
+
+    Determinism: rank ties break on the term string; the OLS sums are
+    over exactly ``ZIPF_TOP`` doubles of magnitude ~ln(rank) so the
+    final round(6) absorbs summation-order ulps.  Scale: tokens
+    reduce to (lang, term) grain before the per-language top-V window
+    — the window input is vocabulary-sized, never token-sized.
+    """
+    tf = (
+        _tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term").asc())
+    head = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP
+    )
+    pts = head.select(
+        "lang",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT lang, term, count(*) AS freq
+    FROM tok WHERE term <> '' GROUP BY lang, term
+), head AS (
+    SELECT lang, freq,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY freq DESC, term ASC) AS rank
+    FROM tf QUALIFY rank <= {ZIPF_TOP}
+), pts AS (
+    SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+    FROM head
+), s AS (
+    SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM pts GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS zipf_intercept
+FROM s
+"""
+
+
+# --- Logistic quality score ------------------------------------------------
+
+#: Fixed logistic weights over the four cheap features — the shape of
+#: a fastText/CCNet quality classifier with deterministic published
+#: coefficients (training a model is out of scope; the OPERATOR — a
+#: zero-shuffle scoring scan over arbitrary weights — is what ships).
+QL_BIAS = -3.0
+QL_W_LOG_WORDS = 0.6     # ln(1 + n_words): length helps, saturating
+QL_W_MEAN_WLEN = 0.15    # mean word length: mild prior toward prose
+QL_W_STOP_FRAC = 6.0     # stopword token fraction: strongest signal
+QL_W_ALPHA_FRAC = 1.2    # alphabetic-word fraction
+QL_KEEP_THRESHOLD = 0.5
+
+
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality probability per document.
+
+    Features (all computed in one Catalyst scan, no Python boundary):
+    ln(1 + word count), mean word length, stopword-token fraction,
+    alphabetic-word fraction.  ``quality_prob = sigmoid(w . x + b)``;
+    ``keep = prob >= {thr}``.  Per-row double arithmetic with a final
+    round(6) — no aggregation, so no summation-order hazard; the plan
+    is a zero-shuffle scan a 100 TB corpus pays once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(words).cast("double")
+    word_chars = F.expr(
+        "aggregate(transform(split(trim(lower(text)), '\\\\s+'), "
+        "w -> length(w)), 0L, (a, x) -> a + x)"
+    ).cast("double")
+    stop_list = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stop = F.expr(
+        "size(filter(split(trim(lower(text)), '\\\\s+'), "
+        f"w -> w in ({stop_list})))"
+    ).cast("double")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("double")
+    z = (
+        F.lit(QL_BIAS)
+        + F.lit(QL_W_LOG_WORDS) * F.log(F.lit(1.0) + n_words)
+        + F.lit(QL_W_MEAN_WLEN) * (word_chars / n_words)
+        + F.lit(QL_W_STOP_FRAC) * (n_stop / n_words)
+        + F.lit(QL_W_ALPHA_FRAC) * (n_alpha / n_words)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.round(prob, 6).alias("quality_prob"),
+        (F.round(prob, 6) >= QL_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
+quality_logistic_score.__doc__ = quality_logistic_score.__doc__.format(
+    thr=QL_KEEP_THRESHOLD
+)
+
+
+_QL_STOPS = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+QUALITY_LOGISTIC_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           string_split_regex(trim(lower(text)), '\\s+') AS words
+    FROM documents
+), f AS (
+    SELECT doc_id, lang,
+           CAST(len(words) AS DOUBLE) AS n_words,
+           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+               AS word_chars,
+           CAST(len(list_filter(words, w -> w IN ({_QL_STOPS}))) AS DOUBLE)
+               AS n_stop,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+               AS DOUBLE) AS n_alpha
+    FROM d
+), z AS (
+    SELECT doc_id, lang, n_words,
+           {QL_BIAS} + {QL_W_LOG_WORDS} * ln(1.0 + n_words)
+                     + {QL_W_MEAN_WLEN} * (word_chars / n_words)
+                     + {QL_W_STOP_FRAC} * (n_stop / n_words)
+                     + {QL_W_ALPHA_FRAC} * (n_alpha / n_words) AS z
+    FROM f
+)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-z)), 6) >= {QL_KEEP_THRESHOLD} AS keep
+FROM z
+"""
+
+
+SELECTION_QUERIES = [
+    ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
+     "DSIR (Xie et al. 2023): hashed-feature importance log-weights vs a target domain"),
+    ("zipf_slope_by_lang", zipf_slope_by_lang, ZIPF_ORACLE,
+     "per-language Zipf OLS fit over the top-100 terms (distribution drift probe)"),
+    ("quality_logistic_score", quality_logistic_score, QUALITY_LOGISTIC_ORACLE,
+     "fixed-weight logistic quality probability, zero-shuffle scoring scan"),
+]

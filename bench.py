@@ -216,6 +216,9 @@ HEADLINE += [
     "gopher_repetition_rules",
     # round-8 additions
     "ann_recall_audit_kmeans",
+    "dsir_importance_weights",
+    "zipf_slope_by_lang",
+    "quality_logistic_score",
 ]
 
 

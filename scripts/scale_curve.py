@@ -95,6 +95,18 @@ QUERIES = [
     "cdc_orders_changes",
     "runtime_bloom_join_reduction",
     "purchase_attribution",
+    # round-7 repetition suite: zero-shuffle map-side gram arithmetic —
+    # the claim is pure linearity in document volume (the salted REPx
+    # corpus keeps per-doc gram work identical per replica).
+    "gopher_repetition_rules",
+    # round-8 selection wave: dsir is one token shuffle + B-row
+    # broadcast (vocab grows REPx under the salted corpus — the
+    # hashed-feature table must NOT); zipf reduces to (lang, term)
+    # grain before its top-V window; the logistic score is the
+    # zero-shuffle scan claim under forced columns.
+    "dsir_importance_weights",
+    "zipf_slope_by_lang",
+    "quality_logistic_score",
     # routed assignment at fixed k (the k-scaling claim itself is
     # measured by semdedup_kscaled below, routing included)
     "kmeans_routed_assign",
@@ -137,6 +149,26 @@ QUERIES = [
 
 # Optional filter: scale_curve.py [REP] [query ...]
 ONLY = set(sys.argv[2:])
+
+#: Queries whose cost is COMPUTED COLUMNS on a row-preserving plan:
+#: a bare .count() lets Catalyst prune every expression (the r8 first
+#: gopher run "measured" 1.4s flat at both scales because the gram
+#: arithmetic never executed; an optimized-plan diff then showed four
+#: more curve entries losing their Window operators the same way).
+#: These time a noop-sink write (all columns forced, same methodology
+#: as bench.py) and take the row count from a separate untimed action.
+#: Earlier PERF.md rows for these names under-measured — r8 re-rows
+#: them under the corrected action.
+FORCE_ALL_COLUMNS = {
+    "gopher_repetition_rules",
+    "rolling_hour_user_stats",      # Window pruned under count()
+    "source_zscore_quality",        # Window pruned under count()
+    "dedup_segments_corpus",        # a Window stage pruned under count()
+    "training_shard_manifest",      # Window pruned under count()
+    "embedding_random_projection",  # pure projection arithmetic prunable
+    "mad_outlier_flags",            # per-row flags prunable
+    "quality_logistic_score",       # pure scoring scan (r8 addition)
+}
 
 
 def _emb_neardup_planescaled(n_planes: int):
@@ -321,12 +353,16 @@ def main() -> None:
             ).mode("overwrite").save()
             row = {}
             for label, d in (("1x", one_x), (big, SCALED_DIR)):
+                df = fns[label](spark, d)
                 t0 = time.perf_counter()
-                n = fns[label](spark, d).count()
-                row[label] = {
-                    "sec": round(time.perf_counter() - t0, 3),
-                    "rows": n,
-                }
+                if name in FORCE_ALL_COLUMNS:
+                    df.write.format("noop").mode("overwrite").save()
+                    sec = round(time.perf_counter() - t0, 3)
+                    n = df.count()  # untimed; pruned plan, cheap
+                else:
+                    n = df.count()
+                    sec = round(time.perf_counter() - t0, 3)
+                row[label] = {"sec": sec, "rows": n}
             results[name] = row
             print(json.dumps({"query": name, **row}), flush=True)
     finally:
