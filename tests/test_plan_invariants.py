@@ -73,12 +73,40 @@ def test_asof_join_bounded_shuffles(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_token_stats", "text_quality_scores", "scalar_functions_showcase"],
+    [
+        "text_token_stats",
+        "text_quality_scores",
+        "scalar_functions_showcase",
+        "quality_logistic_score",
+    ],
 )
 def test_map_only_queries_have_no_exchange(spark, name):
     """Pure per-row analysis stages must never shuffle."""
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} acquired a shuffle"
+
+
+def test_dsir_tokenizes_once(spark):
+    """DSIR's (doc, bucket) grain is checkpointed: the final plan must
+    read ONLY the checkpoint (zero parquet scans — re-tokenizing the
+    corpus per consumer is the 100 TB anti-pattern), and the log-ratio
+    table must join by broadcast, never shuffle."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "Scan parquet" not in plan, "corpus re-scanned past the checkpoint"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_reduces_before_window(spark):
+    """The per-language top-V window must ride the (lang, term) grain
+    — vocabulary-sized, never token-sized — and nothing in the plan
+    may fall back to a non-broadcast join."""
+    plan = plan_of(spark, "zipf_slope_by_lang")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # tokenize -> (lang,term) agg -> per-lang window -> per-lang agg:
+    # bounded exchanges (AQE formatted output prints initial+final)
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
 
 
 # ---------------------------------------------------------------------------
