@@ -206,6 +206,231 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct-INTERSECTION estimation (r8)
+# ---------------------------------------------------------------------------
+
+#: sketch size — set estimates carry ~1/sqrt(k) relative error and the
+#: INTERSECTION estimate ~1/sqrt(k * Jaccard), so k sizes to the
+#: intersection bar, not the set bar.  Sides smaller than k run in
+#: EXACT MODE (theta = full space, estimate = the set itself) — the
+#: standard KMV rule, which keeps the audit exact at the small SF
+#: while the sketch path engages at sf0.01+.
+KMV_K = 256
+KMV_SALT = "kmv"
+#: audit tolerance: ~3 intersection standard errors at k=256, J~0.2.
+KMV_TOLERANCE = 0.40
+_KMV_SPACE = 1 << 48  # md5-derived hash values are uniform in [0, 2^48)
+
+
+def _kmv_hash(col):
+    """Uniform 48-bit integer from md5 — exact in a long AND in a
+    double (2^48 < 2^53), so every engine compares and divides it
+    identically."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(KMV_SALT), F.lit("|"), col)), 1, 12),
+        16, 10,
+    ).cast("long")
+
+
+def kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-INTERSECTION estimation via K-Minimum-Values (theta)
+    sketches, audited against exact — the capability HLL does not
+    have (HLL unions; it cannot intersect).
+
+    Sets: A = distinct (user, day) pairs with a view event, B = same
+    with a purchase.  Each side keeps its ``KMV_K`` smallest md5
+    hash values; theta = the k-th smallest.  Estimates:
+    |S| ~ (k-1) * 2^48 / theta, and for the intersection the standard
+    theta-sketch rule — common survivors below min(theta_A, theta_B)
+    scaled by the same factor.  Every quantity is exact integer
+    arithmetic until the final rounded division, so the audit is
+    engine-exact (no tolerance band needed on the HASH check; the
+    tolerance verdicts assert the ESTIMATOR's accuracy contract).
+
+    Scale shape: a KMV sketch is mergeable (union of k-smallest sets,
+    re-trimmed to k) and the per-side build is a top-k by hash —
+    Spark pushes the rank<=k filter below the shuffle
+    (WindowGroupLimit), so each partition ships only k candidates.
+    The EXACT columns are the audit harness, not the operator: at
+    100 TB you run the sketch side only, and this query is the
+    acceptance test you run on a sample to certify the error bar.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    elems = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("elem"),
+        )
+        .distinct()
+        .withColumn("h", _kmv_hash(F.col("elem")))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = elems.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= KMV_K)
+    # theta_eff: the k-th smallest hash in sketch mode; the FULL hash
+    # space in exact mode (|side| < k) — the standard KMV convention
+    # that makes the same estimator formula exact for small sets.
+    thetas = sk.groupBy("event_type").agg(
+        F.max("h").alias("theta_kth"), F.count(F.lit(1)).alias("n_sk")
+    ).select(
+        "event_type",
+        "n_sk",
+        F.when(F.col("n_sk") < KMV_K, F.lit(_KMV_SPACE))
+        .otherwise(F.col("theta_kth"))
+        .alias("theta"),
+    )
+    th_a = thetas.filter(F.col("event_type") == "view").select(
+        F.col("theta").alias("theta_a"), F.col("n_sk").alias("n_sk_a")
+    )
+    th_b = thetas.filter(F.col("event_type") == "purchase").select(
+        F.col("theta").alias("theta_b"), F.col("n_sk").alias("n_sk_b")
+    )
+    s_a = sk.filter(F.col("event_type") == "view").select(F.col("h").alias("ha"))
+    s_b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb")
+    )
+    common = (
+        s_a.join(s_b, F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(th_a))
+        .crossJoin(F.broadcast(th_b))
+        .filter(F.col("ha") < F.least("theta_a", "theta_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        elems.groupBy()
+        .pivot("event_type", ["view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("view").alias("exact_a"), F.col("purchase").alias("exact_b")
+        )
+    )
+    exact_inter = (
+        elems.filter(F.col("event_type") == "view")
+        .select("elem")
+        .intersect(
+            elems.filter(F.col("event_type") == "purchase").select("elem")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    def side_est(theta, n_sk):
+        # sketch mode: (k-1) * space / theta_kth; exact mode: |side|
+        return F.round(
+            F.when(
+                F.col(n_sk) < KMV_K, F.col(n_sk).cast("double")
+            ).otherwise(
+                F.lit(KMV_K - 1) * F.lit(float(_KMV_SPACE)) / F.col(theta)
+            ),
+            2,
+        )
+
+    est_a = side_est("theta_a", "n_sk_a")
+    est_b = side_est("theta_b", "n_sk_b")
+    est_i = F.round(
+        F.col("n_common")
+        * F.lit(float(_KMV_SPACE))
+        / F.least("theta_a", "theta_b"),
+        2,
+    )
+    out = (
+        common.crossJoin(F.broadcast(th_a))
+        .crossJoin(F.broadcast(th_b))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_i.alias("est_inter"),
+        )
+    )
+    tol = F.lit(KMV_TOLERANCE)
+    return out.select(
+        "exact_a", "exact_b", "exact_inter", "est_a", "est_b", "est_inter",
+        (F.abs(F.col("est_a") - F.col("exact_a")) <= tol * F.col("exact_a")).alias("a_within_tol"),
+        (F.abs(F.col("est_b") - F.col("exact_b")) <= tol * F.col("exact_b")).alias("b_within_tol"),
+        (F.abs(F.col("est_inter") - F.col("exact_inter")) <= tol * F.col("exact_inter")).alias("inter_within_tol"),
+    )
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    """DuckDB twin of `_kmv_hash`: 12 hex chars of md5 decoded by
+    char-position arithmetic (no conv())."""
+    digit = lambda i: f"(strpos('0123456789abcdef', substr(md5('{KMV_SALT}|' || {expr}), {i}, 1)) - 1)"  # noqa: E731
+    val = digit(1)
+    for i in range(2, 13):
+        val = f"({val} * 16 + {digit(i)})"
+    return val
+
+
+def _kmv_oracle() -> str:
+    space = float(_KMV_SPACE)
+    return f"""
+WITH elems AS (
+    SELECT DISTINCT event_type,
+           CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS elem
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+), hashed AS (
+    SELECT event_type, elem, {_kmv_hash_sql('elem')} AS h FROM elems
+), sk AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashed QUALIFY r <= {KMV_K}
+), side AS (
+    SELECT event_type, count(*) AS n_sk,
+           CASE WHEN count(*) < {KMV_K} THEN {_KMV_SPACE}
+                ELSE max(h) END AS theta
+    FROM sk GROUP BY event_type
+), thetas AS (
+    SELECT
+      max(CASE WHEN event_type = 'view' THEN theta END) AS theta_a,
+      max(CASE WHEN event_type = 'view' THEN n_sk END) AS n_sk_a,
+      max(CASE WHEN event_type = 'purchase' THEN theta END) AS theta_b,
+      max(CASE WHEN event_type = 'purchase' THEN n_sk END) AS n_sk_b
+    FROM side
+), common AS (
+    SELECT count(*) AS n_common
+    FROM (SELECT h FROM sk WHERE event_type = 'view') a
+    JOIN (SELECT h FROM sk WHERE event_type = 'purchase') b USING (h)
+    CROSS JOIN thetas
+    WHERE h < least(theta_a, theta_b)
+), exact AS (
+    SELECT
+      count(CASE WHEN event_type = 'view' THEN 1 END) AS exact_a,
+      count(CASE WHEN event_type = 'purchase' THEN 1 END) AS exact_b
+    FROM elems
+), exact_inter AS (
+    SELECT count(*) AS exact_inter FROM (
+      SELECT elem FROM elems WHERE event_type = 'view'
+      INTERSECT
+      SELECT elem FROM elems WHERE event_type = 'purchase')
+), est AS (
+    SELECT exact_a, exact_b, exact_inter,
+           round(CASE WHEN n_sk_a < {KMV_K} THEN CAST(n_sk_a AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * {space} / theta_a END, 2) AS est_a,
+           round(CASE WHEN n_sk_b < {KMV_K} THEN CAST(n_sk_b AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * {space} / theta_b END, 2) AS est_b,
+           round(n_common * {space} / least(theta_a, theta_b), 2) AS est_inter
+    FROM thetas CROSS JOIN common CROSS JOIN exact CROSS JOIN exact_inter
+)
+SELECT exact_a, exact_b, exact_inter, est_a, est_b, est_inter,
+       abs(est_a - exact_a) <= {KMV_TOLERANCE} * exact_a AS a_within_tol,
+       abs(est_b - exact_b) <= {KMV_TOLERANCE} * exact_b AS b_within_tol,
+       abs(est_inter - exact_inter) <= {KMV_TOLERANCE} * exact_inter
+           AS inter_within_tol
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2: changelog -> type-2 dimension history
 # ---------------------------------------------------------------------------
 
@@ -1446,6 +1671,8 @@ SCALE_OPS_QUERIES = [
      "Misra-Gries sketch candidates + exact recount: bounded-memory heavy hitters"),
     ("hll_distinct_audit", hll_distinct_audit, HLL_AUDIT_ORACLE,
      "DataSketches HLL per-group + merged union, audited against exact distinct"),
+    ("kmv_intersection_audit", kmv_intersection_audit, _kmv_oracle(),
+     "KMV/theta sketch distinct-INTERSECTION estimate (what HLL can't do), engine-exact audit"),
     ("scd2_user_segments", scd2_user_segments, SCD2_ORACLE,
      "changelog -> SCD2 validity intervals (islands + lead window)"),
     ("pagerank_copurchase", pagerank_copurchase, _pagerank_oracle(),

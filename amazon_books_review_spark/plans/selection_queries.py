@@ -360,6 +360,78 @@ FROM z
 """
 
 
+# --- Weighted sampling without replacement (Efraimidis–Spirakis) ----------
+
+WS_K = 100
+WS_SALT = "wsample"
+_WS_SPACE = 1 << 48  # md5-derived uniform grid, exact in a double
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme with md5 standing in for the
+    random draw: each doc gets key = ln(u) / w for u uniform in
+    (0, 1] derived from md5(salt|doc_id) and weight w = its char
+    count; the global top-``WS_K`` keys are the sample.  P(selection)
+    is exactly the weighted-without-replacement distribution, yet the
+    result is a pure function of doc_ids — reproducible across runs,
+    partitionings, and engines (``rand()``-free, like every sampler
+    in `functions/sampling.py`).
+
+    Determinism: u = (h+1)/2^48 is exact in a double; the ordering
+    key is ROUNDED to 12 decimals with a doc_id tie-break so the
+    cross-engine sort can never flap on last-ulp ln() differences.
+
+    Scale shape: a global top-k — Spark runs it as per-partition
+    partial top-k + single-reducer merge of k candidates
+    (TakeOrderedAndProject), never a full sort.  This is the sampler
+    a mixture step uses to draw a quality-weighted corpus slice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(WS_SALT), F.lit("|"), F.col("doc_id").cast("string"))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    key = F.round(F.log((h + 1) / F.lit(float(_WS_SPACE))) / w, 12)
+    scored = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        key.alias("es_key"),
+    )
+    win = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= WS_K)
+        .select("doc_id", "lang", "n_chars", "es_key", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _ws_hash_sql(expr: str) -> str:
+    digit = lambda i: f"(strpos('0123456789abcdef', substr(md5('{WS_SALT}|' || {expr}), {i}, 1)) - 1)"  # noqa: E731
+    val = digit(1)
+    for i in range(2, 13):
+        val = f"({val} * 16 + {digit(i)})"
+    return val
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round(ln(({_ws_hash_sql('CAST(doc_id AS VARCHAR)')} + 1)
+                    / {float(_WS_SPACE)})
+                 / greatest(CAST(n_chars AS DOUBLE), 1.0), 12) AS es_key
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, es_key,
+       row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {WS_K}
+"""
+
+
 SELECTION_QUERIES = [
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
      "DSIR (Xie et al. 2023): hashed-feature importance log-weights vs a target domain"),
@@ -367,4 +439,6 @@ SELECTION_QUERIES = [
      "per-language Zipf OLS fit over the top-100 terms (distribution drift probe)"),
     ("quality_logistic_score", quality_logistic_score, QUALITY_LOGISTIC_ORACLE,
      "fixed-weight logistic quality probability, zero-shuffle scoring scan"),
+    ("weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_ORACLE,
+     "Efraimidis-Spirakis weighted sampling w/o replacement, md5-deterministic global top-k"),
 ]

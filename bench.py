@@ -219,6 +219,8 @@ HEADLINE += [
     "dsir_importance_weights",
     "zipf_slope_by_lang",
     "quality_logistic_score",
+    "kmv_intersection_audit",
+    "weighted_sample_docs",
 ]
 
 

@@ -107,6 +107,11 @@ QUERIES = [
     "dsir_importance_weights",
     "zipf_slope_by_lang",
     "quality_logistic_score",
+    # KMV sketches are per-partition top-k + k-candidate merges; the
+    # weighted sampler is a global TakeOrdered top-k — both must stay
+    # flat-ish as the corpus grows (events scale by users; docs 100x).
+    "kmv_intersection_audit",
+    "weighted_sample_docs",
     # routed assignment at fixed k (the k-scaling claim itself is
     # measured by semdedup_kscaled below, routing included)
     "kmeans_routed_assign",

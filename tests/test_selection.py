@@ -1,0 +1,79 @@
+"""Round-8 selection/sketch operators — properties beyond oracle parity.
+
+Oracle parity (tests/test_oracle_parity.py) already value-checks all
+of these against DuckDB; here we pin the properties parity can't see:
+partitioning invariance (the rand()-free determinism claim) and the
+KMV exact-mode contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_weighted_sample_repartition_stable(spark):
+    """The A-ES sample is a pure function of doc_ids — identical under
+    any partitioning (the property rand()-based sampling loses)."""
+    from amazon_books_review_spark.plans.selection_queries import (
+        weighted_sample_docs,
+    )
+
+    base = _rows(weighted_sample_docs(spark, SF))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert _rows(weighted_sample_docs(spark, SF)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_weighted_sample_prefers_heavier_docs(spark):
+    """Selection probability rises with weight: the sampled docs'
+    mean char count must exceed the corpus mean (k=100 of 500 docs —
+    a uniform sample would match the corpus mean in expectation; the
+    weighted one is materially above it)."""
+    from amazon_books_review_spark.plans.selection_queries import (
+        weighted_sample_docs,
+    )
+    from amazon_books_review_spark.sources.io import load_table
+
+    sampled = weighted_sample_docs(spark, SF).agg(F.avg("n_chars")).first()[0]
+    corpus = load_table(spark, SF, "documents").agg(F.avg("n_chars")).first()[0]
+    assert sampled > corpus * 1.1, (sampled, corpus)
+
+
+def test_kmv_exact_mode_when_sets_fit(spark):
+    """Sides smaller than k must report EXACT estimates (theta = full
+    space) — the standard KMV small-set contract."""
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KMV_K,
+        kmv_intersection_audit,
+    )
+
+    row = kmv_intersection_audit(spark, SF).first()
+    assert row.exact_a < KMV_K and row.exact_b < KMV_K  # fixture premise
+    assert row.est_a == float(row.exact_a)
+    assert row.est_b == float(row.exact_b)
+    assert row.est_inter == float(row.exact_inter)
+    assert row.a_within_tol and row.b_within_tol and row.inter_within_tol
+
+
+def test_kmv_sketch_mode_engages_at_sf001(spark):
+    """At sf0.01 both sides exceed k: the estimates must differ from
+    exact (the sketch path ran) while staying inside the tolerance
+    the audit promises."""
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KMV_K,
+        kmv_intersection_audit,
+    )
+
+    row = kmv_intersection_audit(spark, "/root/testdata/sf0.01").first()
+    assert row.exact_a > KMV_K and row.exact_b > KMV_K
+    assert row.est_a != float(row.exact_a)  # genuinely estimated
+    assert row.a_within_tol and row.b_within_tol and row.inter_within_tol
