@@ -158,6 +158,104 @@ GROUP BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM scoring (r8) — one order up from the unigram proxy
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean BIGRAM log-probability per document under the corpus's own
+    add-1-smoothed bigram LM — the next rung of the perplexity-proxy
+    ladder above `unigram_logprob_score` (conditional context catches
+    word-salad documents whose unigram mix looks fine).
+
+    Estimate: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·)
+    the bigram-start count and V the distinct-next-word vocabulary
+    (the standard conditional add-1 form).
+
+    Scale design mirrors the unigram query: bigrams reduce to the
+    (doc, w1, w2) grain in the one token-pair shuffle BEFORE any
+    model join; the c(w1·) table rolls up from the bigram table (no
+    second corpus pass); V is a 1-row broadcast.  Bigram generation
+    is a Catalyst ``transform(sequence(...))`` over the word array —
+    zero Python, zero extra shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("words")
+        )
+        .filter(F.size("words") >= 2)  # sequence(1, 0) would run BACKWARDS
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> struct(element_at(words, i) AS w1,"
+                    " element_at(words, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bg = bg.localCheckpoint(eager=True)  # (doc, bigram) grain; pair-shuffle ONCE
+    c12 = bg.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.agg(F.count_distinct("w2").alias("v"))
+    model = (
+        c12.join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            (F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("lp"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.col("lp")) / F.sum("tf"), 6).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+    )
+
+
+BIGRAM_ORACLE = """
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+    FROM documents
+), bg0 AS (
+    SELECT doc_id,
+           unnest([struct_pack(w1 := words[i], w2 := words[i + 1])
+                   for i in range(1, len(words))]) AS b
+    FROM d WHERE len(words) >= 2
+), bg AS (
+    SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS tf
+    FROM bg0 WHERE b.w1 <> '' AND b.w2 <> ''
+    GROUP BY doc_id, b.w1, b.w2
+), c12 AS (
+    SELECT w1, w2, sum(tf) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1
+), vocab AS (
+    SELECT count(DISTINCT w2) AS v FROM c12
+), model AS (
+    SELECT w1, w2, ln((c12 + 1) * 1.0 / (c1 + v)) AS lp
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab
+)
+SELECT bg.doc_id,
+       CAST(sum(bg.tf) AS BIGINT) AS n_bigrams,
+       round(sum(bg.tf * m.lp) / sum(bg.tf), 6) AS avg_bigram_logprob
+FROM bg JOIN model m USING (w1, w2)
+GROUP BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE pair statistics (tokenizer training, step 1)
 # ---------------------------------------------------------------------------
 
@@ -268,6 +366,8 @@ CORPUS_STATS_QUERIES = [
      "inverted index: df + bounded postings sample, one term shuffle"),
     ("unigram_logprob_score", unigram_logprob_score, UNIGRAM_ORACLE,
      "corpus unigram-LM mean token logprob per doc (perplexity proxy)"),
+    ("bigram_logprob_score", bigram_logprob_score, BIGRAM_ORACLE,
+     "add-1 bigram-LM mean logprob per doc — conditional-context perplexity proxy"),
     ("bpe_pair_counts", bpe_pair_counts, BPE_ORACLE,
      "BPE training step 1: word-frequency-weighted adjacent char pairs"),
     ("source_zscore_quality", source_zscore_quality, ZSCORE_ORACLE,

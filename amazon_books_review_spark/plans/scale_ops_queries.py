@@ -569,6 +569,102 @@ def copurchase_edges(
     return finish(set_pairs.unionByName(join_pairs))
 
 
+# --- Co-purchase PMI (r8) --------------------------------------------------
+
+PMI_MIN_SUPPORT = 3  # pairs must co-occur in >= this many orders
+PMI_TOP = 100
+
+
+def copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of co-purchased part pairs —
+    the lift statistic behind association/"bought together" surfacing:
+    PMI(a,b) = ln( n_ab * N / (n_a * n_b) ) over order baskets.
+
+    Unlike `copurchase_edges` (distinct edges), PMI needs the
+    CO-OCCURRENCE COUNT per pair, so the per-order set explosion
+    keeps one row per (order, pair) before the pair rollup — still
+    the single order-key shuffle, same bounded-fan-out precondition
+    (the `max_fanout` self-join fallback applies identically at
+    basket scale).  Item marginals and the order total roll up from
+    the same distinct (order, part) table; both joins on the pair
+    table are vocabulary-sized.  `PMI_MIN_SUPPORT` kills the
+    long-tail n_ab=1 pairs (whose PMI is pure noise) BEFORE the
+    marginal joins; output is the global top-`PMI_TOP` by (pmi,
+    pair) — deterministic, TakeOrdered-sized.
+    """
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = li.select("ok").distinct().count()
+    marg = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    sets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+    pair_counts = (
+        sets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(marg.select(F.col("pk").alias("a"), F.col("n_item").alias("n_a"))), "a"
+        )
+        .join(
+            F.broadcast(marg.select(F.col("pk").alias("b"), F.col("n_item").alias("n_b"))), "b"
+        )
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(float(n_orders))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PMI_TOP)
+        .select("a", "b", "n_ab", "n_a", "n_b", "pmi", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+PMI_ORACLE = f"""
+WITH lp AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n AS (
+    SELECT count(DISTINCT ok) AS n_orders FROM lp
+), marg AS (
+    SELECT pk, count(*) AS n_item FROM lp GROUP BY pk
+), pairs AS (
+    SELECT a.pk AS a, b.pk AS b, count(*) AS n_ab
+    FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk
+    HAVING count(*) >= {PMI_MIN_SUPPORT}
+), scored AS (
+    SELECT p.a, p.b, p.n_ab,
+           ma.n_item AS n_a, mb.n_item AS n_b,
+           round(ln(p.n_ab * CAST(n.n_orders AS DOUBLE)
+                    / (ma.n_item * mb.n_item)), 6) AS pmi
+    FROM pairs p
+    JOIN marg ma ON ma.pk = p.a
+    JOIN marg mb ON mb.pk = p.b
+    CROSS JOIN n
+)
+SELECT a, b, n_ab, n_a, n_b, pmi,
+       row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS rank
+FROM scored
+QUALIFY rank <= {PMI_TOP}
+"""
+
+
 PR_SCALE = 1_000_000_000_000  # rank mass in 1e-12 units
 PR_ITERS = 5
 PR_TOP = 20
@@ -1673,6 +1769,8 @@ SCALE_OPS_QUERIES = [
      "DataSketches HLL per-group + merged union, audited against exact distinct"),
     ("kmv_intersection_audit", kmv_intersection_audit, _kmv_oracle(),
      "KMV/theta sketch distinct-INTERSECTION estimate (what HLL can't do), engine-exact audit"),
+    ("copurchase_pmi", copurchase_pmi, PMI_ORACLE,
+     "pointwise mutual information of co-purchased pairs: basket counts -> lift top-k"),
     ("scd2_user_segments", scd2_user_segments, SCD2_ORACLE,
      "changelog -> SCD2 validity intervals (islands + lead window)"),
     ("pagerank_copurchase", pagerank_copurchase, _pagerank_oracle(),

@@ -221,6 +221,8 @@ HEADLINE += [
     "quality_logistic_score",
     "kmv_intersection_audit",
     "weighted_sample_docs",
+    "bigram_logprob_score",
+    "copurchase_pmi",
 ]
 
 

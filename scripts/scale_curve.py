@@ -112,6 +112,12 @@ QUERIES = [
     # flat-ish as the corpus grows (events scale by users; docs 100x).
     "kmv_intersection_audit",
     "weighted_sample_docs",
+    # bigram LM mirrors the unigram scale claim one order up (the
+    # salted corpus grows the bigram vocab 100x — the (doc,w1,w2)
+    # grain reduce is what's under test); PMI rides the same
+    # order-key set explosion as pagerank's edge derivation.
+    "bigram_logprob_score",
+    "copurchase_pmi",
     # routed assignment at fixed k (the k-scaling claim itself is
     # measured by semdedup_kscaled below, routing included)
     "kmeans_routed_assign",
