@@ -599,7 +599,7 @@ def copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
     )
-    n_orders = li.select("ok").distinct().count()
+    n = li.agg(F.count_distinct("ok").alias("n_orders"))  # 1-row broadcast
     marg = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
     sets = li.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("ps"))
     pair_counts = (
@@ -617,11 +617,12 @@ def copurchase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(marg.select(F.col("pk").alias("b"), F.col("n_item").alias("n_b"))), "b"
         )
+        .join(F.broadcast(n))
         .select(
             "a", "b", "n_ab", "n_a", "n_b",
             F.round(
                 F.log(
-                    F.col("n_ab") * F.lit(float(n_orders))
+                    F.col("n_ab") * F.col("n_orders").cast("double")
                     / (F.col("n_a") * F.col("n_b"))
                 ),
                 6,

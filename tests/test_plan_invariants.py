@@ -97,6 +97,32 @@ def test_dsir_tokenizes_once(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize("name", ["weighted_sample_docs", "copurchase_pmi"])
+def test_global_topk_is_take_ordered(spark, name):
+    """The global rank<=k windows in the sampler and PMI must plan as
+    TakeOrderedAndProject (per-partition partial top-k + k-row merge),
+    NEVER a single-partition global sort — the difference between a
+    top-k and shipping the corpus to one task at 100 TB."""
+    plan = plan_of(spark, name)
+    assert "TakeOrdered" in plan, f"{name} lost the TakeOrdered rewrite"
+    # at most one single-partition exchange, and only DOWNSTREAM of
+    # the TakeOrdered (the k-row rank window) — never on the scan side
+    assert plan.count("SinglePartition") <= 1, f"{name} sorts globally"
+    if "SinglePartition" in plan:
+        assert plan.index("TakeOrdered") < plan.index("SinglePartition") or (
+            "TakeOrderedAndProject" in plan
+        ), f"{name}: single-partition exchange feeds the top-k, not the k rows"
+
+
+def test_kmv_build_pushes_partial_topk(spark):
+    """The KMV sketch build (row_number <= k per side) must carry the
+    WindowGroupLimit pushdown — each mapper ships only k candidates
+    into the per-side shuffle; the residual single-partition
+    exchanges are the k-row/scalar merges, bounded by contract."""
+    plan = plan_of(spark, "kmv_intersection_audit")
+    assert "WindowGroupLimit" in plan, "partial top-k pushdown lost"
+
+
 def test_zipf_reduces_before_window(spark):
     """The per-language top-V window must ride the (lang, term) grain
     — vocabulary-sized, never token-sized — and nothing in the plan
