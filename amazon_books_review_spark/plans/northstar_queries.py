@@ -876,6 +876,54 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(docs, "doc_id", "text")
 
 
+def lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the corpus's
+    labeled ``lang`` column — the eval loop every classifier-driven
+    filter needs: per (true, predicted) cell counts plus integer
+    per-true-language recall.  A filtering pipeline that trusts
+    `text_lang_id` should watch exactly this table drift.
+
+    Scale shape: the per-row prediction is the existing zero-shuffle
+    scoring scan; the matrix is one (true, pred)-keyed aggregate and
+    the recall denominator a per-true-lang window over the
+    cells (languages x languages rows — nothing data-sized).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs, "doc_id", "text").select("doc_id", "lang_guess")
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(W.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        total.cast("long").alias("lang_total"),
+        F.expr("n * 100 div sum(n) over (partition by lang)").alias("recall_pct"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_id_oracle()}),
+cells AS (
+    SELECT d.lang, p.lang_guess, count(*) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_guess
+)
+SELECT lang, lang_guess, n,
+       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       CAST((n * 100) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+           AS recall_pct
+FROM cells
+"""
+
+
 def _lang_id_oracle() -> str:
     langs = sorted(text.LANG_STOPWORDS)
     hits = ",\n       ".join(
@@ -1649,6 +1697,8 @@ NORTHSTAR_QUERIES = [
      "per-doc token stats incl. BPE-ish subword count"),
     ("text_lang_id", text_lang_id, _lang_id_oracle(),
      "stopword-evidence language ID with argmax"),
+    ("lang_confusion_audit", lang_confusion_audit, _lang_confusion_oracle(),
+     "lang-ID confusion matrix vs labels: per-cell counts + integer recall"),
     ("text_quality_scores", text_quality_scores, QUALITY_ORACLE,
      "heuristic quality scoring"),
     ("doc_fingerprints", doc_fingerprints, FINGERPRINT_ORACLE,

@@ -232,45 +232,16 @@ def _kmv_hash(col):
     ).cast("long")
 
 
-def kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-INTERSECTION estimation via K-Minimum-Values (theta)
-    sketches, audited against exact — the capability HLL does not
-    have (HLL unions; it cannot intersect).
-
-    Sets: A = distinct (user, day) pairs with a view event, B = same
-    with a purchase.  Each side keeps its ``KMV_K`` smallest md5
-    hash values; theta = the k-th smallest.  Estimates:
-    |S| ~ (k-1) * 2^48 / theta, and for the intersection the standard
-    theta-sketch rule — common survivors below min(theta_A, theta_B)
-    scaled by the same factor.  Every quantity is exact integer
-    arithmetic until the final rounded division, so the audit is
-    engine-exact (no tolerance band needed on the HASH check; the
-    tolerance verdicts assert the ESTIMATOR's accuracy contract).
-
-    Scale shape: a KMV sketch is mergeable (union of k-smallest sets,
-    re-trimmed to k) and the per-side build is a top-k by hash —
-    Spark pushes the rank<=k filter below the shuffle
-    (WindowGroupLimit), so each partition ships only k candidates.
-    The EXACT columns are the audit harness, not the operator: at
-    100 TB you run the sketch side only, and this query is the
-    acceptance test you run on a sample to certify the error bar.
-    """
-    events = load_table(spark, sf_dir, "events")
+def kmv_intersection_estimates(elems: DataFrame) -> DataFrame:
+    """The reusable KMV core: ``elems`` carries (event_type, elem)
+    with event_type in {'view', 'purchase'} naming the two sides;
+    returns the 1-row audit frame (exact counts, sketch estimates,
+    tolerance verdicts).  Factored out of the catalog query so
+    synthetic-set accuracy tests (`tests/test_selection.py`) exercise
+    the estimator at controlled sizes and overlaps."""
     from pyspark.sql import Window
 
-    elems = (
-        events.filter(F.col("event_type").isin("view", "purchase"))
-        .select(
-            "event_type",
-            F.concat(
-                F.col("user_id").cast("string"),
-                F.lit("|"),
-                F.date_format("ts", "yyyy-MM-dd"),
-            ).alias("elem"),
-        )
-        .distinct()
-        .withColumn("h", _kmv_hash(F.col("elem")))
-    )
+    elems = elems.distinct().withColumn("h", _kmv_hash(F.col("elem")))
     w = Window.partitionBy("event_type").orderBy("h")
     sk = elems.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= KMV_K)
     # theta_eff: the k-th smallest hash in sketch mode; the FULL hash
@@ -358,6 +329,46 @@ def kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est_b") - F.col("exact_b")) <= tol * F.col("exact_b")).alias("b_within_tol"),
         (F.abs(F.col("est_inter") - F.col("exact_inter")) <= tol * F.col("exact_inter")).alias("inter_within_tol"),
     )
+
+
+def kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-INTERSECTION estimation via K-Minimum-Values (theta)
+    sketches, audited against exact — the capability HLL does not
+    have (HLL unions; it cannot intersect).
+
+    Sets: A = distinct (user, day) pairs with a view event, B = same
+    with a purchase.  Each side keeps its ``KMV_K`` smallest md5
+    hash values; theta = the k-th smallest (or the full hash space in
+    exact mode, when the side holds fewer than k elements).
+    Estimates: |S| ~ (k-1) * 2^48 / theta, and for the intersection
+    the standard theta-sketch rule — common survivors below
+    min(theta_A, theta_B) scaled by the same factor.  Every quantity
+    is exact integer arithmetic until the final rounded division, so
+    the audit is engine-exact (no tolerance band needed on the HASH
+    check; the tolerance verdicts assert the ESTIMATOR's accuracy
+    contract).
+
+    Scale shape: a KMV sketch is mergeable (union of k-smallest sets,
+    re-trimmed to k) and the per-side build is a top-k by hash —
+    Spark pushes the rank<=k filter below the shuffle
+    (WindowGroupLimit, plan-asserted), so each partition ships only k
+    candidates.  The EXACT columns are the audit harness, not the
+    operator: at 100 TB you run the sketch side only, and this query
+    is the acceptance test you run on a sample to certify the error
+    bar.
+    """
+    events = load_table(spark, sf_dir, "events")
+    elems = events.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("elem"),
+    )
+    return kmv_intersection_estimates(elems)
 
 
 def _kmv_hash_sql(expr: str) -> str:

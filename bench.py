@@ -223,6 +223,7 @@ HEADLINE += [
     "weighted_sample_docs",
     "bigram_logprob_score",
     "copurchase_pmi",
+    "lang_confusion_audit",
 ]
 
 

