@@ -118,6 +118,9 @@ QUERIES = [
     # order-key set explosion as pagerank's edge derivation.
     "bigram_logprob_score",
     "copurchase_pmi",
+    # the lang-ID confusion matrix is a per-row scoring scan + a
+    # languages^2-sized aggregate — wall time should track the scan.
+    "lang_confusion_audit",
     # routed assignment at fixed k (the k-scaling claim itself is
     # measured by semdedup_kscaled below, routing included)
     "kmeans_routed_assign",
