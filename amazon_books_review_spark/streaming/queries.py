@@ -330,6 +330,72 @@ def streaming_stream_stream_join_salted(
     return read_parquet(spark, f"{out}/data")
 
 
+def streaming_schema_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live schema-drift evolution under the HARD driver gate: a
+    continuous-trigger file stream is running when files carrying a
+    NEW column arrive; the drift poller stops it, widens the tracked
+    contract, restarts from the same checkpoint, and the drained sink
+    must hold every row exactly once — pre-drift rows NULL-filling
+    the added column, post-drift rows carrying it.
+
+    Determinism: the drift batch goes through the ADMISSION-GATED
+    staging path (`LiveEvolvingStream(staging_dir=...)`), so no file
+    can be consumed under the old contract in the race window between
+    arrival and poll — the sink content is a pure function of the
+    input split (even event_ids first, odd event_ids with the new
+    column), which is exactly what the SQL oracle states.  Money
+    rides as integer cents so the hash check is engine-exact.
+
+    This is the Auto Loader `schemaLocation` rebuild (reference
+    MA:12/53) exercised end-to-end as a catalog query, not only in
+    pytest — restart counted, exactly-once audited by the oracle's
+    row set.
+    """
+    from amazon_books_review_spark.sources.io import read_parquet_evolving
+    from amazon_books_review_spark.streaming.schema_drift import (
+        LiveEvolvingStream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    root = fixtures.ephemeral_dir("abr_drift_live_")
+    src, staging = f"{root}/src", f"{root}/staging"
+    batch1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id"
+    )
+    batch1.coalesce(2).write.mode("append").parquet(staging)
+    les = LiveEvolvingStream(
+        spark,
+        src,
+        f"{root}/sink",
+        f"{root}/ckpt",
+        f"{root}/schemas",
+        staging_dir=staging,
+    )
+    les.start()  # continuous query now live on the 2-column contract
+    # mid-stream drift: odd event_ids arrive WITH the new column
+    events.filter(F.col("event_id") % 2 == 1).coalesce(2).write.mode(
+        "append"
+    ).parquet(staging)
+    drift_restarted = les.poll_once()  # stop -> widen -> restart, live
+    schema = les.finish()
+    assert drift_restarted and les.restarts == 1, (
+        "live drift transition did not run exactly once"
+    )
+    return read_parquet_evolving(spark, f"{root}/sink", schema=schema)
+
+
+SCHEMA_DRIFT_LIVE_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 2 = 1
+            THEN CAST(round(value * 100) AS BIGINT) END AS v_cents
+FROM events
+"""
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 + A4 — streaming exactly-once repair for an at-least-once
     source: the event stream is unioned with itself (every event
@@ -499,6 +565,9 @@ STREAMING_QUERIES = [
     ("streaming_session_window_counts", streaming_session_window_counts,
      SESSION_WINDOW_STREAM_ORACLE,
      "ST6: gap-merged session_window on the watermarked stream == batch"),
+    ("streaming_schema_drift_live", streaming_schema_drift_live,
+     SCHEMA_DRIFT_LIVE_ORACLE,
+     "live drift on a RUNNING stream: gated stop->widen->restart, exactly-once sink"),
 ]
 
 # transformWithStateInPandas needs the python protobuf package for

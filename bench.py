@@ -224,6 +224,7 @@ HEADLINE += [
     "bigram_logprob_score",
     "copurchase_pmi",
     "lang_confusion_audit",
+    "streaming_schema_drift_live",
 ]
 
 
