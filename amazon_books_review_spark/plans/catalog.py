@@ -186,16 +186,28 @@ DRIVER_VERIFIED: dict[str, int] = {n: rnd for n, (rnd, _kind) in _DRIVER_ROWS.it
 
 _HASH_LEDGER_PATH = Path(__file__).resolve().parent / "verified_hashes.json"
 
+#: reserved ledger key: the highest green round the ledger was built
+#: from.  A green row from a LATER round postdates the ledger (the
+#: driver verified current code after the last refresh), so it is
+#: trusted until `scripts/refresh_verified_hashes.py` folds it in —
+#: without this, every name the driver greens at round end would be
+#: spuriously evicted at next round's start and re-consume its
+#: window slot before anyone can run the refresh.
+_LEDGER_ROUND_KEY = "_ledger_round"
 
-def _load_verified_hashes() -> dict[str, str]:
+
+def _load_verified_hashes() -> tuple[dict[str, str], int]:
     try:
-        return json.loads(_HASH_LEDGER_PATH.read_text())
+        raw = json.loads(_HASH_LEDGER_PATH.read_text())
     except (OSError, ValueError):
-        return {}
+        return {}, -1
+    rnd = raw.pop(_LEDGER_ROUND_KEY, -1)
+    return raw, int(rnd)
 
 
-#: name -> src_hash the last green driver row was verified against.
-VERIFIED_HASHES: dict[str, str] = _load_verified_hashes()
+#: name -> src_hash the last green driver row was verified against,
+#: plus the round the ledger covers through.
+VERIFIED_HASHES, VERIFIED_HASHES_ROUND = _load_verified_hashes()
 
 
 def change_evicted(name: str) -> bool:
@@ -204,6 +216,10 @@ def change_evicted(name: str) -> bool:
         return False  # never verified — already pending, nothing to evict
     entry = _REGISTRY.get(name)
     if entry is None:
+        return False
+    if DRIVER_VERIFIED[name] > VERIFIED_HASHES_ROUND:
+        # row postdates the ledger: the driver verified the code as it
+        # stood AFTER the last refresh — trusted until re-hashed
         return False
     return VERIFIED_HASHES.get(name) != entry.src_hash
 

@@ -44,6 +44,7 @@ sys.path.insert(0, str(REPO))
 from amazon_books_review_spark.plans.catalog import (  # noqa: E402
     DRIVER_VERIFIED,
     _HASH_LEDGER_PATH,
+    _LEDGER_ROUND_KEY,
     hash_parts,
 )
 
@@ -127,8 +128,17 @@ def main() -> int:
         print(f"round {rnd} @ {commit[:10]}: hashed "
               f"{len(by_round[rnd]) - len(missing)}/{len(by_round[rnd])} names")
 
-    _HASH_LEDGER_PATH.write_text(json.dumps(dict(sorted(ledger.items())), indent=1) + "\n")
-    print(f"wrote {len(ledger)} entries -> {_HASH_LEDGER_PATH}")
+    # Stamp the coverage horizon: green rows from LATER rounds postdate
+    # this ledger and are trusted by `catalog.change_evicted` until the
+    # next refresh folds them in (prevents a whole fresh round's names
+    # from being spuriously evicted before the refresh runs).
+    out = dict(sorted(ledger.items()))
+    out[_LEDGER_ROUND_KEY] = max(by_round) if by_round else -1
+    _HASH_LEDGER_PATH.write_text(json.dumps(out, indent=1) + "\n")
+    print(
+        f"wrote {len(ledger)} entries (ledger round "
+        f"{out[_LEDGER_ROUND_KEY]}) -> {_HASH_LEDGER_PATH}"
+    )
     return 0
 
 
