@@ -1096,6 +1096,55 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_meta(with_payload, "doc_id")
 
 
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque payloads: 16-bin byte histogram
+    (high nibble) + byte entropy — see
+    `functions/multimodal.byte_histogram_features` for the Arrow
+    mechanics and the sequential-entropy determinism contract.  The
+    oracle walks the SAME bytes as hex-digit pairs (high nibble = the
+    odd-position hex char), so the histogram is integer-exact and the
+    entropy replays the identical expression chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.byte_histogram_features(with_payload, "doc_id")
+
+
+def _byte_features_oracle() -> str:
+    digits = "0123456789ABCDEF"
+    counts = [
+        f"len(list_filter(nibbles, x -> x = '{d}')) AS c{i}"
+        for i, d in enumerate(digits)
+    ]
+    hist = ", ".join(f"c{i}" for i in range(16))
+    # entropy: sequential sum over bins in index order, natural log,
+    # final /ln(2) and floor(x*1e4+0.5)/1e4 — mirrors the engine's loop
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN -(c{i} * 1.0 / n) * ln(c{i} * 1.0 / n)"
+        f" ELSE 0.0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+), nib AS (
+    SELECT doc_id, n,
+           [substr(h, 2 * i - 1, 1) for i in range(1, n + 1)] AS nibbles
+    FROM d
+), counts AS (
+    SELECT doc_id, n, {', '.join(counts)}
+    FROM nib
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       concat_ws(',', {hist}) AS byte_hist,
+       floor((CASE WHEN n > 0 THEN ({terms}) / ln(2.0) ELSE 0.0 END)
+             * 10000 + 0.5) / 10000 AS entropy_bits
+FROM counts
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII redaction + deterministic splits/sampling (training-pipeline ops)
 # ---------------------------------------------------------------------------
@@ -1711,6 +1760,8 @@ NORTHSTAR_QUERIES = [
      "binary payload size/checksum metadata (Catalyst-native)"),
     ("multimodal_decode_meta", multimodal_decode_meta, DECODE_META_ORACLE,
      "mapInPandas decode stage: REAL PNG/JPEG/GIF header parse, oracle-checked"),
+    ("multimodal_byte_features", multimodal_byte_features, _byte_features_oracle(),
+     "feature extraction: 16-bin byte histogram + entropy per payload (Arrow-batched)"),
     ("text_pii_redaction", text_pii_redaction, _pii_oracle(),
      "PII scrub: count + redact emails/IPv4s/phones, codegen'd regex chain"),
     ("train_val_test_assignment", train_val_test_assignment, _split_oracle(),

@@ -225,6 +225,7 @@ HEADLINE += [
     "copurchase_pmi",
     "lang_confusion_audit",
     "streaming_schema_drift_live",
+    "multimodal_byte_features",
 ]
 
 
