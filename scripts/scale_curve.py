@@ -121,6 +121,10 @@ QUERIES = [
     # the lang-ID confusion matrix is a per-row scoring scan + a
     # languages^2-sized aggregate — wall time should track the scan.
     "lang_confusion_audit",
+    # Arrow-batched per-payload feature extraction: count() cannot
+    # prune through the mapInPandas boundary, so the plain action
+    # already forces the UDF — no FORCE_ALL_COLUMNS entry needed.
+    "multimodal_byte_features",
     # routed assignment at fixed k (the k-scaling claim itself is
     # measured by semdedup_kscaled below, routing included)
     "kmeans_routed_assign",
