@@ -527,3 +527,63 @@ def byte_histogram_features(
         extract,
         schema=f"{id_col} long, n_bytes long, byte_hist string, entropy_bits double",
     )
+
+
+#: Output schema of the resize stage.
+RESIZE_META_SCHEMA = (
+    "doc_id bigint, format string, src_w int, src_h int, "
+    "dst_w int, dst_h int, resized_bytes bigint"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    scale_den: int = 2,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize stage for image payloads: REAL header parse, STUBBED
+    resample (same honest boundary as the frame sampler — no imaging
+    library exists in this runtime, and faking pixels would be
+    dishonest; the Spark-side plumbing is the deliverable).
+
+    Per payload: parse the actual bytes (:func:`parse_image_header`),
+    compute target dims ``max(1, src // scale_den)``, and report the
+    RGB24 buffer size the resample WOULD produce
+    (``dst_w * dst_h * 3``) — the number downstream capacity planning
+    needs, available without paying decode.  A production deployment
+    replaces the body of the marked block with the real
+    decode→resample→encode call; schema, batching, and partition
+    shape are already exactly what that call needs.
+
+    Unknown formats: ``strict=True`` raises ``NotImplementedError``
+    (the explicit unsupported-format contract); otherwise the row is
+    dropped, mirroring `decode_image_meta`'s lenient mode.
+    """
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, buf in zip(pdf[id_col], pdf[payload_col]):
+                parsed = parse_image_header(bytes(buf))
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"{id_col}={pid}: unknown image format — "
+                            f"resize is only defined for PNG/JPEG/GIF"
+                        )
+                    continue
+                fmt, w, h = parsed
+                dw, dh = max(1, w // scale_den), max(1, h // scale_den)
+                # --- STUB: real deployment decodes + resamples here ---
+                resized_bytes = dw * dh * 3  # RGB24 buffer the resample yields
+                rows.append((pid, fmt, w, h, dw, dh, resized_bytes))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "src_w", "src_h",
+                    "dst_w", "dst_h", "resized_bytes",
+                ],
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_META_SCHEMA)

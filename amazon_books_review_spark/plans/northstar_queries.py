@@ -1405,6 +1405,36 @@ FROM documents
 """
 
 
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage under the hard gate: real-header payloads in, REAL
+    dimension parse + halved target dims + RGB24 buffer sizing out
+    (`multimodal.resize_images`; the resample itself is the
+    documented stub — no imaging libs in this runtime).  The oracle
+    recomputes everything from the id arithmetic the payload builder
+    used, so a wrong parse or wrong target math fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.make_image_payload(docs, "doc_id", "text")
+    return multimodal.resize_images(with_payload, "doc_id")
+
+
+RESIZE_META_ORACLE = """
+WITH dims AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+               AS format,
+           CAST(doc_id % 512 + 16 AS INTEGER) AS src_w,
+           CAST(doc_id % 384 + 16 AS INTEGER) AS src_h
+    FROM documents
+)
+SELECT doc_id, format, src_w, src_h,
+       CAST(greatest(1, src_w // 2) AS INTEGER) AS dst_w,
+       CAST(greatest(1, src_h // 2) AS INTEGER) AS dst_h,
+       CAST(greatest(1, src_w // 2) * greatest(1, src_h // 2) * 3 AS BIGINT)
+           AS resized_bytes
+FROM dims
+"""
+
+
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio header decode under the same hard gate as
     multimodal_decode_meta: valid WAV (RIFF fmt-chunk walk) / MP3
@@ -1762,6 +1792,8 @@ NORTHSTAR_QUERIES = [
      "mapInPandas decode stage: REAL PNG/JPEG/GIF header parse, oracle-checked"),
     ("multimodal_byte_features", multimodal_byte_features, _byte_features_oracle(),
      "feature extraction: 16-bin byte histogram + entropy per payload (Arrow-batched)"),
+    ("multimodal_resize_meta", multimodal_resize_meta, RESIZE_META_ORACLE,
+     "resize stage: real header parse + target sizing, resample stubbed (honest boundary)"),
     ("text_pii_redaction", text_pii_redaction, _pii_oracle(),
      "PII scrub: count + redact emails/IPv4s/phones, codegen'd regex chain"),
     ("train_val_test_assignment", train_val_test_assignment, _split_oracle(),

@@ -226,6 +226,7 @@ HEADLINE += [
     "lang_confusion_audit",
     "streaming_schema_drift_live",
     "multimodal_byte_features",
+    "multimodal_resize_meta",
 ]
 
 

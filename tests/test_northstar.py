@@ -307,3 +307,22 @@ class TestMultimodal:
         with_payload = multimodal.make_image_payload(docs.limit(5), "doc_id", "text")
         out = multimodal.decode_image_meta(with_payload, "doc_id", strict=True).collect()
         assert len(out) == 5
+
+    def test_resize_strict_raises_on_unknown_format(self, spark, docs):
+        with_payload = multimodal.attach_payload(docs.limit(5), "doc_id", "text")
+        strict = multimodal.resize_images(with_payload, "doc_id", strict=True)
+        with pytest.raises(Exception, match="NotImplementedError|unknown image"):
+            strict.collect()
+
+    def test_resize_lenient_drops_unknown_keeps_real(self, spark, docs):
+        """Lenient mode mirrors decode_image_meta: unknown payloads
+        drop, real-header payloads resize with exact halved dims."""
+        real = multimodal.make_image_payload(docs.limit(6), "doc_id", "text")
+        out = {r.doc_id: r for r in multimodal.resize_images(real, "doc_id").collect()}
+        assert len(out) == 6
+        for i, r in out.items():
+            assert (r.src_w, r.src_h) == (i % 512 + 16, i % 384 + 16)
+            assert (r.dst_w, r.dst_h) == (max(1, r.src_w // 2), max(1, r.src_h // 2))
+            assert r.resized_bytes == r.dst_w * r.dst_h * 3
+        fake = multimodal.attach_payload(docs.limit(3), "doc_id", "text")
+        assert multimodal.resize_images(fake, "doc_id").count() == 0
