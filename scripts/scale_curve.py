@@ -125,6 +125,7 @@ QUERIES = [
     # prune through the mapInPandas boundary, so the plain action
     # already forces the UDF — no FORCE_ALL_COLUMNS entry needed.
     "multimodal_byte_features",
+    "multimodal_resize_meta",
     # routed assignment at fixed k (the k-scaling claim itself is
     # measured by semdedup_kscaled below, routing included)
     "kmeans_routed_assign",
