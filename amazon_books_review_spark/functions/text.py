@@ -404,13 +404,14 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 # A formatted literal as a function's first statement is NOT a
 # docstring (it's a discarded expression) — bind the thresholds into
 # __doc__ after definition so help() shows the live constants.
-gopher_quality_flags.__doc__ = gopher_quality_flags.__doc__.format(
-    min_w=GOPHER_MIN_WORDS, max_w=GOPHER_MAX_WORDS,
-    min_l=GOPHER_MIN_MEAN_WORD_LEN, max_l=GOPHER_MAX_MEAN_WORD_LEN,
-    sym=GOPHER_MAX_SYMBOL_RATIO, bul=GOPHER_MAX_BULLET_LINE_FRAC,
-    ell=GOPHER_MAX_ELLIPSIS_LINE_FRAC, alpha=GOPHER_MIN_ALPHA_WORD_FRAC,
-    stop=GOPHER_MIN_STOPWORDS,
-)
+if gopher_quality_flags.__doc__:  # stripped to None under -OO
+    gopher_quality_flags.__doc__ = gopher_quality_flags.__doc__.format(
+        min_w=GOPHER_MIN_WORDS, max_w=GOPHER_MAX_WORDS,
+        min_l=GOPHER_MIN_MEAN_WORD_LEN, max_l=GOPHER_MAX_MEAN_WORD_LEN,
+        sym=GOPHER_MAX_SYMBOL_RATIO, bul=GOPHER_MAX_BULLET_LINE_FRAC,
+        ell=GOPHER_MAX_ELLIPSIS_LINE_FRAC, alpha=GOPHER_MIN_ALPHA_WORD_FRAC,
+        stop=GOPHER_MIN_STOPWORDS,
+    )
 
 
 # --- Gopher repetition rules ----------------------------------------------

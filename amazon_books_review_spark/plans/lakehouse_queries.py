@@ -82,9 +82,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A formatted literal as the first statement is not a docstring —
 # bind the mod constants into __doc__ after definition instead.
-merge_upsert_orders.__doc__ = merge_upsert_orders.__doc__.format(
-    u=MERGE_UPD_MOD, i=MERGE_INS_MOD, d=MERGE_DEL_MOD, off=MERGE_KEY_OFFSET
-)
+if merge_upsert_orders.__doc__:  # stripped to None under -OO
+    merge_upsert_orders.__doc__ = merge_upsert_orders.__doc__.format(
+        u=MERGE_UPD_MOD, i=MERGE_INS_MOD, d=MERGE_DEL_MOD, off=MERGE_KEY_OFFSET
+    )
 
 
 MERGE_UPSERT_ORACLE = f"""

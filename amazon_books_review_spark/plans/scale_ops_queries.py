@@ -256,11 +256,16 @@ def kmv_intersection_estimates(elems: DataFrame) -> DataFrame:
         .otherwise(F.col("theta_kth"))
         .alias("theta"),
     )
-    th_a = thetas.filter(F.col("event_type") == "view").select(
-        F.col("theta").alias("theta_a"), F.col("n_sk").alias("n_sk_a")
-    )
-    th_b = thetas.filter(F.col("event_type") == "purchase").select(
-        F.col("theta").alias("theta_b"), F.col("n_sk").alias("n_sk_b")
+    # Single conditional aggregate (mirrors the oracle's max(CASE WHEN ...)
+    # form) so the audit frame always has exactly one row — the previous
+    # filter-per-side frames went EMPTY when a side had no elements and the
+    # crossJoins annihilated the result while the oracle still produced its
+    # NULL-filled row (round-8 review).
+    th = thetas.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("theta"))).alias("theta_a"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n_sk"))).alias("n_sk_a"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("theta"))).alias("theta_b"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n_sk"))).alias("n_sk_b"),
     )
     s_a = sk.filter(F.col("event_type") == "view").select(F.col("h").alias("ha"))
     s_b = sk.filter(F.col("event_type") == "purchase").select(
@@ -268,18 +273,15 @@ def kmv_intersection_estimates(elems: DataFrame) -> DataFrame:
     )
     common = (
         s_a.join(s_b, F.col("ha") == F.col("hb"))
-        .crossJoin(F.broadcast(th_a))
-        .crossJoin(F.broadcast(th_b))
+        .crossJoin(F.broadcast(th))
         .filter(F.col("ha") < F.least("theta_a", "theta_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    exact = (
-        elems.groupBy()
-        .pivot("event_type", ["view", "purchase"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            F.col("view").alias("exact_a"), F.col("purchase").alias("exact_b")
-        )
+    # count(CASE WHEN ...) — one row even on fully empty input (the pivot
+    # form returned zero rows there).
+    exact = elems.agg(
+        F.count(F.when(F.col("event_type") == "view", F.lit(1))).alias("exact_a"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias("exact_b"),
     )
     exact_inter = (
         elems.filter(F.col("event_type") == "view")
@@ -309,8 +311,7 @@ def kmv_intersection_estimates(elems: DataFrame) -> DataFrame:
         2,
     )
     out = (
-        common.crossJoin(F.broadcast(th_a))
-        .crossJoin(F.broadcast(th_b))
+        common.crossJoin(F.broadcast(th))
         .crossJoin(F.broadcast(exact))
         .crossJoin(F.broadcast(exact_inter))
         .select(

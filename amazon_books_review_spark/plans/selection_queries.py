@@ -322,9 +322,10 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-quality_logistic_score.__doc__ = quality_logistic_score.__doc__.format(
-    thr=QL_KEEP_THRESHOLD
-)
+if quality_logistic_score.__doc__:  # stripped to None under -OO
+    quality_logistic_score.__doc__ = quality_logistic_score.__doc__.format(
+        thr=QL_KEEP_THRESHOLD
+    )
 
 
 _QL_STOPS = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)

@@ -124,16 +124,21 @@ class VersionedTable:
         have one canonical home).  Read paths merge both, so a purely
         read workload never needs this."""
         legacy = self._legacy_manifest()
-        if not legacy.exists():
+        # Two concurrent writers may both see the legacy file; the loser
+        # must not crash when the winner migrates-and-unlinks between our
+        # exists() check and the read (round-8 review).
+        try:
+            rows = json.loads(legacy.read_text())
+        except FileNotFoundError:
             return
         self._commits_dir().mkdir(parents=True, exist_ok=True)
-        for h in json.loads(legacy.read_text()):
+        for h in rows:
             cp = self._commit_path(h["version"])
             if not cp.exists():
                 tmp = cp.with_suffix(".json.tmp")
                 tmp.write_text(json.dumps(h, indent=2))
                 tmp.replace(cp)
-        legacy.unlink()
+        legacy.unlink(missing_ok=True)
 
     # -- write --------------------------------------------------------------
     def write(self, df: DataFrame, note: str = "") -> int:
@@ -240,8 +245,15 @@ class VersionedTable:
             tmp.replace(cp)
             removed.append(h["version"])
         committed = {h["version"] for h in hist}
+        # Order matters: enumerate the data directories BEFORE reading the
+        # claim set.  A writer creates its claim strictly before its data
+        # directory, so any directory the glob sees already has a visible
+        # claim by the time we read the claims — the reverse order let a
+        # writer that claimed between the two reads look like an orphan
+        # (round-8 review).
+        orphan_candidates = list(self._root().glob("v=*"))
         claimed = self._claimed_versions()
-        for d in self._root().glob("v=*"):
+        for d in orphan_candidates:
             try:
                 v = int(d.name.split("=", 1)[1])
             except ValueError:
@@ -250,6 +262,8 @@ class VersionedTable:
                 continue
             if v in claimed and not reclaim_stale_claims:
                 continue  # possibly in-flight — never race a writer
+            if not reclaim_stale_claims and (self._claims_dir() / f"v={v}").exists():
+                continue  # claim landed after our snapshot — in-flight writer
             shutil.rmtree(d, ignore_errors=True)
             (self._claims_dir() / f"v={v}").unlink(missing_ok=True)
         if reclaim_stale_claims:

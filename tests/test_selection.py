@@ -108,3 +108,44 @@ def test_kmv_sketch_mode_engages_at_sf001(spark):
     assert row.exact_a > KMV_K and row.exact_b > KMV_K
     assert row.est_a != float(row.exact_a)  # genuinely estimated
     assert row.a_within_tol and row.b_within_tol and row.inter_within_tol
+
+
+def test_kmv_degenerate_inputs_always_one_row(spark):
+    """Empty / one-side-empty inputs must still yield the 1-row audit
+    frame (the oracle's conditional aggregates always produce one row;
+    the round-8 review caught the engine returning zero rows when a
+    side was empty and the per-side crossJoins annihilated)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        kmv_intersection_estimates,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("elem", StringType()),
+        ]
+    )
+
+    # fully empty: one row, exact counts 0, estimates NULL
+    empty = spark.createDataFrame([], schema)
+    rows = kmv_intersection_estimates(empty).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.exact_a, r.exact_b, r.exact_inter) == (0, 0, 0)
+    assert r.est_a is None and r.est_b is None and r.est_inter is None
+
+    # one side empty: one row, empty side estimates NULL, the present
+    # side exact-mode, intersection estimate 0 and within tolerance
+    one_side = spark.range(10).select(
+        F.lit("view").alias("event_type"),
+        F.col("id").cast("string").alias("elem"),
+    )
+    rows = kmv_intersection_estimates(one_side).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.exact_a, r.exact_b, r.exact_inter) == (10, 0, 0)
+    assert r.est_a == 10.0 and r.est_b is None
+    assert r.est_inter == 0.0 and r.inter_within_tol

@@ -153,3 +153,51 @@ def test_time_travel_pairs_with_cdc(spark, tmp_path):
         (2, "update_postimage"),
         (3, "insert"),
     }
+
+
+def test_vacuum_rechecks_claim_before_rmtree(spark, tmp_path, monkeypatch):
+    """The round-8-flagged TOCTOU: a writer that claims v=N and creates
+    its data dir between vacuum's claim snapshot and its orphan scan
+    must NOT lose the directory.  Simulated by forcing a stale (empty)
+    claim snapshot while the claim file exists on disk — the pre-rmtree
+    re-check must protect the in-flight data."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(spark.range(3), note="v0")
+    t.write(spark.range(4), note="v1")
+
+    # in-flight writer: claim + data dir, no commit yet
+    (Path(t.path) / "_claims" / "v=2").touch()
+    spark.range(5).write.parquet(str(Path(t.path) / "v=2"))
+
+    monkeypatch.setattr(VersionedTable, "_claimed_versions", lambda self: set())
+    t.vacuum(keep_last=1)
+    assert (Path(t.path) / "v=2").is_dir()  # survived the stale snapshot
+    assert (Path(t.path) / "_claims" / "v=2").exists()
+
+
+def test_migrate_legacy_survives_racing_winner(spark, tmp_path):
+    """_migrate_legacy must tolerate the legacy manifest vanishing
+    between the exists() check and the read (two concurrent writers,
+    round-8 review): simulated by calling it when the file is already
+    gone, and by double-migration idempotence."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    root = Path(t.path)
+    root.mkdir(parents=True)
+    legacy = root / "_versions.json"
+    legacy.write_text(
+        json.dumps(
+            [
+                {
+                    "version": 0,
+                    "committed_at": "2026-01-01T00:00:00Z",
+                    "n_rows": 1,
+                    "note": "legacy",
+                    "vacuumed": False,
+                }
+            ]
+        )
+    )
+    t._migrate_legacy()
+    assert not legacy.exists()
+    t._migrate_legacy()  # second call: file gone — must be a no-op, not a crash
+    assert [h["version"] for h in t.history()] == [0]
