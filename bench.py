@@ -340,8 +340,53 @@ def main() -> None:
     )
     local_path = Path(_REPO) / f"BENCH_LOCAL_r{_next_round():02d}.json"
     local_path.write_text(json.dumps(detail, indent=1) + "\n")
-    print(json.dumps(summary))
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final line as JSON — a full 129-query map overflows that window,
+    # which is why BENCH_r04..r08 all recorded ``parsed: None``.  Emit a
+    # line that provably fits: the r03-comparable subset per-query, the
+    # remainder by slowest-first until the budget is spent, the rest as
+    # one aggregated bucket.  BENCH_LOCAL_r{N}.json (committed) always
+    # carries the complete map.
+    print(json.dumps(_fit_line(summary, timings)))
     spark.stop()
+
+
+_LINE_BUDGET = 1900  # headroom under the driver's 2000-char tail window
+
+
+def _fit_line(summary: dict, timings: dict[str, float]) -> dict:
+    """Shrink ``summary['queries']`` until the JSON line fits the
+    driver's tail window.  Keeps the r03-comparable series intact
+    (cross-round per-query grading), then the slowest others, and
+    folds whatever remains into ``queries_other_total`` with an
+    explicit count — never a silent drop."""
+    compact = dict(summary)
+    keep = {n: t for n, t in timings.items() if n in R03_SET}
+    rest = sorted(
+        ((n, t) for n, t in timings.items() if n not in R03_SET),
+        key=lambda kv: -kv[1],
+    )
+    compact["queries_detail_file"] = "BENCH_LOCAL_r{:02d}.json".format(_next_round())
+    for n, t in rest:
+        trial = dict(compact)
+        trial["queries"] = {**keep, n: t}
+        omitted = [x for x in rest if x[0] not in trial["queries"]]
+        trial["queries_omitted"] = len(omitted)
+        trial["queries_other_total"] = round(sum(t2 for _, t2 in omitted), 3)
+        if len(json.dumps(trial)) > _LINE_BUDGET:
+            break
+        keep[n] = t
+    omitted = [x for x in rest if x[0] not in keep]
+    compact["queries"] = keep
+    compact["queries_omitted"] = len(omitted)
+    compact["queries_other_total"] = round(sum(t for _, t in omitted), 3)
+    # last-ditch: if even the r03 set overflows (it never should),
+    # drop per-query detail entirely rather than emit an unparseable line
+    if len(json.dumps(compact)) > _LINE_BUDGET:
+        compact["queries"] = {}
+        compact["queries_omitted"] = len(timings)
+        compact["queries_other_total"] = round(sum(timings.values()), 3)
+    return compact
 
 
 if __name__ == "__main__":

@@ -337,17 +337,6 @@ PLAN_BUDGETS: dict[str, tuple] = {
 }
 
 
-def test_bench_headline_names_resolve():
-    """Every bench.HEADLINE entry must exist in the catalog — a typo
-    here would crash the driver's bench run, not a local test."""
-    import bench
-
-    qs = set(all_queries())
-    missing = [n for n in bench.HEADLINE if n not in qs]
-    assert not missing, f"bench names not in catalog: {missing}"
-    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
-
-
 def test_budget_gate_catches_lost_broadcast(spark):
     """Meta-test: the budget gate detects real degradation.  The
     flagship join WITHOUT its broadcast hint and with auto-broadcast
@@ -448,3 +437,35 @@ def test_sql_udf_inlines_no_python_boundary(spark):
     plan = plan_of(spark, "sql_udf_rollup")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver keeps only the LAST 2000 chars of bench stdout and
+    parses the final line as JSON; the full per-query map overflowed
+    that window every round since r4 (``parsed: None`` in
+    BENCH_r04..r08).  _fit_line must emit a line under the budget with
+    the r03 series intact and the omitted remainder accounted for."""
+    import json
+
+    import bench
+
+    # worst plausible case: every catalog query timed, long names
+    timings = {n: round(0.123 + i * 0.017, 3) for i, n in enumerate(sorted(all_queries()))}
+    summary = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "r03_subset_total": 24.0,
+        "n_timed": len(timings),
+        "n_errors": 0,
+        "sf": 0.1,
+    }
+    line = json.dumps(bench._fit_line(summary, timings))
+    assert len(line) <= 2000, len(line)
+    parsed = json.loads(line)
+    for n in bench.R03_SET:
+        assert n in parsed["queries"], f"r03 series member {n} dropped"
+    reconstructed = sum(parsed["queries"].values()) + parsed["queries_other_total"]
+    assert abs(reconstructed - summary["value"]) < 0.05
+    assert parsed["queries_omitted"] == len(timings) - len(parsed["queries"])
