@@ -242,18 +242,26 @@ def change_evicted(name: str) -> bool:
 #: as of round 7 the pins are inert and the displaced names lead the
 #: window — no manual removal step to forget.
 _PIN_FIXED_ROUND = 6
-DRIVER_PIN: frozenset = frozenset(
-    {
-        "streaming_windowed_counts",
-        "streaming_stream_stream_join",
-        "streaming_dedup_events",
-    }
-)
+#: name -> round the fix landed; the pin holds until the driver records
+#: a green row from >= that round, then self-expires.
+DRIVER_PINS: dict[str, int] = {
+    "streaming_windowed_counts": _PIN_FIXED_ROUND,
+    "streaming_stream_stream_join": _PIN_FIXED_ROUND,
+    "streaming_dedup_events": _PIN_FIXED_ROUND,
+    # round 9: the KMV estimator core (`kmv_intersection_estimates`, a
+    # HELPER the registered audit calls) was rewritten for the round-8
+    # review's degenerate-input finding.  `src_hash` covers only the
+    # registered function + oracle, so helper rewrites do not
+    # change-evict — pin the audit for a hard re-verify instead.
+    "kmv_intersection_audit": 9,
+}
+DRIVER_PIN: frozenset = frozenset(DRIVER_PINS)
 
 
 def _pin_active(name: str) -> bool:
     """A pin holds only until the driver records a row >= the fix round."""
-    return name in DRIVER_PIN and DRIVER_VERIFIED.get(name, -1) < _PIN_FIXED_ROUND
+    fixed = DRIVER_PINS.get(name)
+    return fixed is not None and DRIVER_VERIFIED.get(name, -1) < fixed
 
 
 def driver_name(name: str) -> str:

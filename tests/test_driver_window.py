@@ -246,13 +246,13 @@ def test_unverified_queries_fit_in_driver_window():
 
 def test_expired_pins_return_to_rotation():
     """A pin whose fix round has a recorded green row must be inert."""
-    from amazon_books_review_spark.plans.catalog import _PIN_FIXED_ROUND, _pin_active
+    from amazon_books_review_spark.plans.catalog import DRIVER_PINS, _pin_active
 
-    for name in DRIVER_PIN:
+    for name, fixed in DRIVER_PINS.items():
         rnd = DRIVER_VERIFIED.get(name, -1)
-        if rnd >= _PIN_FIXED_ROUND:
+        if rnd >= fixed:
             assert not _pin_active(name), (
-                f"{name} verified in r{rnd} >= fix round {_PIN_FIXED_ROUND} "
+                f"{name} verified in r{rnd} >= fix round {fixed} "
                 f"but the pin still holds a window slot"
             )
             assert driver_name(name).startswith("zz_"), name
