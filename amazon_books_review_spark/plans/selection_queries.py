@@ -433,6 +433,106 @@ QUALIFY rank <= {WS_K}
 """
 
 
+# --- Character-entropy quality --------------------------------------------
+
+#: docs whose character distribution carries fewer bits than this are
+#: flagged (degenerate/repetitive text: "aaaa...", single-char spam,
+#: binary-ish runs).  Natural text sits near 4-4.5 bits/char.
+CE_MIN_BITS = 2.5
+
+
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the cheap degenerate-text filter every corpus pipeline runs
+    alongside the Gopher rules (CCNet/RefinedWeb both gate on it).
+
+    H = log(n) - (1/n) * sum_c k_c * log(k_c), computed ROW-LOCALLY:
+    sort the char array, then one ``aggregate`` pass over equal-runs
+    accumulates sum(k * ln k) and the distinct-char count (the same
+    sorted-run trick as the Gopher repetition masses,
+    functions/text.py:430 — zero shuffle, O(L log L) per row).  The
+    whole operator is a map stage: the ideal 100 TB filter shape.
+
+    Determinism note: the run sum adds ~n_distinct doubles.  Spark
+    adds them in sorted-char order, DuckDB's GROUP BY in arbitrary
+    order, so the low bits can differ — entropy is rounded to 4
+    decimals (error ~1e-12, quantum 1e-4) to keep the hash check
+    engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("runlen"),
+        F.lit(0.0).alias("s"),          # sum over runs of k * ln(k)
+        F.lit(0).cast("long").alias("nd"),  # distinct chars (runs flushed)
+    )
+
+    def merge(acc, c):
+        same = acc.prev.isNotNull() & (acc.prev == c)
+        return F.struct(
+            c.alias("prev"),
+            F.when(same, acc.runlen + 1).otherwise(F.lit(1)).cast("long").alias("runlen"),
+            F.when(same, acc.s).otherwise(
+                acc.s + _k_ln_k(acc.runlen)
+            ).alias("s"),
+            F.when(same | acc.prev.isNull(), acc.nd)
+            .otherwise(acc.nd + 1)
+            .cast("long")
+            .alias("nd"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            (acc.s + _k_ln_k(acc.runlen)).alias("s"),
+            F.when(acc.runlen > 0, acc.nd + 1).otherwise(acc.nd).cast("long").alias("nd"),
+        )
+
+    run = F.aggregate(F.array_sort(chars), zero, merge, finish)
+    n = F.length("text").cast("long")
+    ent = F.round(
+        (F.log(n.cast("double")) - F.col("_r.s") / n) / F.lit(float(__import__("math").log(2))),
+        4,
+    )
+    return (
+        docs.select("doc_id", "text")
+        .withColumn("_r", run)
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            F.col("_r.nd").alias("n_distinct_chars"),
+            ent.alias("entropy_bits"),
+            (ent < CE_MIN_BITS).alias("low_entropy"),
+        )
+    )
+
+
+def _k_ln_k(k):
+    """k * ln(k) with the k=0 initial state mapped to 0."""
+    return F.when(k > 0, k.cast("double") * F.log(k.cast("double"))).otherwise(F.lit(0.0))
+
+
+CHAR_ENTROPY_ORACLE = f"""
+WITH ch AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1),
+                                 i -> substr(text, CAST(i AS INT), 1))) AS c
+    FROM documents
+), cnt AS (
+    SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+), agg AS (
+    SELECT doc_id, sum(k) AS n, count(*) AS nd, sum(k * ln(k)) AS s
+    FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct_chars,
+       round((ln(a.n) - a.s / a.n) / ln(2), 4) AS entropy_bits,
+       round((ln(a.n) - a.s / a.n) / ln(2), 4) < {CE_MIN_BITS} AS low_entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 SELECTION_QUERIES = [
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
      "DSIR (Xie et al. 2023): hashed-feature importance log-weights vs a target domain"),
@@ -442,4 +542,6 @@ SELECTION_QUERIES = [
      "fixed-weight logistic quality probability, zero-shuffle scoring scan"),
     ("weighted_sample_docs", weighted_sample_docs, WEIGHTED_SAMPLE_ORACLE,
      "Efraimidis-Spirakis weighted sampling w/o replacement, md5-deterministic global top-k"),
+    ("char_entropy_quality", char_entropy_quality, CHAR_ENTROPY_ORACLE,
+     "per-doc character Shannon entropy, zero-shuffle sorted-run scan (degenerate-text filter)"),
 ]

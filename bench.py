@@ -227,6 +227,8 @@ HEADLINE += [
     "streaming_schema_drift_live",
     "multimodal_byte_features",
     "multimodal_resize_meta",
+    # round-9 additions
+    "char_entropy_quality",
 ]
 
 

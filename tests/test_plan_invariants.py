@@ -334,6 +334,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "label_drift_kl": (8, 0, 2),
     # two tiny-key percentile aggs broadcast back to fact rows
     "mad_outlier_flags": (12, 6, 0),
+    # round-9: zero-shuffle map-stage entropy scan
+    "char_entropy_quality": (0, 0, 0),
 }
 
 
