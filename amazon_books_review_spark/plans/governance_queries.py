@@ -190,6 +190,103 @@ WHERE d.mad > 0 AND round(abs(e.value - m.med) / d.mad, 6) > {MAD_CUTOFF}
 """
 
 
+# ---------------------------------------------------------------------------
+# Key-skew audit
+# ---------------------------------------------------------------------------
+
+#: how many of the heaviest keys the top-share covers
+SKEW_TOP_N = 10
+
+
+def _key_skew(df: DataFrame, table: str, key_col: str) -> DataFrame:
+    """One audit row for (table, key): row/key counts, the heaviest
+    key's share, the top-``SKEW_TOP_N`` share, and the
+    Herfindahl-Hirschman concentration index.
+
+    All shares are ratios of EXACT int64 sums (one IEEE division
+    each, identically rounded in any engine), so the audit is
+    hash-checkable without a tolerance band.  sum(cnt^2) for the HHI
+    stays within int64 while sum(cnt) < ~3e9 per key value — beyond
+    that, flip the sum to double or decimal(38) (the shares are
+    ratios; precision loss is in the 15th digit).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.lit(table).alias("table_name"),
+        F.lit(key_col).alias("key_col"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.max("cnt") / F.sum("cnt"), 9).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= SKEW_TOP_N, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt"),
+            9,
+        ).alias("topn_share"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("cnt")) / (F.sum("cnt") * F.sum("cnt")),
+            9,
+        ).alias("hhi"),
+    )
+
+
+def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key concentration audit over the hot fact keys —
+    the pre-flight check that decides whether a key needs salting or
+    AQE skew handling BEFORE a 100 TB shuffle is launched on it.
+
+    One row per (table, key) with top-1/top-N shares and HHI.  Scale
+    shape: per key one partial-agg shuffle to key grain, then a
+    key-grain aggregate; the rank for the top-N share is a window on
+    the (already tiny) key-count table.  The union of audit rows is
+    bounded by the number of audited keys, not data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    rows = [
+        _key_skew(orders.select("o_custkey"), "orders", "o_custkey"),
+        _key_skew(li.select("l_partkey"), "lineitem", "l_partkey"),
+        _key_skew(li.select("l_suppkey"), "lineitem", "l_suppkey"),
+        _key_skew(events.select("user_id"), "events", "user_id"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _skew_cte(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{key}' AS key_col,
+           CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           max(cnt) AS max_key_rows,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 9) AS top1_share,
+           round(sum(CASE WHEN rnk <= {SKEW_TOP_N} THEN cnt ELSE 0 END)
+                 / CAST(sum(cnt) AS DOUBLE), 9) AS topn_share,
+           round(sum(cnt * cnt) / (CAST(sum(cnt) AS DOUBLE) * sum(cnt)), 9) AS hhi
+    FROM (SELECT {key} AS k, count(*) AS cnt,
+                 row_number() OVER (ORDER BY count(*) DESC, {key} ASC) AS rnk
+          FROM {table} GROUP BY {key})
+"""
+
+
+SKEW_ORACLE = " UNION ALL ".join(
+    [
+        _skew_cte("orders", "o_custkey"),
+        _skew_cte("lineitem", "l_partkey"),
+        _skew_cte("lineitem", "l_suppkey"),
+        _skew_cte("events", "user_id"),
+    ]
+)
+
+
 GOVERNANCE_QUERIES = [
     ("k_anonymity_audit", k_anonymity_audit, K_ANON_ORACLE,
      "quasi-identifier group sizes with k<5 re-identification flags"),
@@ -197,4 +294,6 @@ GOVERNANCE_QUERIES = [
      "train/val label distribution drift as per-label KL contributions"),
     ("mad_outlier_flags", mad_outlier_flags, MAD_ORACLE,
      "median/MAD robust outliers per event type"),
+    ("skew_key_audit", skew_key_audit, SKEW_ORACLE,
+     "shuffle-key concentration audit (top-1/top-N shares, HHI) over the hot fact keys"),
 ]

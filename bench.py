@@ -229,6 +229,7 @@ HEADLINE += [
     "multimodal_resize_meta",
     # round-9 additions
     "char_entropy_quality",
+    "skew_key_audit",
 ]
 
 

@@ -336,6 +336,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "mad_outlier_flags": (12, 6, 0),
     # round-9: zero-shuffle map-stage entropy scan
     "char_entropy_quality": (0, 0, 0),
+    # round-9: 4 audited keys x (key-grain shuffle + scalar merge);
+    # the rank window rides the key-count table, never fact rows
+    "skew_key_audit": (16, 0, 0),
 }
 
 
