@@ -166,9 +166,87 @@ FROM t WHERE o_orderkey % {MERGE_UPD_MOD} = 0 AND price_cents // 10 > 0
 """
 
 
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: apply the CDC change feed to a
+    materialized per-customer rollup WITHOUT rescanning the base.
+
+    The per-customer aggregate (n_orders, total_cents) is maintained
+    as base (+) delta, where delta folds the change feed with signed
+    weights: insert/update_postimage count +1/+price,
+    delete/update_preimage count -1/-price.  The result must equal a
+    full re-aggregation of the merged table — which is exactly what
+    the oracle computes, so a sign error, a missed change type, or a
+    double-counted update breaks the hash.
+
+    Scale shape: the base aggregate is customer-grain (never the fact
+    table — at 100 TB it is the stored materialization), the delta
+    aggregate is FEED-sized, and the combine is one full-outer join
+    on the customer key between two customer-grain frames.  Nothing
+    rescans the base fact data: that is the entire point of IVM.
+    COUNT and SUM are self-maintainable under inserts+deletes; MIN or
+    MAX would need the per-group heavy hitters retained (the standard
+    IVM caveat) — only self-maintainable aggregates are used here.
+    """
+    from amazon_books_review_spark.operators.cdc import (
+        DELETE,
+        INSERT,
+        UPDATE_POST,
+        UPDATE_PRE,
+    )
+
+    base = (
+        _orders_cents(spark, sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+    )
+    sign = (
+        F.when(F.col("_change_type").isin(INSERT, UPDATE_POST), F.lit(1))
+        .when(F.col("_change_type").isin(DELETE, UPDATE_PRE), F.lit(-1))
+    )
+    delta = (
+        cdc_orders_changes(spark, sf_dir)
+        .select("o_custkey", "price_cents", sign.alias("w"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("w").alias("d_n"),
+            F.sum(F.col("w") * F.col("price_cents")).alias("d_cents"),
+        )
+    )
+    b = base.select(
+        F.col("o_custkey"), F.col("n_orders").alias("b_n"), F.col("total_cents").alias("b_cents")
+    )
+    return (
+        b.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+            (F.coalesce("b_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0))).alias(
+                "total_cents"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+#: full recompute over the merged table — the IVM acceptance oracle.
+INCREMENTAL_AGG_ORACLE = f"""
+WITH merged AS ({MERGE_UPSERT_ORACLE})
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents
+FROM merged
+GROUP BY o_custkey
+"""
+
+
 LAKEHOUSE_QUERIES = [
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE,
      "MERGE INTO semantics (update + insert + conditional delete) in one full-outer pass"),
     ("cdc_orders_changes", cdc_orders_changes, CDC_ORACLE,
      "Change Data Feed between snapshots (Delta CDF vocabulary) via one key diff join"),
+    ("incremental_agg_orders", incremental_agg_orders, INCREMENTAL_AGG_ORACLE,
+     "incremental view maintenance: base rollup (+) signed CDC delta == full recompute"),
 ]

@@ -230,6 +230,7 @@ HEADLINE += [
     # round-9 additions
     "char_entropy_quality",
     "skew_key_audit",
+    "incremental_agg_orders",
 ]
 
 

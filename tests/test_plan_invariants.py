@@ -339,6 +339,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9: 4 audited keys x (key-grain shuffle + scalar merge);
     # the rank window rides the key-count table, never fact rows
     "skew_key_audit": (16, 0, 0),
+    # round-9 IVM: three full-outer key joins (merge diff, CDC diff,
+    # base+delta combine) — full-outer cannot broadcast, SMJ by design
+    "incremental_agg_orders": (12, 0, 0, 6),
 }
 
 
