@@ -1,0 +1,263 @@
+"""Retrieval queries: BM25 term-at-a-time scoring and MinHash
+containment (doc-inside-doc detection).
+
+Both are corpus-scale retrieval primitives a training-data platform
+runs constantly — BM25 for quality-targeted selection and eval-set
+construction (the lexical retriever behind most RAG/decontam probes),
+containment for detecting quotation/inclusion relationships that
+symmetric Jaccard misses (a 100-word doc pasted inside a 10k-word doc
+has low Jaccard but containment ~1).
+
+Determinism discipline: BM25's floats derive from exact integer
+counts through a fixed expression tree (one ln, a handful of IEEE
+ops — identical in any engine, rounded at 6); containment is an
+integer ratio.  Both hash-check exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amazon_books_review_spark.functions import dedup
+from amazon_books_review_spark.functions.text import tokens
+from amazon_books_review_spark.sources.io import load_table
+
+# --- BM25 -------------------------------------------------------------------
+
+#: Okapi BM25 shape parameters (the Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: documents returned per probe term.
+BM25_TOP_K = 10
+#: the probe "query set" — fixed terms so the operator is a pure
+#: function of the corpus.  At scale this is the broadcast side: a
+#: query workload is always tiny relative to the corpus.
+BM25_PROBE_TERMS = ("spark", "merge", "window", "stream", "filter")
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-``BM25_TOP_K`` documents per probe term.
+
+    score(t, d) = ln(1 + (N - df + 0.5)/(df + 0.5))
+                  * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    (the Lucene-style non-negative idf).  Scale shape:
+
+    * doc lengths are a zero-shuffle projection off the token array;
+      corpus stats (N, total length) one scalar aggregate, broadcast;
+    * the probe-term filter lands directly under the explode, so only
+      matching postings ever enter the (term, doc) shuffle — the
+      shuffled volume is the POSTINGS LISTS OF THE QUERY TERMS, not
+      the corpus (mirrors the capped inverted-index build,
+      plans/corpus_stats_queries.py);
+    * document frequency is a term-grain aggregate of that same
+      frame, broadcast back (vocabulary-of-query-size);
+    * the per-term top-k window carries the WindowGroupLimit pushdown
+      (rank <= k filters before the final shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_toks")
+    ).select("doc_id", F.size("_toks").alias("dl"), "_toks")
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_PROBE_TERMS))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            "dft",
+            F.round(idf * tfnorm, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("term", "doc_id", "tf", "dl", "dft", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_PROBES_SQL = ", ".join(f"'{t}'" for t in BM25_PROBE_TERMS)
+
+BM25_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+    FROM documents
+), dl AS (
+    SELECT doc_id, len(ws) AS dl FROM tok
+), stats AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(ws) AS term FROM tok)
+    WHERE term IN ({_PROBES_SQL})
+    GROUP BY doc_id, term
+), dft AS (
+    SELECT term, count(*) AS dft FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.term, tf.doc_id, tf.tf, d.dl, dft.dft,
+           round(
+             ln(1.0 + (s.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+             * ((tf.tf * {BM25_K1 + 1!r})
+                / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                   + {BM25_B!r} * d.dl
+                     / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))),
+             6) AS score
+    FROM tf
+    JOIN dl d USING (doc_id)
+    JOIN dft USING (term)
+    CROSS JOIN stats s
+)
+SELECT term, doc_id, tf, dl, dft, score,
+       row_number() OVER (PARTITION BY term
+                          ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+# --- MinHash containment -----------------------------------------------------
+
+#: containment = |A ∩ B| / min(|A|, |B|): a small doc fully quoted
+#: inside a large one scores ~1 here while its Jaccard is tiny.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-inside-doc detection: LSH candidate pairs verified with the
+    CONTAINMENT coefficient instead of Jaccard.
+
+    Same two-stage scale path as ``dedup_neardup_lsh_verified``
+    (functions/dedup.py:239): banded-MinHash equi-join candidates,
+    then per-pair exact set intersection over the shingle arrays.
+    Only the acceptance metric differs — n_common / min(|A|, |B|) —
+    which is what catches quotation/inclusion pairs whose symmetric
+    Jaccard falls under any dedup threshold.
+
+    Caveat stated honestly: MinHash bands recall pairs by JACCARD
+    similarity, so an extreme size-ratio pair can have high
+    containment yet low collision probability — the standard fix at
+    100 TB is bucketing by size band before LSH; at the catalog's
+    near-dup shapes the Jaccard floor the bands provide is sufficient
+    and the operator documents the recall contract it inherits.
+    """
+    from amazon_books_review_spark.plans.northstar_queries import (
+        BANDS,
+        N_HASHES,
+        NGRAM_N,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=NGRAM_N, n_hashes=N_HASHES, bands=BANDS
+    )
+    sets = dedup.shingle_sets(docs, "doc_id", "text", n=NGRAM_N)
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("_sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("_sb"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("size_a"),
+            F.size("_sb").alias("size_b"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("size_a", "size_b"), 6),
+        )
+    )
+    return scored.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+def _containment_oracle() -> str:
+    """Candidates from the MinHash band oracle, verified with exact
+    containment — scaffolding mirrors northstar's `_lsh_verified_oracle`."""
+    from amazon_books_review_spark.plans.northstar_queries import (
+        BANDS,
+        N_HASHES,
+        _ROWS_PER_BAND,
+    )
+
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), sets AS (
+    SELECT doc_id, list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    ) AS shingle_set
+    FROM docs
+), sh AS (
+    SELECT doc_id, unnest(shingle_set) AS shingle FROM sets
+), sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    {bands_sql}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+), verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingle_set, sb.shingle_set)) AS n_common,
+           len(sa.shingle_set) AS size_a,
+           len(sb.shingle_set) AS size_b
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, n_common, size_a, size_b,
+       round(n_common * 1.0 / least(size_a, size_b), 6) AS containment
+FROM verified
+WHERE round(n_common * 1.0 / least(size_a, size_b), 6)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+RETRIEVAL_QUERIES = [
+    ("bm25_topk_docs", bm25_topk_docs, BM25_ORACLE,
+     "Okapi BM25 top-k docs per probe term; postings-of-query shuffle only"),
+    ("minhash_containment_pairs", minhash_containment_pairs, _containment_oracle(),
+     "doc-inside-doc detection: LSH candidates verified by containment coefficient"),
+]

@@ -231,6 +231,8 @@ HEADLINE += [
     "char_entropy_quality",
     "skew_key_audit",
     "incremental_agg_orders",
+    "bm25_topk_docs",
+    "minhash_containment_pairs",
 ]
 
 

@@ -114,6 +114,15 @@ def test_global_topk_is_take_ordered(spark, name):
         ), f"{name}: single-partition exchange feeds the top-k, not the k rows"
 
 
+def test_bm25_pushes_partial_topk(spark):
+    """The per-term top-k must carry WindowGroupLimit (each mapper
+    ships at most k candidate postings per term) and the probe-term
+    filter must land under the explode, not after the shuffle."""
+    plan = plan_of(spark, "bm25_topk_docs")
+    assert "WindowGroupLimit" in plan, "per-term partial top-k pushdown lost"
+    assert "SortMergeJoin" not in plan
+
+
 def test_kmv_build_pushes_partial_topk(spark):
     """The KMV sketch build (row_number <= k per side) must carry the
     WindowGroupLimit pushdown — each mapper ships only k candidates
@@ -342,6 +351,13 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9 IVM: three full-outer key joins (merge diff, CDC diff,
     # base+delta combine) — full-outer cannot broadcast, SMJ by design
     "incremental_agg_orders": (12, 0, 0, 6),
+    # round-9 retrieval: postings-of-query shuffle + broadcast df/stats;
+    # per-term top-k must keep the WindowGroupLimit pushdown
+    # the 2 BNLJs are the intended broadcast of the 1-row corpus stats
+    "bm25_topk_docs": (14, 2, 2),
+    # round-9 containment verify rides the same LSH path as
+    # dedup_neardup_lsh_verified
+    "minhash_containment_pairs": (14, 4, 0),
 }
 
 
