@@ -1099,6 +1099,102 @@ def _kmeans_oracle() -> str:
 KM_ROUTED_G = 3
 
 
+#: silhouette probe set: vec_id < N — bounded by contract, like the
+#: ANN recall audit's probe sampling (northstar_queries.py).
+SIL_PROBES = 32
+
+
+def kmeans_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled silhouette coefficient over the k-means assignment —
+    the standard clustering-quality audit (how separated are the
+    clusters SemDeDup/IVF route through?).
+
+    For each of ``SIL_PROBES`` probe points: a = mean squared-L2 to
+    its OWN cluster's other members, b = min over OTHER clusters of
+    the mean squared-L2, s = (b - a) / max(a, b) (singleton clusters
+    take the s = 0 convention).  Squared distances keep every
+    accumulation in exact int64 — the only floats are one division
+    per (probe, cluster) group and the final ratio, so the audit is
+    engine-exact (mean-of-sqrt would sum doubles in engine-dependent
+    order).
+
+    Scale shape: the probe set broadcasts against the corpus (the
+    same bounded probe×corpus discipline as the ANN recall audit);
+    distances are map-side integer arithmetic; the only shuffle is to
+    (probe, cluster) grain — k rows per probe.  At 100 TB you raise
+    SIL_PROBES, never the shuffle shape.
+    """
+    pts = _km_final_assignment(spark, sf_dir).select("vec_id", "qv", "cluster")
+    probes = pts.filter(F.col("vec_id") < SIL_PROBES).select(
+        F.col("vec_id").alias("pid"),
+        F.col("qv").alias("p_qv"),
+        F.col("cluster").alias("p_cluster"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "p_qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_cluster = (
+        pts.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .select("pid", "p_cluster", "cluster", d2.alias("d2"))
+        .groupBy("pid", "p_cluster", "cluster")
+        .agg(F.sum("d2").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    mean_d2 = F.col("s") / F.col("n").cast("double")
+    ab = per_cluster.groupBy("pid", "p_cluster").agg(
+        F.max(F.when(F.col("cluster") == F.col("p_cluster"), mean_d2)).alias("a"),
+        F.min(F.when(F.col("cluster") != F.col("p_cluster"), mean_d2)).alias("b"),
+    )
+    sil = F.when(F.col("a").isNull(), F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return ab.select(
+        F.col("pid").alias("vec_id"),
+        F.col("p_cluster").alias("cluster"),
+        F.round("a", 6).alias("a_mean_d2"),
+        F.round("b", 6).alias("b_mean_d2"),
+        F.round(sil, 6).alias("silhouette"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (p.qv[CAST(i AS INT)] - o.qv[CAST(i AS INT)])"
+        " * (p.qv[CAST(i AS INT)] - o.qv[CAST(i AS INT)])))"
+    ).format(d=KM_DIM)
+    final = f"a{KM_ITERS - 1}"
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes())
+        + f""",
+pr AS (SELECT * FROM {final} WHERE vec_id < {SIL_PROBES}),
+pd AS (
+    SELECT p.vec_id AS pid, p.cluster AS p_cluster, o.cluster AS o_cluster,
+           {dist} AS d2
+    FROM pr p JOIN {final} o ON o.vec_id <> p.vec_id
+), per_cluster AS (
+    SELECT pid, p_cluster, o_cluster,
+           CAST(sum(d2) AS BIGINT) AS s, count(*) AS n
+    FROM pd GROUP BY pid, p_cluster, o_cluster
+), ab AS (
+    SELECT pid, p_cluster,
+           max(CASE WHEN o_cluster = p_cluster
+                    THEN s / CAST(n AS DOUBLE) END) AS a,
+           min(CASE WHEN o_cluster <> p_cluster
+                    THEN s / CAST(n AS DOUBLE) END) AS b
+    FROM per_cluster GROUP BY pid, p_cluster
+)
+SELECT pid AS vec_id, p_cluster AS cluster,
+       round(a, 6) AS a_mean_d2, round(b, 6) AS b_mean_d2,
+       round(CASE WHEN a IS NULL THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END, 6) AS silhouette
+FROM ab
+"""
+    )
+
+
 def kmeans_routed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized k-means with the coarse-cell ROUTED assignment forced.
 
@@ -1788,6 +1884,8 @@ SCALE_OPS_QUERIES = [
      "changelog -> SCD2 validity intervals (islands + lead window)"),
     ("pagerank_copurchase", pagerank_copurchase, _pagerank_oracle(),
      "fixed-point integer PageRank, 5 iterations over co-purchase graph"),
+    ("kmeans_silhouette_audit", kmeans_silhouette_audit, _silhouette_oracle(),
+     "sampled silhouette over the k-means assignment, exact-int64 squared-L2 audit"),
     ("kmeans_quantized_assign", kmeans_quantized_assign, _kmeans_oracle(),
      "deterministic quantized k-means, 2 Lloyd iterations"),
     ("kmeans_routed_assign", kmeans_routed_assign, _kmeans_routed_oracle(),

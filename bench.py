@@ -233,6 +233,7 @@ HEADLINE += [
     "incremental_agg_orders",
     "bm25_topk_docs",
     "minhash_containment_pairs",
+    "kmeans_silhouette_audit",
 ]
 
 

@@ -358,6 +358,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9 containment verify rides the same LSH path as
     # dedup_neardup_lsh_verified
     "minhash_containment_pairs": (14, 4, 0),
+    # round-9: probe-broadcast silhouette — the BNLJ is the intended
+    # bounded probe x corpus fan-out (same shape as the ANN audits)
+    "kmeans_silhouette_audit": (6, 0, 2),
 }
 
 
