@@ -255,9 +255,170 @@ WHERE round(n_common * 1.0 / least(size_a, size_b), 6)
 """
 
 
+# --- LSH recall audit ---------------------------------------------------------
+
+#: band widths under audit: the catalog's default (2 bands of 4 rows —
+#: precision-leaning) and the recall-leaning split (4 bands of 2 rows).
+LSH_AUDIT_BANDS = (2, 4)
+
+
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the banded-MinHash near-dup path against
+    exact all-pairs Jaccard — the text-dedup twin of the ANN recall
+    audit (northstar_queries.py): the acceptance test you run on a
+    SAMPLE to certify the band configuration before a 100 TB dedup.
+
+    One row per band width: exact pair count, LSH-verified pair
+    count, hits, recall and precision.  Verified pairs re-check exact
+    Jaccard, so precision is 1.0 by construction — reporting it pins
+    the verify stage end-to-end; recall is the real signal (a pair
+    with Jaccard s survives banding with prob 1-(1-s^r)^b).
+
+    Scale shape: the EXACT arm is the audit harness, not the
+    operator — it is the quadratic shingle self-join, run on the
+    probe sample only (same discipline as the ANN audit's exact
+    top-k arm).  The LSH arms are the production linear path.
+    """
+    from amazon_books_review_spark.plans.northstar_queries import (
+        JACCARD_THRESHOLD,
+        N_HASHES,
+        NGRAM_N,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for bands in LSH_AUDIT_BANDS:
+        ver = dedup.lsh_verified_pairs(
+            docs, "doc_id", "text",
+            n=NGRAM_N, n_hashes=N_HASHES, bands=bands,
+            threshold=JACCARD_THRESHOLD,
+        ).select("id_a", "id_b")
+        hits = ver.join(exact, ["id_a", "id_b"], "left_semi")
+        row = (
+            n_exact.crossJoin(F.broadcast(ver.agg(F.count(F.lit(1)).alias("n_lsh"))))
+            .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hit"))))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(N_HASHES // bands).cast("long").alias("rows_per_band"),
+                "n_exact",
+                "n_lsh",
+                "n_hit",
+                F.round(
+                    F.when(F.col("n_exact") > 0, F.col("n_hit") / F.col("n_exact")),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.when(F.col("n_lsh") > 0, F.col("n_hit") / F.col("n_lsh")), 6
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _lsh_recall_oracle() -> str:
+    from amazon_books_review_spark.plans.northstar_queries import (
+        JACCARD_THRESHOLD,
+        N_HASHES,
+    )
+
+    mh_exprs = ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+
+    def band_cte(bands: int) -> str:
+        rpb = N_HASHES // bands
+        selects = []
+        for b in range(bands):
+            cols = " || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+            selects.append(
+                f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+            )
+        return "\n    UNION ALL\n    ".join(selects)
+
+    def verified_cte(bands: int) -> str:
+        return f"""
+    SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.shingle_set, sb.shingle_set)) AS n_common,
+               len(sa.shingle_set) AS size_a,
+               len(sb.shingle_set) AS size_b
+        FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded{bands} a
+              JOIN banded{bands} b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              WHERE a.doc_id < b.doc_id)
+        JOIN sets sa ON sa.doc_id = id_a
+        JOIN sets sb ON sb.doc_id = id_b)
+    WHERE round(n_common * 1.0 / (size_a + size_b - n_common), 6)
+          >= {JACCARD_THRESHOLD}
+"""
+
+    def audit_row(bands: int) -> str:
+        rpb = N_HASHES // bands
+        return f"""
+SELECT CAST({bands} AS BIGINT) AS bands, CAST({rpb} AS BIGINT) AS rows_per_band,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM ver{bands}) AS n_lsh,
+       (SELECT count(*) FROM ver{bands} v JOIN exact e
+          ON v.id_a = e.id_a AND v.id_b = e.id_b) AS n_hit,
+       round(CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+           (SELECT count(*) FROM ver{bands} v JOIN exact e
+              ON v.id_a = e.id_a AND v.id_b = e.id_b)
+           * 1.0 / (SELECT count(*) FROM exact) END, 6) AS recall,
+       round(CASE WHEN (SELECT count(*) FROM ver{bands}) > 0 THEN
+           (SELECT count(*) FROM ver{bands} v JOIN exact e
+              ON v.id_a = e.id_a AND v.id_b = e.id_b)
+           * 1.0 / (SELECT count(*) FROM ver{bands}) END, 6) AS precision
+"""
+
+    banded_ctes = ",\n".join(
+        f"banded{b} AS (\n    {band_cte(b)}\n)" for b in LSH_AUDIT_BANDS
+    )
+    ver_ctes = ",\n".join(f"ver{b} AS ({verified_cte(b)})" for b in LSH_AUDIT_BANDS)
+    rows = "\nUNION ALL\n".join(audit_row(b) for b in LSH_AUDIT_BANDS)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), sets AS (
+    SELECT doc_id, list_distinct(
+        [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+    ) AS shingle_set
+    FROM docs
+), sh AS (
+    SELECT doc_id, unnest(shingle_set) AS shingle FROM sets
+), sig AS (
+    SELECT doc_id,
+           {mh_exprs}
+    FROM sh GROUP BY doc_id
+),
+{banded_ctes},
+{ver_ctes},
+exact AS (
+    SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    JOIN (SELECT doc_id, len(shingle_set) AS s FROM sets) sa ON id_a = sa.doc_id
+    JOIN (SELECT doc_id, len(shingle_set) AS s FROM sets) sb ON id_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.s + sb.s - n_common), 6)
+          >= {JACCARD_THRESHOLD}
+)
+{rows}
+"""
+
+
 RETRIEVAL_QUERIES = [
     ("bm25_topk_docs", bm25_topk_docs, BM25_ORACLE,
      "Okapi BM25 top-k docs per probe term; postings-of-query shuffle only"),
     ("minhash_containment_pairs", minhash_containment_pairs, _containment_oracle(),
      "doc-inside-doc detection: LSH candidates verified by containment coefficient"),
+    ("lsh_recall_audit", lsh_recall_audit, _lsh_recall_oracle(),
+     "banded-MinHash recall/precision vs exact all-pairs Jaccard, per band width"),
 ]

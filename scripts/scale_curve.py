@@ -164,6 +164,21 @@ QUERIES = [
     "label_drift_kl",
     "mad_outlier_flags",
     "date_spine_gapfill",
+    # round-9 wave.  char entropy is the zero-shuffle sorted-run scan
+    # (linear in chars); the skew audit is key-grain aggregates (key
+    # cardinality grows with the synthesis); IVM is feed+key-grain
+    # joins (orders scale REPx); BM25's shuffled volume is the probe
+    # terms' postings (grows REPx under the salted corpus ONLY for
+    # the unsalted probe terms present in replica 0 — wall time
+    # tracks the scan); containment rides the LSH candidate path;
+    # silhouette is probe-bounded (flat-ish expected: corpus side
+    # grows REPx, probe count fixed).
+    "char_entropy_quality",
+    "skew_key_audit",
+    "incremental_agg_orders",
+    "bm25_topk_docs",
+    "minhash_containment_pairs",
+    "kmeans_silhouette_audit",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
@@ -187,6 +202,7 @@ FORCE_ALL_COLUMNS = {
     "embedding_random_projection",  # pure projection arithmetic prunable
     "mad_outlier_flags",            # per-row flags prunable
     "quality_logistic_score",       # pure scoring scan (r8 addition)
+    "char_entropy_quality",         # pure per-row entropy arithmetic (r9)
 }
 
 
