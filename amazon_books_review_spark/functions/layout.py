@@ -109,3 +109,87 @@ def write_zordered(
     zorder_by(df, col_a, col_b, num_files).drop("_zorder").write.mode(mode).parquet(
         path
     )
+
+
+# --- Hilbert curve -----------------------------------------------------------
+
+#: bits per dimension for the Hilbert code (2^16 x 2^16 grid; the
+#: code fits in 32 bits of a long).
+HILBERT_BITS = 16
+
+
+def hilbert_encode(a: Column, b: Column, bits: int = HILBERT_BITS) -> Column:
+    """(x, y) -> distance along the 2-D Hilbert curve.
+
+    Z-order's locality has seams: consecutive Morton codes jump
+    across the grid at power-of-two boundaries, so a range of codes
+    can span distant cells.  The Hilbert curve is the space-filling
+    curve WITHOUT those jumps (every consecutive pair of codes is
+    grid-adjacent — property-tested), which is why Hudi/Iceberg offer
+    it next to Z-order for layout clustering: range scans touch
+    strictly fewer files at the same file count.
+
+    Implementation: the standard bit-level xy2d walk (one quadrant
+    decision per level, rotating the frame as it descends), expressed
+    as a single ``aggregate`` over the level array with an (x, y, d)
+    struct accumulator — the same zero-shuffle fold the text module
+    uses for run masses.  No UDF; the identical walk unrolls into the
+    DuckDB oracle as two CTEs per level.
+    """
+    levels = F.array(*[F.lit(1 << (bits - 1 - i)).cast("long") for i in range(bits)])
+    zero = F.struct(
+        a.cast("long").alias("x"),
+        b.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def merge(acc: Column, s: Column) -> Column:
+        rx = F.when(acc.x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc.y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d = acc.d + s * s * (rx * 3).bitwiseXOR(ry)
+        # frame rotation: quadrant (rx=1, ry=0) reflects both axes,
+        # any ry=0 quadrant swaps x/y; ry=1 leaves the frame alone
+        fx = F.when(rx == 1, s - 1 - acc.x).otherwise(acc.x)
+        fy = F.when(rx == 1, s - 1 - acc.y).otherwise(acc.y)
+        nx = F.when(ry == 0, fy).otherwise(acc.x)
+        ny = F.when(ry == 0, fx).otherwise(acc.y)
+        return F.struct(
+            nx.cast("long").alias("x"),
+            ny.cast("long").alias("y"),
+            d.cast("long").alias("d"),
+        )
+
+    return F.aggregate(levels, zero, merge, lambda acc: acc.d)
+
+
+def hilbert_by(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+    bits: int = HILBERT_BITS,
+) -> DataFrame:
+    """``zorder_by`` with the Hilbert code instead of Morton —
+    same bounds broadcast, same range-partition + in-partition sort."""
+    bounds = df.agg(
+        F.min(col_a).cast("double").alias("_lo_a"),
+        F.max(col_a).cast("double").alias("_hi_a"),
+        F.min(col_b).cast("double").alias("_lo_b"),
+        F.max(col_b).cast("double").alias("_hi_b"),
+    )
+    with_code = df.join(F.broadcast(bounds)).withColumn(
+        "_hilbert",
+        hilbert_encode(
+            normalize_to_bits(
+                F.col(col_a).cast("double"), F.col("_lo_a"), F.col("_hi_a"), bits
+            ),
+            normalize_to_bits(
+                F.col(col_b).cast("double"), F.col("_lo_b"), F.col("_hi_b"), bits
+            ),
+            bits,
+        ),
+    ).drop("_lo_a", "_hi_a", "_lo_b", "_hi_b")
+    parts = [num_files] if num_files else []
+    return with_code.repartitionByRange(
+        *parts, F.col("_hilbert")
+    ).sortWithinPartitions("_hilbert")

@@ -375,6 +375,73 @@ SELECT event_id, CAST({interleave} AS BIGINT) AS zorder FROM n
 """
 
 
+def hilbert_layout_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hilbert encoding behind functions/layout.hilbert_by,
+    oracle-checked end-to-end (same min-max normalization as the
+    Morton query; the curve walk itself is one zero-shuffle
+    ``aggregate`` fold per row).  Why it earns a slot next to
+    Z-order: consecutive Hilbert codes are always grid-adjacent
+    (property-tested in tests/test_layout.py), so range scans over
+    the code touch strictly fewer distant cells than Morton at the
+    same file count — the layout Hudi/Iceberg offer as
+    'hilbert' clustering."""
+    from amazon_books_review_spark.functions import layout
+
+    events = load_table(spark, sf_dir, "events")
+    coded = layout.hilbert_by(
+        events.select("event_id", "user_id", "value"), "user_id", "value"
+    )
+    return coded.select("event_id", F.col("_hilbert").alias("hilbert"))
+
+
+def _hilbert_oracle(bits: int = 16) -> str:
+    from amazon_books_review_spark.functions.layout import HILBERT_BITS
+
+    bits = HILBERT_BITS
+
+    def norm(col: str, lo: str, hi: str) -> str:
+        top = (1 << bits) - 1
+        return (
+            f"least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) / "
+            f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1 END) * {top}) "
+            f"AS BIGINT), 0), {top})"
+        )
+
+    # two CTEs per level: r{i} computes the quadrant bits, h{i+1}
+    # applies the distance increment and the frame rotation — the
+    # exact walk hilbert_encode folds per row
+    ctes = []
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        ctes.append(
+            f"r{i} AS (SELECT event_id, x, y, d, "
+            f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx, "
+            f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM h{i})"
+        )
+        ctes.append(
+            f"h{i + 1} AS (SELECT event_id, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s} - 1 - y ELSE y END) ELSE x END AS x, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s} - 1 - x ELSE x END) ELSE y END AS y, "
+            f"d + CAST({s * s} AS BIGINT) * xor(rx * 3, ry) AS d FROM r{i})"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH b AS (
+    SELECT CAST(min(user_id) AS DOUBLE) AS lo_a, CAST(max(user_id) AS DOUBLE) AS hi_a,
+           CAST(min(value) AS DOUBLE) AS lo_b, CAST(max(value) AS DOUBLE) AS hi_b
+    FROM events
+), h0 AS (
+    SELECT event_id,
+           {norm("user_id", "lo_a", "hi_a")} AS x,
+           {norm("value", "lo_b", "hi_b")} AS y,
+           CAST(0 AS BIGINT) AS d
+    FROM events, b
+),
+{chain}
+SELECT event_id, CAST(d AS BIGINT) AS hilbert FROM h{bits}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Data-quality validation (single-pass expectations gate)
 # ---------------------------------------------------------------------------
@@ -566,6 +633,8 @@ EXTENDED_QUERIES = [
      "applyInPandasWithState streaming sessionizer == batch gaps-and-islands SQL"),
     ("zorder_morton_codes", zorder_morton_codes, _zorder_oracle(),
      "Z-order layout: min-max normalize + Morton bit-interleave"),
+    ("hilbert_layout_codes", hilbert_layout_codes, _hilbert_oracle(),
+     "Hilbert-curve layout codes (jump-free space-filling order; the Z-order upgrade)"),
     ("data_quality_report", data_quality_report, DATA_QUALITY_ORACLE,
      "single-pass expectations gate: all rules in one conditional-sum agg"),
 ]

@@ -234,6 +234,7 @@ HEADLINE += [
     "bm25_topk_docs",
     "minhash_containment_pairs",
     "kmeans_silhouette_audit",
+    "hilbert_layout_codes",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).

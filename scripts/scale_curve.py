@@ -179,6 +179,9 @@ QUERIES = [
     "bm25_topk_docs",
     "minhash_containment_pairs",
     "kmeans_silhouette_audit",
+    # hilbert walk is per-row constant work; the curve tests the
+    # range partitioner's sampling as events scale
+    "hilbert_layout_codes",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]

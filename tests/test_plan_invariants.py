@@ -361,6 +361,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9: probe-broadcast silhouette — the BNLJ is the intended
     # bounded probe x corpus fan-out (same shape as the ANN audits)
     "kmeans_silhouette_audit": (6, 0, 2),
+    # round-9 hilbert layout: bounds-broadcast BNLJ + the range
+    # partitioner's sampling exchange (same shape as zorder)
+    "hilbert_layout_codes": (6, 0, 2),
 }
 
 
