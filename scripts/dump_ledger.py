@@ -77,9 +77,9 @@ def render() -> str:
         in_win = "yes" if driver_name(name) in window else ""
         lines.append(f"| `{name}` | {kind} | {status} | {in_win} |")
     total = len(all_queries())
-    from amazon_books_review_spark.plans.catalog import DRIVER_PIN
+    from amazon_books_review_spark.plans.catalog import DRIVER_PIN, _pin_active
 
-    pins = sorted(DRIVER_PIN & set(DRIVER_VERIFIED))
+    pins = sorted(n for n in DRIVER_PIN if _pin_active(n))
     overflow = sorted(
         n for n in all_queries() if n not in DRIVER_VERIFIED and n not in window
     )
@@ -92,7 +92,7 @@ def render() -> str:
     ]
     if pins:
         lines.append(
-            f"Window pins (forced re-verify after the r5 NTZ regression fix): "
+            f"Window pins (forced hard re-verify; see catalog.DRIVER_PINS for each pin's fix round and reason): "
             + ", ".join(f"`{p}`" for p in pins) + "."
         )
     if overflow:
