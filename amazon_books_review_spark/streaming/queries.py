@@ -550,6 +550,106 @@ from amazon_books_review_spark.plans.extended_queries import (  # noqa: E402
     SESSION_WINDOW_ORACLE as SESSION_WINDOW_STREAM_ORACLE,
 )
 
+#: streaming Misra-Gries capacity — sized so the recall floor
+#: N/(cap+1) sits BELOW the hottest user's share at the test SFs
+#: (top user ~0.86% of events; 1/128 = 0.78%), so the output is
+#: non-degenerate while the sketch still evicts.
+STREAM_HH_CAP = 127
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a STREAM: per-micro-batch Misra-Gries
+    candidates folded into a persisted candidate log via
+    ``foreachBatch``, then one exact recount — the streaming form of
+    the two-pass batch operator (plans/scale_ops_queries.py:106).
+
+    Why the union of per-batch candidates suffices (pigeonhole over
+    micro-batch totals, same argument as over partitions): a key with
+    global count > N/(cap+1) must exceed B_i/(cap+1) in at least one
+    batch i, so it survives that batch's sketch.  The exact recount
+    then makes the OUTPUT deterministic regardless of how the stream
+    was batched — which is what lets a plain-SQL oracle check a
+    stateful streaming sketch.
+
+    The feed is re-sharded into 4 files drained with
+    ``maxFilesPerTrigger=1``, so the fold genuinely crosses
+    micro-batch boundaries.  At 100 TB the candidate log stays
+    O(cap x batches) rows — the recount is the only full pass, and it
+    is a broadcast-semi-join-filtered partial agg, never a full
+    histogram shuffle.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    out = fixtures.ephemeral_dir("abr_stream_hh_")
+    feed, cand_dir, ckpt = f"{out}/feed", f"{out}/cands", f"{out}/ckpt"
+    events = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    events.repartition(4).write.parquet(feed)
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["word"].value_counts()
+            acc = acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > STREAM_HH_CAP:
+                thresh = acc.nlargest(STREAM_HH_CAP + 1).iloc[-1]
+                acc = acc - thresh
+                acc = acc[acc > 0]
+        yield pd.DataFrame({"word": acc.index.astype(str)})
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.select(F.col("user_id").cast("string").alias("word"))
+            .mapInPandas(mg, "word string")
+            .distinct()
+            .write.mode("append")
+            .parquet(cand_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName("streaming_heavy_hitters")
+            .start()
+        )
+        q.awaitTermination()
+
+    cands = (
+        spark.read.parquet(cand_dir)
+        .distinct()
+        .select(F.col("word").cast("long").alias("user_id"))
+    )
+    feed_df = spark.read.parquet(feed)
+    counts = (
+        feed_df.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = feed_df.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * (STREAM_HH_CAP + 1) > F.col("tot"))
+        .select("user_id", "n")
+    )
+
+
+STREAM_HH_ORACLE = f"""
+SELECT user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) * {STREAM_HH_CAP + 1} > (SELECT count(*) FROM events)
+"""
+
+
 STREAMING_QUERIES = [
     ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
      "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
@@ -568,6 +668,8 @@ STREAMING_QUERIES = [
     ("streaming_schema_drift_live", streaming_schema_drift_live,
      SCHEMA_DRIFT_LIVE_ORACLE,
      "live drift on a RUNNING stream: gated stop->widen->restart, exactly-once sink"),
+    ("streaming_heavy_hitters", streaming_heavy_hitters, STREAM_HH_ORACLE,
+     "stateful streaming Misra-Gries: per-batch candidates folded via foreachBatch, exact recount"),
 ]
 
 # transformWithStateInPandas needs the python protobuf package for

@@ -235,6 +235,7 @@ HEADLINE += [
     "minhash_containment_pairs",
     "kmeans_silhouette_audit",
     "hilbert_layout_codes",
+    "streaming_heavy_hitters",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).
