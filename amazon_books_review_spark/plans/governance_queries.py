@@ -287,6 +287,96 @@ SKEW_ORACLE = " UNION ALL ".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Join-size pre-flight
+# ---------------------------------------------------------------------------
+
+#: how many of the heaviest join keys get their own contribution row
+PREFLIGHT_TOP = 5
+
+
+def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict |orders ⋈ lineitem| BEFORE running the join — the
+    pre-flight a planner (or an engineer) runs before committing a
+    100 TB shuffle: output rows = Σ over matched keys of
+    cnt_build(k) × cnt_probe(k), computed on KEY-GRAIN count tables
+    (key-cardinality-sized, never fact-sized).
+
+    One summary row (predicted rows, matched keys, the top-1-key and
+    top-N-key shares of the OUTPUT — the skew-amplification signal:
+    a key modest on both inputs can dominate the product) plus one
+    row per top-``PREFLIGHT_TOP`` contributing key.  All counts are
+    exact int64; shares are single IEEE divisions — hash-exact.
+
+    Scale shape: two key-grain aggregates (one per side), one
+    key-grain join between them, one TakeOrdered top-N.  The fact
+    tables are scanned once each for their key columns only; the
+    product arithmetic never materializes a single joined row.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    a = orders.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    b = li.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    prod = a.join(b, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("out_rows")
+    )
+    w = Window.orderBy(F.col("out_rows").desc(), F.col("k").asc())
+    ranked = prod.withColumn("rnk", F.row_number().over(w))
+    summary = ranked.agg(
+        F.lit("ALL").alias("scope"),
+        F.lit(None).cast("long").alias("key"),
+        F.sum("out_rows").alias("out_rows"),
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.round(F.max("out_rows") / F.sum("out_rows"), 9).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= PREFLIGHT_TOP, F.col("out_rows")).otherwise(F.lit(0)))
+            / F.sum("out_rows"),
+            9,
+        ).alias("topn_share"),
+    )
+    top = ranked.filter(F.col("rnk") <= PREFLIGHT_TOP).select(
+        F.concat(F.lit("top"), F.col("rnk")).alias("scope"),
+        F.col("k").alias("key"),
+        "out_rows",
+        F.lit(None).cast("long").alias("matched_keys"),
+        F.lit(None).cast("double").alias("top1_share"),
+        F.lit(None).cast("double").alias("topn_share"),
+    )
+    return summary.unionByName(top)
+
+
+JOIN_PREFLIGHT_ORACLE = f"""
+WITH a AS (
+    SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY o_orderkey
+), b AS (
+    SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY l_orderkey
+), prod AS (
+    SELECT a.k, ca * cb AS out_rows,
+           row_number() OVER (ORDER BY ca * cb DESC, a.k ASC) AS rnk
+    FROM a JOIN b USING (k)
+)
+SELECT 'ALL' AS scope, CAST(NULL AS BIGINT) AS key,
+       CAST(sum(out_rows) AS BIGINT) AS out_rows,
+       count(*) AS matched_keys,
+       round(max(out_rows) / CAST(sum(out_rows) AS DOUBLE), 9) AS top1_share,
+       round(sum(CASE WHEN rnk <= {PREFLIGHT_TOP} THEN out_rows ELSE 0 END)
+             / CAST(sum(out_rows) AS DOUBLE), 9) AS topn_share
+FROM prod
+UNION ALL
+SELECT 'top' || rnk AS scope, k AS key, out_rows,
+       CAST(NULL AS BIGINT) AS matched_keys,
+       CAST(NULL AS DOUBLE) AS top1_share,
+       CAST(NULL AS DOUBLE) AS topn_share
+FROM prod WHERE rnk <= {PREFLIGHT_TOP}
+"""
+
+
 GOVERNANCE_QUERIES = [
     ("k_anonymity_audit", k_anonymity_audit, K_ANON_ORACLE,
      "quasi-identifier group sizes with k<5 re-identification flags"),
@@ -296,4 +386,6 @@ GOVERNANCE_QUERIES = [
      "median/MAD robust outliers per event type"),
     ("skew_key_audit", skew_key_audit, SKEW_ORACLE,
      "shuffle-key concentration audit (top-1/top-N shares, HHI) over the hot fact keys"),
+    ("join_size_preflight", join_size_preflight, JOIN_PREFLIGHT_ORACLE,
+     "predict join output size + per-key skew contribution from key-grain counts, pre-shuffle"),
 ]

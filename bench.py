@@ -236,6 +236,7 @@ HEADLINE += [
     "kmeans_silhouette_audit",
     "hilbert_layout_codes",
     "streaming_heavy_hitters",
+    "join_size_preflight",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).

@@ -182,6 +182,9 @@ QUERIES = [
     # hilbert walk is per-row constant work; the curve tests the
     # range partitioner's sampling as events scale
     "hilbert_layout_codes",
+    # pre-flight rides key-grain tables only — wall time tracks the
+    # two key-column scans
+    "join_size_preflight",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]

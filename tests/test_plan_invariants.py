@@ -364,6 +364,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9 hilbert layout: bounds-broadcast BNLJ + the range
     # partitioner's sampling exchange (same shape as zorder)
     "hilbert_layout_codes": (6, 0, 2),
+    # round-9 join pre-flight: two key-grain aggs + one key-grain join;
+    # the product arithmetic never materializes a joined fact row
+    "join_size_preflight": (14, 2, 0),
 }
 
 
