@@ -361,6 +361,121 @@ WINDOW w AS (PARTITION BY source)
 """
 
 
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer application (recursive set-based segmentation)
+# ---------------------------------------------------------------------------
+
+#: fixed WordPiece-style vocabulary: (piece, is_continuation).  The
+#: multi-char pieces carve the synthetic corpus vocabulary; the a-z
+#: singletons (both positions) make segmentation TOTAL over [a-z]+
+#: words, so no [UNK] branch is needed inside the recursion — non-
+#: alphabetic words would be mapped to [UNK] by a pre-filter, but the
+#: corpus tokenizer contract (lowercased \s+ split) yields none here.
+WORDPIECE_VOCAB: list[tuple[str, bool]] = [
+    ("spark", False), ("str", False), ("eam", True), ("mer", False),
+    ("ge", True), ("wind", False), ("ow", True), ("fil", False),
+    ("ter", True), ("cust", False), ("omer", True), ("ta", False),
+    ("ble", True), ("jo", False), ("in", True), ("gr", False),
+    ("oup", True), ("qu", False), ("ery", True), ("sc", False),
+    ("an", True), ("val", False), ("ue", True), ("vec", False),
+    ("tor", True), ("ba", False), ("tch", True), ("slo", False),
+    ("sm", False), ("all", True), ("or", False), ("der", True),
+    ("li", False), ("ne", True), ("co", False), ("lumn", True),
+    ("par", False), ("sh", True),
+] + [(c, cont) for c in "abcdefghijklmnopqrstuvwxyz" for cont in (False, True)]
+
+
+def _wordpiece_seg_sql(null_str_type: str) -> str:
+    """The recursive segmentation body, shared verbatim by both
+    engines (only the NULL cast type differs: STRING vs VARCHAR).
+
+    Greedy longest-match at each position: the join picks candidate
+    pieces valid at the position (continuation flag = pos > 1), the
+    NOT EXISTS anti-join against the same static vocab keeps only the
+    longest — the standard WordPiece step, as a set operation.
+    """
+    vals = ", ".join(
+        f"('{p}', {str(c).lower()})" for p, c in WORDPIECE_VOCAB
+    )
+    return f"""
+seg(word, pos, piece) AS (
+    SELECT word, 1, CAST(NULL AS {null_str_type}) FROM wp_words
+    UNION ALL
+    SELECT r.word, r.pos + length(v.piece), v.piece
+    FROM seg r JOIN (SELECT * FROM (VALUES {vals}) AS t(piece, cont)) v
+      ON v.cont = (r.pos > 1)
+     AND substr(r.word, r.pos, length(v.piece)) = v.piece
+    WHERE r.pos <= length(r.word)
+      AND NOT EXISTS (
+        SELECT 1 FROM (SELECT * FROM (VALUES {vals}) AS t2(piece, cont)) v2
+        WHERE v2.cont = (r.pos > 1)
+          AND length(v2.piece) > length(v.piece)
+          AND substr(r.word, r.pos, length(v2.piece)) = v2.piece)
+)"""
+
+
+_WORDPIECE_FINAL = """
+SELECT CASE WHEN s.pos - length(s.piece) > 1 THEN '##' || s.piece
+            ELSE s.piece END AS piece,
+       count(DISTINCT s.word) AS n_words,
+       CAST(sum(w.n_occ) AS BIGINT) AS total_count
+FROM seg s JOIN wp_counts w ON s.word = w.word
+WHERE s.piece IS NOT NULL
+GROUP BY 1
+"""
+
+
+def wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer APPLICATION as a recursive set operation:
+    greedy longest-match segmentation of every corpus word against a
+    fixed (piece, is_continuation) vocabulary, emitted as the global
+    piece histogram (occurrence-weighted; continuations shown with
+    the conventional ## prefix).
+
+    The usual framing of tokenizer application is a per-row UDF loop;
+    this runs it as ``WITH RECURSIVE`` over the DISTINCT-WORD grain —
+    the scale insight being that a tokenizer consumes the corpus'
+    word-type vocabulary, not its token stream: segmentation cost is
+    O(types x word-length), and the token-stream weights join back as
+    one word-grain aggregate.  Recursion depth is bounded by the max
+    word length; every step joins the frontier against the tiny
+    static vocab (broadcast both engines).  Identical recursive SQL
+    runs on Spark 4 and DuckDB — the oracle differs only in its word
+    CTE and the NULL cast spelling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True)  # recursion re-reads the frontier seed
+    )
+    words.select("word").createOrReplaceTempView("wp_words")
+    words.createOrReplaceTempView("wp_counts")
+    return spark.sql(
+        "WITH RECURSIVE " + _wordpiece_seg_sql("STRING") + _WORDPIECE_FINAL
+    )
+
+
+WORDPIECE_ORACLE = (
+    r"""
+WITH RECURSIVE wp_words AS (
+    SELECT word FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents) WHERE word <> ''
+    GROUP BY word
+), wp_counts AS (
+    SELECT word, count(*) AS n_occ FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents) WHERE word <> ''
+    GROUP BY word
+), """
+    + _wordpiece_seg_sql("VARCHAR").lstrip()
+    + _WORDPIECE_FINAL
+)
+
+
 CORPUS_STATS_QUERIES = [
     ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
      "inverted index: df + bounded postings sample, one term shuffle"),
@@ -371,5 +486,6 @@ CORPUS_STATS_QUERIES = [
     ("bpe_pair_counts", bpe_pair_counts, BPE_ORACLE,
      "BPE training step 1: word-frequency-weighted adjacent char pairs"),
     ("source_zscore_quality", source_zscore_quality, ZSCORE_ORACLE,
-     "per-source z-score + percentile rank of doc length"),
+     "per-source z-score + percentile rank of doc length"),    ("wordpiece_tokenize", wordpiece_tokenize, WORDPIECE_ORACLE,
+     "WordPiece application as WITH RECURSIVE over the word-type grain; piece histogram"),
 ]

@@ -185,6 +185,9 @@ QUERIES = [
     # pre-flight rides key-grain tables only — wall time tracks the
     # two key-column scans
     "join_size_preflight",
+    # wordpiece recursion runs at word-TYPE grain: the salted REPx
+    # corpus grows types REPx, so the curve tests exactly the claim
+    "wordpiece_tokenize",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
