@@ -533,6 +533,77 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --- Temperature-scaled mixture weights -------------------------------------
+
+#: sampling temperature alpha: q_i ∝ p_i^alpha.  0.3 is the
+#: multilingual-LM convention (XLM-R / mT5 lineage) — upsamples the
+#: tail languages without flattening the head entirely.
+MIX_TEMPERATURE = 0.3
+#: resample budget the expected counts are stated against.
+MIX_BUDGET = 100_000
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language:
+    q_i = p_i^alpha / sum_j p_j^alpha with p_i the corpus share —
+    the standard multilingual rebalancing rule (alpha=1 keeps the
+    natural distribution, alpha→0 approaches uniform).  Emits, per
+    language, the natural share, the tempered weight, the expected
+    resample count at ``MIX_BUDGET``, and the upsampling factor —
+    the inputs a mixture manifest (mixture_rebalance_corpus) consumes.
+
+    Scale shape: one language-grain aggregate (broadcast-tiny), the
+    tempering a scalar cross-join — nothing grows with the corpus
+    but the first count scan.  The weight normalization sums one
+    double per language; rounded at 6 (error ~1e-15 across ~20
+    groups, far under the quantum).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(
+            F.pow(F.col("n_docs").cast("double"), F.lit(MIX_TEMPERATURE))
+        ).alias("z_raw"),
+    )
+    # q_i ∝ n_i^a / Z with Z = Σ n_j^a — equal to normalizing p_i^a
+    # (the N^a factor cancels), and exact-int bases keep pow inputs
+    # identical cross-engine
+    p = F.col("n_docs") / F.col("n_total")
+    q = F.pow(F.col("n_docs").cast("double"), F.lit(MIX_TEMPERATURE)) / F.col("z_raw")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("p_natural"),
+            F.round(q, 6).alias("q_tempered"),
+            F.round(q * MIX_BUDGET).cast("long").alias("expected_n"),
+            F.round(q / p, 6).alias("upsample_factor"),
+        )
+    )
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), totals AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+           sum(power(CAST(n_docs AS DOUBLE), {MIX_TEMPERATURE})) AS z_raw
+    FROM counts
+)
+SELECT lang, n_docs,
+       round(n_docs / CAST(n_total AS DOUBLE), 6) AS p_natural,
+       round(power(CAST(n_docs AS DOUBLE), {MIX_TEMPERATURE}) / z_raw, 6)
+           AS q_tempered,
+       CAST(round(power(CAST(n_docs AS DOUBLE), {MIX_TEMPERATURE}) / z_raw
+                  * {MIX_BUDGET}) AS BIGINT) AS expected_n,
+       round((power(CAST(n_docs AS DOUBLE), {MIX_TEMPERATURE}) / z_raw)
+             / (n_docs / CAST(n_total AS DOUBLE)), 6) AS upsample_factor
+FROM counts CROSS JOIN totals
+"""
+
+
 SELECTION_QUERIES = [
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
      "DSIR (Xie et al. 2023): hashed-feature importance log-weights vs a target domain"),
@@ -544,4 +615,6 @@ SELECTION_QUERIES = [
      "Efraimidis-Spirakis weighted sampling w/o replacement, md5-deterministic global top-k"),
     ("char_entropy_quality", char_entropy_quality, CHAR_ENTROPY_ORACLE,
      "per-doc character Shannon entropy, zero-shuffle sorted-run scan (degenerate-text filter)"),
+    ("temperature_mixture_weights", temperature_mixture_weights, TEMPERATURE_MIX_ORACLE,
+     "temperature-scaled (p^alpha) language sampling weights + expected resample counts"),
 ]

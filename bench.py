@@ -238,6 +238,7 @@ HEADLINE += [
     "streaming_heavy_hitters",
     "join_size_preflight",
     "wordpiece_tokenize",
+    "temperature_mixture_weights",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).
