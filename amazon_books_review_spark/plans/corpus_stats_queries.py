@@ -476,6 +476,70 @@ WITH RECURSIVE wp_words AS (
 )
 
 
+# ---------------------------------------------------------------------------
+# n-gram novelty (memorization-risk scoring)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3  # shingle width
+
+
+def gram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word {n}-grams that appear in NO other document — the
+    memorization-risk / contamination-adjacent profile (a doc whose
+    grams are all shared is boilerplate or a duplicate; a doc that is
+    all-novel is unique content worth its training tokens).
+
+    Scale shape: distinct shingles per doc explode once; gram
+    document-frequency is a gram-grain aggregate of that same frame
+    (grain-reduced before the join back, so a hot gram costs one
+    build-side row); the per-doc fraction is a doc-grain aggregate.
+    Two shuffles total, both on reduced grains — never an all-pairs
+    term.  Integer ratio, hash-exact.
+    """
+    from amazon_books_review_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "doc_id", "text", n=NOVELTY_N)
+    gram_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(gram_df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )
+
+
+GRAM_NOVELTY_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [list_reduce(words[i:i+{NOVELTY_N - 1}], (a, b) -> a || ' ' || b)
+         for i in range(1, len(words) - {NOVELTY_N - 2})]
+    )) AS shingle
+    FROM docs
+), gram_df AS (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN g.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN g.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS novelty
+FROM sh s JOIN gram_df g USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 CORPUS_STATS_QUERIES = [
     ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
      "inverted index: df + bounded postings sample, one term shuffle"),
@@ -487,5 +551,6 @@ CORPUS_STATS_QUERIES = [
      "BPE training step 1: word-frequency-weighted adjacent char pairs"),
     ("source_zscore_quality", source_zscore_quality, ZSCORE_ORACLE,
      "per-source z-score + percentile rank of doc length"),    ("wordpiece_tokenize", wordpiece_tokenize, WORDPIECE_ORACLE,
-     "WordPiece application as WITH RECURSIVE over the word-type grain; piece histogram"),
+     "WordPiece application as WITH RECURSIVE over the word-type grain; piece histogram"),    ("gram_novelty_scores", gram_novelty_scores, GRAM_NOVELTY_ORACLE,
+     "per-doc fraction of corpus-unique n-grams (memorization-risk profile), grain-reduced"),
 ]

@@ -239,6 +239,7 @@ HEADLINE += [
     "join_size_preflight",
     "wordpiece_tokenize",
     "temperature_mixture_weights",
+    "gram_novelty_scores",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).

@@ -188,6 +188,10 @@ QUERIES = [
     # wordpiece recursion runs at word-TYPE grain: the salted REPx
     # corpus grows types REPx, so the curve tests exactly the claim
     "wordpiece_tokenize",
+    # novelty's gram-df join is the grain-reduce claim: the salted
+    # REPx corpus grows the gram vocabulary REPx
+    "gram_novelty_scores",
+    "temperature_mixture_weights",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
