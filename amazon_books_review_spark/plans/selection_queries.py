@@ -604,6 +604,111 @@ FROM counts CROSS JOIN totals
 """
 
 
+# --- Corpus filter funnel ----------------------------------------------------
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel: Gopher document rules →
+    char-entropy floor → logistic quality cutoff, applied in sequence,
+    with per-stage kill counts — the report every corpus release ships
+    (how many documents each rule removed, and what survived).
+
+    Composes the three existing per-doc verdict operators by doc-grain
+    joins; the counts are one conditional aggregate.  The oracle
+    embeds the three operators' own oracle SQL as subqueries, so the
+    funnel cannot drift from the operators it reports on.
+
+    Scale shape: three zero-shuffle scoring scans over the same table
+    + doc-grain joins; at 100 TB you'd fuse the three verdicts into
+    one projection (they share the scan) — the composition here keeps
+    each operator's single source of truth.
+
+    On the synthetic corpus the published Gopher stopword rule kills
+    every document (the word-salad vocabulary contains only one of
+    Gopher's eight stopwords) — so gopher runs LAST and the funnel's
+    zero-survivor tail is itself the honest report; the earlier
+    stages' pass-throughs stay visible.
+    """
+    from amazon_books_review_spark.functions.text import gopher_quality_flags
+    from amazon_books_review_spark.sources.io import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    g = gopher_quality_flags(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    e = char_entropy_quality(spark, sf_dir).select(
+        "doc_id", (~F.col("low_entropy")).alias("e_keep")
+    )
+    q = quality_logistic_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    j = g.join(e, "doc_id").join(q, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((~F.col("e_keep")).cast("long")).alias("k1"),
+        F.sum((F.col("e_keep") & ~F.col("q_keep")).cast("long")).alias("k2"),
+        F.sum(
+            (F.col("e_keep") & F.col("q_keep") & ~F.col("g_keep")).cast("long")
+        ).alias("k3"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("stage_order"),
+                    F.lit("entropy_floor").alias("stage"),
+                    F.col("n0").alias("n_in"),
+                    F.col("k1").alias("n_killed"),
+                    (F.col("n0") - F.col("k1")).alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("stage_order"),
+                    F.lit("logistic_cutoff").alias("stage"),
+                    (F.col("n0") - F.col("k1")).alias("n_in"),
+                    F.col("k2").alias("n_killed"),
+                    (F.col("n0") - F.col("k1") - F.col("k2")).alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("stage_order"),
+                    F.lit("gopher_rules").alias("stage"),
+                    (F.col("n0") - F.col("k1") - F.col("k2")).alias("n_in"),
+                    F.col("k3").alias("n_killed"),
+                    (F.col("n0") - F.col("k1") - F.col("k2") - F.col("k3")).alias(
+                        "n_out"
+                    ),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage_order", "s.stage", "s.n_in", "s.n_killed", "s.n_out")
+
+
+def _funnel_oracle() -> str:
+    from amazon_books_review_spark.plans.northstar_queries import GOPHER_ORACLE
+
+    return f"""
+WITH gop AS (SELECT doc_id, keep AS g_keep FROM ({GOPHER_ORACLE})),
+ent AS (SELECT doc_id, NOT low_entropy AS e_keep FROM ({CHAR_ENTROPY_ORACLE})),
+log AS (SELECT doc_id, keep AS q_keep FROM ({QUALITY_LOGISTIC_ORACLE})),
+j AS (
+    SELECT g.g_keep, e.e_keep, l.q_keep
+    FROM gop g JOIN ent e USING (doc_id) JOIN log l USING (doc_id)
+), agg AS (
+    SELECT count(*) AS n0,
+           CAST(sum(CASE WHEN NOT e_keep THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           CAST(sum(CASE WHEN e_keep AND NOT q_keep THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+           CAST(sum(CASE WHEN e_keep AND q_keep AND NOT g_keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS k3
+    FROM j
+)
+SELECT CAST(1 AS BIGINT) AS stage_order, 'entropy_floor' AS stage,
+       n0 AS n_in, k1 AS n_killed, n0 - k1 AS n_out FROM agg
+UNION ALL
+SELECT 2, 'logistic_cutoff', n0 - k1, k2, n0 - k1 - k2 FROM agg
+UNION ALL
+SELECT 3, 'gopher_rules', n0 - k1 - k2, k3, n0 - k1 - k2 - k3 FROM agg
+"""
+
+
 SELECTION_QUERIES = [
     ("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
      "DSIR (Xie et al. 2023): hashed-feature importance log-weights vs a target domain"),
@@ -617,4 +722,6 @@ SELECTION_QUERIES = [
      "per-doc character Shannon entropy, zero-shuffle sorted-run scan (degenerate-text filter)"),
     ("temperature_mixture_weights", temperature_mixture_weights, TEMPERATURE_MIX_ORACLE,
      "temperature-scaled (p^alpha) language sampling weights + expected resample counts"),
+    ("corpus_filter_funnel", corpus_filter_funnel, _funnel_oracle(),
+     "end-to-end curation funnel: gopher -> entropy -> logistic, per-stage kill counts"),
 ]

@@ -240,6 +240,7 @@ HEADLINE += [
     "wordpiece_tokenize",
     "temperature_mixture_weights",
     "gram_novelty_scores",
+    "corpus_filter_funnel",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).
