@@ -36,16 +36,70 @@ def hash_parts(source_text: str, oracle: str | None) -> str:
     return hashlib.sha256(body.encode()).hexdigest()[:16]
 
 
+def helper_sources(fn: Callable) -> str:
+    """Source text of package-local callables ``fn`` references by
+    name, ONE level deep (static scan of the function's AST against
+    its ``__globals__``; sorted for determinism).
+
+    This is what makes the verification ledger helper-aware: the
+    round-8 KMV estimator rewrite lived entirely in a helper the
+    registered audit calls, so a fn-source-only hash kept the stale
+    green row (the r7 ``_run_masses`` pattern, again).  One level
+    covers the catalog's actual composition depth for its hot
+    helpers; a deeper rewrite below that still needs a pin
+    (``DRIVER_PINS``), which stays the documented fallback.
+    """
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError):
+        return ""
+    names = sorted(
+        {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    )
+    attrs = sorted(
+        {
+            (n.value.id, n.attr)
+            for n in ast.walk(tree)
+            if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name)
+        }
+    )
+    g = getattr(fn, "__globals__", {})
+    targets = [g.get(nm) for nm in names]
+    for mod_nm, attr in attrs:
+        mod = g.get(mod_nm)
+        if mod is not None:
+            targets.append(getattr(mod, attr, None))
+    parts: list[tuple[str, str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for obj in targets:
+        if obj is None or not callable(obj):
+            continue
+        mod = getattr(obj, "__module__", "") or ""
+        if not mod.startswith("amazon_books_review_spark"):
+            continue
+        key = (mod, getattr(obj, "__qualname__", repr(obj)))
+        if key in seen or obj is fn:
+            continue
+        seen.add(key)
+        try:
+            parts.append((key[0], key[1], inspect.getsource(obj)))
+        except (OSError, TypeError):
+            continue
+    return "".join(src for _m, _q, src in sorted(parts))
+
+
 def src_hash(fn: Callable, oracle: str | None) -> str:
     """Stable digest of a query's implementation + oracle SQL.
 
     Covers the registered function's own source (``inspect.getsource``
-    — decorator-free, since registration receives the raw function)
-    and the oracle string.  Helpers the function CALLS are not folded
-    in: a helper-only rewrite must bump something in the caller (the
-    r7 `_run_masses` rewrite pattern) or evict via the refresh script.
+    — decorator-free, since registration receives the raw function),
+    the sources of package-local callables it references one level
+    down (:func:`helper_sources`), and the oracle string.
     """
-    return hash_parts(inspect.getsource(fn), oracle)
+    return hash_parts(inspect.getsource(fn) + helper_sources(fn), oracle)
 
 
 @dataclass(frozen=True)

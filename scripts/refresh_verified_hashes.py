@@ -58,9 +58,47 @@ import amazon_books_review_spark.plans.catalog as cat
 captured = {}
 _real_query = cat.query
 
+# One-level helper-source expansion, applied IN the historical tree.
+# Newer trees carry cat.helper_sources; older ones predate it, so a
+# self-contained copy of the same rule runs here — the hash of a
+# historical green row must be computed under the CURRENT rule or
+# every entry would spuriously evict after a rule change.
+def _helper_sources(fn):
+    import ast, textwrap
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError):
+        return ""
+    names = sorted({n.id for n in ast.walk(tree) if isinstance(n, ast.Name)})
+    attrs = sorted({
+        (n.value.id, n.attr) for n in ast.walk(tree)
+        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name)})
+    g = getattr(fn, "__globals__", {})
+    targets = [g.get(nm) for nm in names]
+    for mod_nm, attr in attrs:
+        mod = g.get(mod_nm)
+        if mod is not None:
+            targets.append(getattr(mod, attr, None))
+    parts, seen = [], set()
+    for obj in targets:
+        if obj is None or not callable(obj):
+            continue
+        mod = getattr(obj, "__module__", "") or ""
+        if not mod.startswith("amazon_books_review_spark"):
+            continue
+        key = (mod, getattr(obj, "__qualname__", repr(obj)))
+        if key in seen or obj is fn:
+            continue
+        seen.add(key)
+        try:
+            parts.append((key[0], key[1], inspect.getsource(obj)))
+        except (OSError, TypeError):
+            continue
+    return "".join(src for _m, _q, src in sorted(parts))
+
 def _recording_query(name, oracle, doc=""):
     def deco(fn):
-        captured[name] = [inspect.getsource(fn), oracle]
+        captured[name] = [inspect.getsource(fn) + _helper_sources(fn), oracle]
         return _real_query(name, oracle, doc=doc)(fn)
     return deco
 

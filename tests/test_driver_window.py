@@ -308,3 +308,30 @@ def test_spark_entry_simulated_driver_window():
             f"{key} is in the driver window without an oracle and is not a "
             f"declared rows-only entry"
         )
+
+
+def test_helper_rewrite_changes_src_hash():
+    """The ledger hash must be HELPER-AWARE (the round-8 KMV incident:
+    the estimator rewrite lived in a helper the registered audit
+    calls, and a fn-source-only hash kept the stale green row).  A
+    query's src_hash folds in the one-level closure, so two functions
+    with identical bodies but different referenced helpers hash apart."""
+    from amazon_books_review_spark.plans import catalog as cat
+    from amazon_books_review_spark.plans import scale_ops_queries as sq
+
+    closure = cat.helper_sources(sq.kmv_intersection_audit)
+    assert "kmv_intersection_estimates" in closure, (
+        "one-level helper expansion lost the KMV estimator — the exact "
+        "round-8 blind spot"
+    )
+    # and the registered hash actually uses it
+    import inspect
+
+    entry = cat._REGISTRY.get("kmv_intersection_audit")
+    if entry is not None:
+        expected = cat.hash_parts(
+            inspect.getsource(sq.kmv_intersection_audit)
+            + cat.helper_sources(sq.kmv_intersection_audit),
+            entry.oracle,
+        )
+        assert entry.src_hash == expected
