@@ -1,17 +1,19 @@
-"""Retrieval queries: BM25 term-at-a-time scoring and MinHash
-containment (doc-inside-doc detection).
+"""Retrieval queries: BM25 term-at-a-time scoring, MinHash
+containment (doc-inside-doc detection), and the LSH recall audit.
 
-Both are corpus-scale retrieval primitives a training-data platform
-runs constantly — BM25 for quality-targeted selection and eval-set
-construction (the lexical retriever behind most RAG/decontam probes),
-containment for detecting quotation/inclusion relationships that
+All are corpus-scale retrieval/dedup primitives a training-data
+platform runs constantly — BM25 for quality-targeted selection and
+eval-set construction (the lexical retriever behind most RAG/decontam
+probes), containment for quotation/inclusion relationships that
 symmetric Jaccard misses (a 100-word doc pasted inside a 10k-word doc
-has low Jaccard but containment ~1).
+has low Jaccard but containment ~1), and the recall audit as the
+acceptance test certifying a band configuration before a full-corpus
+dedup run.
 
 Determinism discipline: BM25's floats derive from exact integer
 counts through a fixed expression tree (one ln, a handful of IEEE
-ops — identical in any engine, rounded at 6); containment is an
-integer ratio.  Both hash-check exactly.
+ops — identical in any engine, rounded at 6); containment and the
+audit's recall/precision are integer ratios.  All hash-check exactly.
 """
 
 from __future__ import annotations
