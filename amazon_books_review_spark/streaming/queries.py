@@ -650,6 +650,98 @@ HAVING count(*) * {STREAM_HH_CAP + 1} > (SELECT count(*) FROM events)
 """
 
 
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL VIEW MAINTENANCE: a per-customer order
+    rollup maintained across micro-batches — each batch aggregates
+    only its own rows (the delta) and merges into the previous rollup
+    SNAPSHOT, committed as a new ``VersionedTable`` version.  The base
+    order stream is never rescanned; by the drain's end the table
+    holds one version per micro-batch and the latest equals the batch
+    rollup over all orders (the oracle).
+
+    Exactly-once: ``foreachBatch`` may re-deliver a batch after a
+    failure, so the fold is IDEMPOTENT — a batch whose ``note`` is
+    already in the version history is skipped (the versioned commit
+    acts as the transaction marker, the same pattern Delta's
+    ``txnAppId/txnVersion`` sink options implement).
+
+    Scale shape: per batch one delta aggregate (batch-sized) + one
+    customer-grain full-outer merge against the prior snapshot — the
+    streaming twin of the batch ``incremental_agg_orders``; at 100 TB
+    the snapshot is the stored materialization and the merge cost
+    follows the TOUCHED customer count, not the base size.
+    """
+    from amazon_books_review_spark.sources.versioned import (
+        VersionedTable,
+        VersionNotFoundError,
+    )
+
+    out = fixtures.ephemeral_dir("abr_stream_ivm_")
+    feed, ckpt = f"{out}/feed", f"{out}/ckpt"
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    orders.repartition(4).write.parquet(feed)
+    vt = VersionedTable(f"{out}/rollup")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        note = f"batch={batch_id}"
+        if any(h.get("note") == note for h in vt.history()):
+            return  # replayed batch — already committed
+        delta = batch_df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+        )
+        try:
+            prev = vt.read(spark)
+        except VersionNotFoundError:
+            merged = delta
+        else:
+            p = prev.select(
+                "o_custkey",
+                F.col("n_orders").alias("p_n"),
+                F.col("total_cents").alias("p_c"),
+            )
+            merged = p.join(delta, "o_custkey", "full_outer").select(
+                "o_custkey",
+                (F.coalesce("p_n", F.lit(0)) + F.coalesce("n_orders", F.lit(0))).alias(
+                    "n_orders"
+                ),
+                (F.coalesce("p_c", F.lit(0)) + F.coalesce("total_cents", F.lit(0))).alias(
+                    "total_cents"
+                ),
+            )
+        vt.write(merged, note=note)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName("streaming_incremental_rollup")
+            .start()
+        )
+        q.awaitTermination()
+    return vt.read(spark).select("o_custkey", "n_orders", "total_cents")
+
+
+STREAM_IVM_ORACLE = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 STREAMING_QUERIES = [
     ("streaming_windowed_counts", streaming_windowed_counts, STREAMING_WINDOWED_ORACLE,
      "ST1-ST6: watermarked tumbling window agg, complete mode == batch"),
@@ -670,6 +762,8 @@ STREAMING_QUERIES = [
      "live drift on a RUNNING stream: gated stop->widen->restart, exactly-once sink"),
     ("streaming_heavy_hitters", streaming_heavy_hitters, STREAM_HH_ORACLE,
      "stateful streaming Misra-Gries: per-batch candidates folded via foreachBatch, exact recount"),
+    ("streaming_incremental_rollup", streaming_incremental_rollup, STREAM_IVM_ORACLE,
+     "streaming IVM: per-batch delta merged into a versioned rollup snapshot, idempotent commits"),
 ]
 
 # transformWithStateInPandas needs the python protobuf package for

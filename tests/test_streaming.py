@@ -506,3 +506,29 @@ def test_salted_stream_stream_join_equals_unsalted(spark):
     )
     assert hot.n >= STREAM_JOIN_SALTS, "testdata too small for the scatter check"
     assert hot.k > 1, "hot user's purchases all landed on one salt"
+
+
+def test_streaming_incremental_rollup_matches_batch(spark):
+    """Stream-batch equivalence for the IVM stream: after draining the
+    4-file feed one micro-batch at a time, the latest versioned rollup
+    snapshot must equal the batch rollup over all orders."""
+    from amazon_books_review_spark.streaming.queries import (
+        streaming_incremental_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_incremental_rollup(spark, sf)
+    import pyspark.sql.functions as F
+
+    expected = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
