@@ -540,6 +540,125 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (the iterative loop; bpe_pair_counts is round 0)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8  # merge rounds to train
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE tokenizer's merge list (Sennrich et al. 2016): the
+    iterative loop ``bpe_pair_counts`` is round zero of — each round
+    counts occurrence-weighted adjacent symbol pairs over the word
+    types, picks the most frequent (ties to lexicographically
+    smallest), and fuses it everywhere.  Output: the learned merge
+    table (round, left, right, merged, count) — the tokenizer
+    artifact itself, ``BPE_MERGES`` rows.
+
+    Scale shape (the same discipline as the k-means loop): per round
+    one pair-grain aggregate over the WORD-TYPE table (types, not the
+    token stream — the whole-corpus weights came along in the one
+    initial aggregate) and a single 1-row driver sync (the argmax
+    pair, the loop-carried decision).  The merge itself is a map-side
+    string replace; symbol strings are space-delimited so the
+    replace-based fuse is exactly the greedy left-to-right
+    non-overlapping BPE step, and the DuckDB oracle replays every
+    round as a CTE pair with the identical replace.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True)
+    )
+    # ' t h e ' — leading/trailing spaces make every pair ' l r '
+    rep = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("word"), ""), " "),
+            F.lit(" "),
+        ).alias("rep"),
+        "n_occ",
+    )
+    merges = []
+    for rnd in range(1, BPE_MERGES + 1):
+        pairs = (
+            rep.select(
+                "n_occ",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(split(trim(rep), ' '), 1, size(split(trim(rep), ' ')) - 1)").alias("l"),
+                        F.expr("slice(split(trim(rep), ' '), 2, size(split(trim(rep), ' ')) - 1)").alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n_occ").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).first()  # the 1-row loop-carried sync (kmeans-centroid discipline)
+        merges.append((rnd, best["l"], best["r"], best["l"] + best["r"], best["cnt"]))
+        rep = rep.select(
+            F.replace(
+                F.col("rep"),
+                F.lit(f" {best['l']} {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ).alias("rep"),
+            "n_occ",
+        )
+    return spark.createDataFrame(
+        merges, "merge_round long, l string, r string, merged string, cnt long"
+    )
+
+
+def _bpe_train_oracle() -> str:
+    rounds = []
+    for i in range(BPE_MERGES):
+        rounds.append(f"""
+p{i} AS (
+    SELECT a AS l, b AS r, CAST(sum(n_occ) AS BIGINT) AS cnt
+    FROM (
+      SELECT n_occ,
+             unnest(syms[1:len(syms)-1]) AS a,
+             unnest(syms[2:len(syms)]) AS b
+      FROM (SELECT string_split(trim(rep), ' ') AS syms, n_occ FROM r{i})
+    )
+    GROUP BY a, b
+), b{i} AS (
+    SELECT l, r, cnt FROM p{i}
+    ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), r{i + 1} AS (
+    SELECT replace(rep, ' ' || b.l || ' ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' ') AS rep, n_occ
+    FROM r{i} CROSS JOIN b{i} b
+)""")
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_round, l, r, l || r AS merged, cnt"
+        f" FROM b{i}"
+        for i in range(BPE_MERGES)
+    )
+    return f"""
+WITH words AS (
+    SELECT word, count(*) AS n_occ FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents)
+    WHERE word <> '' GROUP BY word
+), r0 AS (
+    SELECT ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS rep,
+           n_occ
+    FROM words
+),{",".join(rounds)}
+SELECT * FROM (
+  {unions}
+)
+"""
+
+
 CORPUS_STATS_QUERIES = [
     ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
      "inverted index: df + bounded postings sample, one term shuffle"),
@@ -552,5 +671,6 @@ CORPUS_STATS_QUERIES = [
     ("source_zscore_quality", source_zscore_quality, ZSCORE_ORACLE,
      "per-source z-score + percentile rank of doc length"),    ("wordpiece_tokenize", wordpiece_tokenize, WORDPIECE_ORACLE,
      "WordPiece application as WITH RECURSIVE over the word-type grain; piece histogram"),    ("gram_novelty_scores", gram_novelty_scores, GRAM_NOVELTY_ORACLE,
-     "per-doc fraction of corpus-unique n-grams (memorization-risk profile), grain-reduced"),
+     "per-doc fraction of corpus-unique n-grams (memorization-risk profile), grain-reduced"),    ("bpe_train_merges", bpe_train_merges, _bpe_train_oracle(),
+     "BPE merge-list training: K argmax-merge rounds over the word-type table"),
 ]

@@ -192,6 +192,9 @@ QUERIES = [
     # REPx corpus grows the gram vocabulary REPx
     "gram_novelty_scores",
     "temperature_mixture_weights",
+    # BPE rounds aggregate the word-TYPE table (types grow REPx under
+    # the salted corpus — the grain claim under test)
+    "bpe_train_merges",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
