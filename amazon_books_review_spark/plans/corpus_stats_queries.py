@@ -659,6 +659,60 @@ SELECT * FROM (
 """
 
 
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges: replay the ``BPE_MERGES`` fuses
+    over every word type and emit the resulting token histogram
+    (token, n_words, total_count) — training and application as two
+    catalog queries sharing one merge list, the full tokenizer story
+    (pair counts -> merge training -> application; wordpiece covers
+    the longest-match family).
+
+    The merge list is the 8-row training output (a driver-side
+    constant by contract, like k-means centroids); application is a
+    chain of map-side string replaces over the word-TYPE table — at
+    100 TB the token stream never participates until the final
+    occurrence-weighted histogram join, which arrives pre-reduced at
+    word grain.
+    """
+    merges = bpe_train_merges(spark, sf_dir).collect()  # K rows by contract
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    rep = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("word"), ""), " "), F.lit(" ")
+    )
+    for m in sorted(merges, key=lambda r: r["merge_round"]):
+        rep = F.replace(rep, F.lit(f" {m['l']} {m['r']} "), F.lit(f" {m['merged']} "))
+    return (
+        words.select("n_occ", F.explode(F.split(F.trim(rep), " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_occ").alias("total_count"),
+        )
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    # reuse the training chain verbatim; tokenize from the FINAL rep
+    train = _bpe_train_oracle()
+    head, _sep, _tail = train.partition("SELECT * FROM (")
+    return f"""{head}
+SELECT token,
+       count(*) AS n_words,
+       CAST(sum(n_occ) AS BIGINT) AS total_count
+FROM (
+    SELECT n_occ, unnest(string_split(trim(rep), ' ')) AS token
+    FROM r{BPE_MERGES}
+)
+GROUP BY token
+"""
+
+
 CORPUS_STATS_QUERIES = [
     ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
      "inverted index: df + bounded postings sample, one term shuffle"),
@@ -672,5 +726,6 @@ CORPUS_STATS_QUERIES = [
      "per-source z-score + percentile rank of doc length"),    ("wordpiece_tokenize", wordpiece_tokenize, WORDPIECE_ORACLE,
      "WordPiece application as WITH RECURSIVE over the word-type grain; piece histogram"),    ("gram_novelty_scores", gram_novelty_scores, GRAM_NOVELTY_ORACLE,
      "per-doc fraction of corpus-unique n-grams (memorization-risk profile), grain-reduced"),    ("bpe_train_merges", bpe_train_merges, _bpe_train_oracle(),
-     "BPE merge-list training: K argmax-merge rounds over the word-type table"),
+     "BPE merge-list training: K argmax-merge rounds over the word-type table"),    ("bpe_apply_tokenize", bpe_apply_tokenize, _bpe_apply_oracle(),
+     "apply the learned BPE merges over word types; occurrence-weighted token histogram"),
 ]

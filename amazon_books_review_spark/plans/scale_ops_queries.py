@@ -1099,6 +1099,98 @@ def _kmeans_oracle() -> str:
 KM_ROUTED_G = 3
 
 
+#: k-center coreset size (greedy farthest-point picks).
+KC_K = 8
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings (Gonzalez 1985
+    farthest-point traversal): seed with the lowest vec_id, then K-1
+    times pick the point FARTHEST from every selected center — the
+    classic diversity sampler for data selection (the 2-approximation
+    to the k-center cover), and the decreasing ``dist_sq`` column IS
+    the coverage-radius curve a curator reads to choose K.
+
+    Determinism: the same KM_Q-quantized int64 squared-L2 as the
+    k-means family — every distance exact, ties to the lowest vec_id,
+    so DuckDB replays the full traversal CTE-for-CTE.
+
+    Scale shape (the k-means loop discipline): the loop state is one
+    running ``dmin`` column over the points (updated map-side against
+    the latest center, a dim-sized literal); each round costs one
+    linear scan plus a 1-row argmax driver sync, and the frame is
+    checkpointed per round so lineage stays flat.  Total K scans —
+    never a pairwise term.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * KM_Q).cast("long")
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    def d2_to(center_qv: list[int]):
+        return F.aggregate(
+            F.zip_with("qv", F.lit(center_qv), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = pts.orderBy("vec_id").first()
+    picks = [(0, seed["vec_id"], None)]
+    state = pts.withColumn("dmin", d2_to(seed["qv"]))
+    for i in range(1, KC_K):
+        best = state.orderBy(F.col("dmin").desc(), F.col("vec_id").asc()).first()
+        picks.append((i, best["vec_id"], best["dmin"]))
+        state = state.withColumn(
+            "dmin", F.least("dmin", d2_to(best["qv"]))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "pick_order long, vec_id long, dist_sq long"
+    )
+
+
+def _kcenter_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (a.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)])"
+        " * (a.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)])))"
+    ).format(d=KM_DIM)
+    rounds = []
+    for i in range(1, KC_K):
+        rounds.append(f"""
+c{i} AS (
+    SELECT vec_id, dmin AS dist_sq FROM d{i}
+    ORDER BY dmin DESC, vec_id ASC LIMIT 1
+), d{i + 1} AS (
+    SELECT a.vec_id, a.qv,
+           least(a.dmin, CAST({dist} AS BIGINT)) AS dmin
+    FROM d{i} a, (SELECT q.qv FROM q JOIN c{i} USING (vec_id)) c
+)""")
+    unions = " ".join(
+        f"UNION ALL SELECT CAST({i} AS BIGINT), vec_id, dist_sq FROM c{i}"
+        for i in range(1, KC_K)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {KM_Q}) AS BIGINT)) AS qv
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id, CAST(NULL AS BIGINT) AS dist_sq FROM q
+    ORDER BY vec_id LIMIT 1
+), d1 AS (
+    SELECT a.vec_id, a.qv, CAST({dist} AS BIGINT) AS dmin
+    FROM q a, (SELECT q.qv FROM q JOIN c0 USING (vec_id)) c
+),{",".join(rounds)}
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS pick_order, vec_id, dist_sq FROM c0
+  {unions}
+)
+"""
+
+
 #: silhouette probe set: vec_id < N — bounded by contract, like the
 #: ANN recall audit's probe sampling (northstar_queries.py).
 SIL_PROBES = 32
@@ -1886,6 +1978,8 @@ SCALE_OPS_QUERIES = [
      "fixed-point integer PageRank, 5 iterations over co-purchase graph"),
     ("kmeans_silhouette_audit", kmeans_silhouette_audit, _silhouette_oracle(),
      "sampled silhouette over the k-means assignment, exact-int64 squared-L2 audit"),
+    ("kcenter_coreset", kcenter_coreset, _kcenter_oracle(),
+     "greedy farthest-point k-center coreset + coverage-radius curve, exact int64"),
     ("kmeans_quantized_assign", kmeans_quantized_assign, _kmeans_oracle(),
      "deterministic quantized k-means, 2 Lloyd iterations"),
     ("kmeans_routed_assign", kmeans_routed_assign, _kmeans_routed_oracle(),

@@ -243,6 +243,8 @@ HEADLINE += [
     "corpus_filter_funnel",
     "streaming_incremental_rollup",
     "bpe_train_merges",
+    "bpe_apply_tokenize",
+    "kcenter_coreset",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).

@@ -195,6 +195,8 @@ QUERIES = [
     # BPE rounds aggregate the word-TYPE table (types grow REPx under
     # the salted corpus — the grain claim under test)
     "bpe_train_merges",
+    # k-center scans points K times; embeddings scale REPx
+    "kcenter_coreset",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
