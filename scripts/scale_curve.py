@@ -406,8 +406,15 @@ def main() -> None:
             ).mode("overwrite").save()
             row = {}
             for label, d in (("1x", one_x), (big, SCALED_DIR)):
-                df = fns[label](spark, d)
+                # t0 BEFORE the fn call (bench.py's methodology):
+                # iterative operators (k-means Lloyd syncs, BPE merge
+                # rounds, the k-center traversal) do real work at
+                # query-CONSTRUCTION time via bounded driver syncs —
+                # timing only the action measured an 8-row local frame
+                # for those (caught round 9; the second species of the
+                # round-8 count-pruning hole)
                 t0 = time.perf_counter()
+                df = fns[label](spark, d)
                 if name in FORCE_ALL_COLUMNS:
                     df.write.format("noop").mode("overwrite").save()
                     sec = round(time.perf_counter() - t0, 3)
