@@ -547,34 +547,23 @@ GROUP BY s.doc_id
 BPE_MERGES = 8  # merge rounds to train
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN a BPE tokenizer's merge list (Sennrich et al. 2016): the
-    iterative loop ``bpe_pair_counts`` is round zero of — each round
-    counts occurrence-weighted adjacent symbol pairs over the word
-    types, picks the most frequent (ties to lexicographically
-    smallest), and fuses it everywhere.  Output: the learned merge
-    table (round, left, right, merged, count) — the tokenizer
-    artifact itself, ``BPE_MERGES`` rows.
-
-    Scale shape (the same discipline as the k-means loop): per round
-    one pair-grain aggregate over the WORD-TYPE table (types, not the
-    token stream — the whole-corpus weights came along in the one
-    initial aggregate) and a single 1-row driver sync (the argmax
-    pair, the loop-carried decision).  The merge itself is a map-side
-    string replace; symbol strings are space-delimited so the
-    replace-based fuse is exactly the greedy left-to-right
-    non-overlapping BPE step, and the DuckDB oracle replays every
-    round as a CTE pair with the identical replace.
-    """
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-weighted word-type table, checkpointed once —
+    shared by BPE training and application so the corpus tokenizes
+    exactly once when the two run back to back."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .localCheckpoint(eager=True)
     )
-    # ' t h e ' — leading/trailing spaces make every pair ' l r '
+
+
+def _bpe_merge_rounds(words: DataFrame) -> list[tuple]:
+    """The K argmax-merge rounds over a word-type table; returns the
+    learned (round, l, r, merged, cnt) list."""
     rep = words.select(
         F.concat(
             F.lit(" "),
@@ -610,6 +599,29 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep"),
             "n_occ",
         )
+    return merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a BPE tokenizer's merge list (Sennrich et al. 2016): the
+    iterative loop ``bpe_pair_counts`` is round zero of — each round
+    counts occurrence-weighted adjacent symbol pairs over the word
+    types, picks the most frequent (ties to lexicographically
+    smallest), and fuses it everywhere.  Output: the learned merge
+    table (round, left, right, merged, count) — the tokenizer
+    artifact itself, ``BPE_MERGES`` rows.
+
+    Scale shape (the same discipline as the k-means loop): per round
+    one pair-grain aggregate over the WORD-TYPE table (types, not the
+    token stream — the whole-corpus weights came along in the one
+    initial aggregate) and a single 1-row driver sync (the argmax
+    pair, the loop-carried decision).  The merge itself is a map-side
+    string replace; symbol strings are space-delimited so the
+    replace-based fuse is exactly the greedy left-to-right
+    non-overlapping BPE step, and the DuckDB oracle replays every
+    round as a CTE pair with the identical replace.
+    """
+    merges = _bpe_merge_rounds(_bpe_words(spark, sf_dir))
     return spark.createDataFrame(
         merges, "merge_round long, l string, r string, merged string, cnt long"
     )
@@ -668,25 +680,21 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the longest-match family).
 
     The merge list is the 8-row training output (a driver-side
-    constant by contract, like k-means centroids); application is a
-    chain of map-side string replaces over the word-TYPE table — at
-    100 TB the token stream never participates until the final
+    constant by contract, like k-means centroids) learned over the
+    SAME checkpointed word-type table the application then segments —
+    the corpus tokenizes exactly once for both phases.  Application
+    is a chain of map-side string replaces over word types; at 100 TB
+    the token stream never participates until the final
     occurrence-weighted histogram join, which arrives pre-reduced at
     word grain.
     """
-    merges = bpe_train_merges(spark, sf_dir).collect()  # K rows by contract
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-    )
+    words = _bpe_words(spark, sf_dir)
+    merges = _bpe_merge_rounds(words)
     rep = F.concat(
         F.lit(" "), F.array_join(F.split(F.col("word"), ""), " "), F.lit(" ")
     )
-    for m in sorted(merges, key=lambda r: r["merge_round"]):
-        rep = F.replace(rep, F.lit(f" {m['l']} {m['r']} "), F.lit(f" {m['merged']} "))
+    for _rnd, l, r, merged, _cnt in merges:
+        rep = F.replace(rep, F.lit(f" {l} {r} "), F.lit(f" {merged} "))
     return (
         words.select("n_occ", F.explode(F.split(F.trim(rep), " ")).alias("token"))
         .groupBy("token")
