@@ -367,6 +367,14 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9 join pre-flight: two key-grain aggs + one key-grain join;
     # the product arithmetic never materializes a joined fact row
     "join_size_preflight": (14, 2, 0),
+    # round-9 corpus ops: gram-grain df join; doc-grain verdict joins;
+    # recursion frontier x broadcast vocab; scalar-broadcast tempering;
+    # token histogram over the shared word-type checkpoint
+    "gram_novelty_scores": (6, 2, 0),
+    "corpus_filter_funnel": (6, 4, 0),
+    "wordpiece_tokenize": (6, 2, 0),
+    "temperature_mixture_weights": (8, 0, 2),
+    "bpe_apply_tokenize": (2, 0, 0),
 }
 
 
