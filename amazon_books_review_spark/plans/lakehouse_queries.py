@@ -242,6 +242,80 @@ GROUP BY o_custkey
 """
 
 
+# deterministic synthetic v2 of the documents table (the CDC-mod style)
+DOCV_UPD_MOD = 7    # text gets ' updated' appended
+DOCV_INS_MOD = 11   # spawns a new doc at doc_id + DOCV_ID_OFFSET
+DOCV_DEL_MOD = 13   # dropped from v2 (delete wins over update)
+DOCV_ID_OFFSET = 1_000_000
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff: what changed between corpus v1 and v2,
+    summarized per Delta-CDF change type with document and character
+    accounting — the "diff the new crawl against the last release"
+    report a data curator signs off before retraining.
+
+    v2 derives deterministically from v1 (modulus rules, the MERGE
+    fixture style): deletes win over updates; inserts spawn under
+    offset ids.  The diff is ONE full-outer key join
+    (`operators/cdc.snapshot_diff`), then a change-type-grain
+    aggregate — at 100 TB both snapshots shuffle once on doc_id and
+    the report is 4 rows.  The oracle states the expected feed in
+    closed form from the same rules, so a diff bug or a rule bug
+    breaks the hash.
+    """
+    from amazon_books_review_spark.operators.cdc import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = docs.filter(F.col("doc_id") % DOCV_DEL_MOD != 0)
+    v2 = (
+        survivors.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % DOCV_UPD_MOD == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % DOCV_INS_MOD == 0).select(
+                (F.col("doc_id") + DOCV_ID_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    feed = snapshot_diff(docs, v2, "doc_id")
+    return (
+        feed.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            F.col("_change_type").alias("change_type"), "n_docs", "total_chars"
+        )
+    )
+
+
+CORPUS_VERSION_DIFF_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT * FROM (
+  SELECT 'insert' AS change_type,
+         count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_chars
+  FROM d WHERE doc_id % {DOCV_INS_MOD} = 0
+  UNION ALL
+  SELECT 'delete', count(*), CAST(sum(n) AS BIGINT)
+  FROM d WHERE doc_id % {DOCV_DEL_MOD} = 0
+  UNION ALL
+  SELECT 'update_preimage', count(*), CAST(sum(n) AS BIGINT)
+  FROM d WHERE doc_id % {DOCV_UPD_MOD} = 0 AND doc_id % {DOCV_DEL_MOD} <> 0
+  UNION ALL
+  SELECT 'update_postimage', count(*), CAST(sum(n + 8) AS BIGINT)
+  FROM d WHERE doc_id % {DOCV_UPD_MOD} = 0 AND doc_id % {DOCV_DEL_MOD} <> 0
+) WHERE n_docs > 0
+"""
+
+
 LAKEHOUSE_QUERIES = [
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE,
      "MERGE INTO semantics (update + insert + conditional delete) in one full-outer pass"),
@@ -249,4 +323,6 @@ LAKEHOUSE_QUERIES = [
      "Change Data Feed between snapshots (Delta CDF vocabulary) via one key diff join"),
     ("incremental_agg_orders", incremental_agg_orders, INCREMENTAL_AGG_ORACLE,
      "incremental view maintenance: base rollup (+) signed CDC delta == full recompute"),
+    ("corpus_version_diff", corpus_version_diff, CORPUS_VERSION_DIFF_ORACLE,
+     "dataset-release diff per change type with doc + char accounting, one key diff join"),
 ]

@@ -372,6 +372,52 @@ def kmv_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersection_estimates(elems)
 
 
+def kmv_difference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set DIFFERENCE estimation from the same KMV/theta
+    sketches as the intersection audit: |A\\B| ~ est(A) - est(A∩B) —
+    completing the sketch algebra (union is HLL's native op,
+    intersection and difference are theta's).  Audited against the
+    exact difference; same engine-exact arithmetic discipline.
+
+    Scale: zero additional sketch passes — the difference is derived
+    from the intersection audit's own 1-row frame, so at 100 TB this
+    is free once the intersection audit runs.
+    """
+    est = kmv_intersection_audit(spark, sf_dir)
+    tol = F.lit(KMV_TOLERANCE)
+    d_ab = F.round(F.col("est_a") - F.col("est_inter"), 2)
+    d_ba = F.round(F.col("est_b") - F.col("est_inter"), 2)
+    return est.select(
+        (F.col("exact_a") - F.col("exact_inter")).alias("exact_a_minus_b"),
+        (F.col("exact_b") - F.col("exact_inter")).alias("exact_b_minus_a"),
+        d_ab.alias("est_a_minus_b"),
+        d_ba.alias("est_b_minus_a"),
+        (
+            F.abs(d_ab - (F.col("exact_a") - F.col("exact_inter")))
+            <= tol * (F.col("exact_a") - F.col("exact_inter"))
+        ).alias("ab_within_tol"),
+        (
+            F.abs(d_ba - (F.col("exact_b") - F.col("exact_inter")))
+            <= tol * (F.col("exact_b") - F.col("exact_inter"))
+        ).alias("ba_within_tol"),
+    )
+
+
+def _kmv_difference_oracle() -> str:
+    return f"""
+WITH base AS ({{base}})
+SELECT exact_a - exact_inter AS exact_a_minus_b,
+       exact_b - exact_inter AS exact_b_minus_a,
+       round(est_a - est_inter, 2) AS est_a_minus_b,
+       round(est_b - est_inter, 2) AS est_b_minus_a,
+       abs(round(est_a - est_inter, 2) - (exact_a - exact_inter))
+           <= {KMV_TOLERANCE} * (exact_a - exact_inter) AS ab_within_tol,
+       abs(round(est_b - est_inter, 2) - (exact_b - exact_inter))
+           <= {KMV_TOLERANCE} * (exact_b - exact_inter) AS ba_within_tol
+FROM base
+""".format(base=_kmv_oracle())
+
+
 def _kmv_hash_sql(expr: str) -> str:
     """DuckDB twin of `_kmv_hash`: 12 hex chars of md5 decoded by
     char-position arithmetic (no conv())."""
@@ -1970,6 +2016,8 @@ SCALE_OPS_QUERIES = [
      "DataSketches HLL per-group + merged union, audited against exact distinct"),
     ("kmv_intersection_audit", kmv_intersection_audit, _kmv_oracle(),
      "KMV/theta sketch distinct-INTERSECTION estimate (what HLL can't do), engine-exact audit"),
+    ("kmv_difference_audit", kmv_difference_audit, _kmv_difference_oracle(),
+     "KMV set-DIFFERENCE estimates derived from the intersection sketches, exact audit"),
     ("copurchase_pmi", copurchase_pmi, PMI_ORACLE,
      "pointwise mutual information of co-purchased pairs: basket counts -> lift top-k"),
     ("scd2_user_segments", scd2_user_segments, SCD2_ORACLE,

@@ -245,6 +245,8 @@ HEADLINE += [
     "bpe_train_merges",
     "bpe_apply_tokenize",
     "kcenter_coreset",
+    "kmv_difference_audit",
+    "corpus_version_diff",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).
