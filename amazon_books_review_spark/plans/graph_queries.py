@@ -1,0 +1,258 @@
+"""Graph mining round-9 fifth wave: communities + link prediction.
+
+Two operators completing the co-purchase graph family (PageRank,
+triangles, reach, PMI live in ``scale_ops_queries`` /
+``sqlsurface_queries``):
+
+* ``label_propagation_communities`` — synchronous label propagation
+  (Raghavan et al. 2007) with a deterministic most-frequent-then-
+  min-label update, fixed iteration count.  Community detection is
+  the standard precursor to per-community corpus stats and
+  stratified sampling over a near-dup graph.
+* ``adamic_adar_linkpred`` — common-neighbor link prediction with
+  the Adamic-Adar weight ``1/ln(deg(v))``, hub-capped: common
+  neighbors above a degree cap are excluded BEFORE the wedge
+  self-join, which is what bounds the otherwise-quadratic fan-out
+  on a power-law graph (the per-hub pair count is C(deg,2); one
+  uncapped celebrity node at 100 TB emits 10^12 wedges).
+
+Both follow the package's fixed-point discipline: label propagation
+is pure integer (labels ARE node ids); Adamic-Adar holds its weights
+as Python-precomputed integer units shared verbatim with the oracle,
+so no engine ever evaluates ``ln`` at comparison-relevant precision.
+
+Reference scope note: the reference (three notebooks over the Books
+rating CSVs) has no graph surface at all — these extend the engine
+for the co-purchase analytics its dataset implies, per the round
+charter (SURVEY.md §2 "beyond-reference scale operators").
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amazon_books_review_spark.operators.windows import global_top_k
+from amazon_books_review_spark.plans.scale_ops_queries import copurchase_edges
+from amazon_books_review_spark.sources.io import load_table
+
+#: synchronous update rounds.  3 is where sf0.01/sf0.1 label churn
+#: drops under 2% of nodes; more rounds cost one join+agg pair each
+#: and the oracle unrolls linearly with this constant.
+LP_ITERS = 3
+
+#: common neighbors with undirected degree above this cap are
+#: excluded from Adamic-Adar scoring (and from n_common).  A hub's
+#: wedge output is C(deg, 2); the cap bounds it at C(64, 2) = 2016
+#: pairs per node.  Hubs are also the least informative common
+#: neighbors (weight 1/ln(deg) -> 0), which is why the literature
+#: caps or drops them rather than sampling.
+AA_DEG_CAP = 64
+AA_TOP = 100
+#: Adamic-Adar weight scale: weight(v) = floor(1e9 / ln(deg(v)))
+#: integer units, precomputed in PYTHON for every degree 2..cap and
+#: shipped to both engines as literals — neither engine's ``ln``
+#: participates, so there is no last-ulp floor-flip risk and the
+#: int64 sum is order-independent (float summation would not be).
+AA_SCALE = 1_000_000_000
+
+#: degree -> integer Adamic-Adar weight, the shared literal table.
+AA_WEIGHTS: dict[int, int] = {
+    d: int(AA_SCALE / math.log(d)) for d in range(2, AA_DEG_CAP + 1)
+}
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Synchronous label propagation over the co-purchase graph.
+
+    Init: every node's label is its own id.  Each round, every node
+    adopts the label most frequent among its neighbors, ties broken
+    by the SMALLEST label — the classic async-LPA nondeterminism
+    (random visit order, random tie-break) is replaced by a
+    synchronous sweep with a total tie order, so the result is
+    bit-identical across engines and partition layouts.
+
+    Scale shape: per round, one broadcast join of the node-sized
+    label table against the static edge list (pre-partitioned by
+    ``dst`` once, lineage truncated like PageRank), a
+    ``groupBy(src, lbl)`` count whose input is edge-grain with
+    map-side partial aggregation, then a ``groupBy(src)`` argmax
+    over (count, -label) structs at (node x adopted-label) grain.
+    No per-round edge shuffle; label state is dimension-sized and
+    broadcastable while nodes << edges (drop the broadcast for a
+    web-scale node set and both joins degrade gracefully to
+    shuffles on the same keys).  ``LP_ITERS`` is fixed so the
+    DuckDB oracle unrolls to one CTE pair per round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        copurchase_edges(li, directed=True)
+        .repartition("dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LP_ITERS):
+        adopted = (
+            edges.join(F.broadcast(labels), edges["dst"] == labels["node"])
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("src")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg")))
+                .alias("best")
+            )
+            .select(
+                F.col("src").alias("node"),
+                (-F.col("best.neg")).alias("lbl"),
+            )
+        )
+        labels = adopted.localCheckpoint(eager=True)
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        F.col("node").alias("p_partkey"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+
+
+def _label_propagation_oracle() -> str:
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        (
+            "edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst"
+            " FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_partkey <> b.l_partkey)"
+        ),
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)",
+    ]
+    for i in range(1, LP_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.src AS node, p.lbl AS lbl, count(*) AS c"
+            f" FROM edges e JOIN l{i - 1} p ON p.node = e.dst"
+            " GROUP BY e.src, p.lbl)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, lbl FROM c{i}"
+            " QUALIFY row_number() OVER (PARTITION BY node"
+            " ORDER BY c DESC, lbl ASC) = 1)"
+        )
+    last = f"l{LP_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sizes AS (SELECT lbl, count(*) AS community_size FROM {last} GROUP BY lbl)
+SELECT l.node AS p_partkey, l.lbl AS community, s.community_size
+FROM {last} l JOIN sizes s ON s.lbl = l.lbl
+"""
+    )
+
+
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: score non-adjacent part pairs by
+    their shared co-purchase neighbors, weighted ``1/ln(deg)``.
+
+    Plan shape: degree is one count over the directed edge list;
+    the weight lookup is a 63-entry literal map (degrees above
+    ``AA_DEG_CAP`` fall out of the map and are EXCLUDED before the
+    wedge join — the hub-capping that bounds the quadratic).  The
+    wedge enumeration is the edge list self-joined on the hub key
+    with ``u < w`` dedup; per-pair scores roll up in one int64 sum,
+    known-adjacent pairs leave via an anti-join against the
+    undirected edge set, and the top-``AA_TOP`` surfaces through
+    the TakeOrdered path (no global sort).  The wedge self-join's
+    build side is the whole (hub-annotated) edge list: AQE
+    broadcasts it at test SF, but it is NOT broadcastable at 100 TB
+    — there it degrades to the co-partitioned exchange pair the
+    ``repartition("src")`` + checkpoint already laid out, which is
+    why the plan budget carries an SMJ allowance alongside the
+    measured broadcast form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = copurchase_edges(li, directed=True)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(AA_WEIGHTS.items()) for x in kv]
+    )
+    hubs = deg.select("src", F.element_at(wmap, F.col("deg")).alias("wv")).filter(
+        F.col("wv").isNotNull()
+    )
+    capped = (
+        adj.join(F.broadcast(hubs), "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    scored = (
+        a.join(b, "src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .select(
+            F.col("a.dst").alias("u"),
+            F.col("b.dst").alias("v"),
+            F.col("a.wv").alias("wv"),
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("wv").cast("long").alias("score_units"),
+        )
+    )
+    und = copurchase_edges(li, directed=False)
+    fresh = scored.join(und, ["u", "v"], "left_anti")
+    top = global_top_k(
+        fresh,
+        [F.col("score_units").desc(), F.col("u").asc(), F.col("v").asc()],
+        AA_TOP,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("score_units").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("u", "v", "n_common", "score_units", "rnk")
+
+
+def _adamic_adar_oracle() -> str:
+    values = ", ".join(f"({d}, {w})" for d, w in sorted(AA_WEIGHTS.items()))
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+wv AS (SELECT * FROM (VALUES {values}) AS t(deg, w)),
+hubs AS (SELECT d.src, w.w FROM deg d JOIN wv w ON w.deg = d.deg),
+wedge AS (SELECT a.dst AS u, b.dst AS v, h.w
+          FROM edges a
+          JOIN edges b ON a.src = b.src AND a.dst < b.dst
+          JOIN hubs h ON h.src = a.src),
+scored AS (SELECT u, v, count(*) AS n_common,
+                  CAST(sum(w) AS BIGINT) AS score_units
+           FROM wedge GROUP BY u, v),
+fresh AS (SELECT s.* FROM scored s
+          ANTI JOIN (SELECT src AS u, dst AS v FROM edges WHERE src < dst) e
+          ON e.u = s.u AND e.v = s.v)
+SELECT u, v, n_common, score_units,
+       row_number() OVER (ORDER BY score_units DESC, u ASC, v ASC) AS rnk
+FROM fresh
+QUALIFY rnk <= {AA_TOP}
+"""
+
+
+GRAPH_QUERIES = [
+    ("label_propagation_communities", label_propagation_communities,
+     _label_propagation_oracle(),
+     "synchronous min-tie-break label propagation, fixed rounds, pure integer"),
+    ("adamic_adar_linkpred", adamic_adar_linkpred, _adamic_adar_oracle(),
+     "hub-capped Adamic-Adar common-neighbor link prediction, integer weights"),
+]

@@ -27,6 +27,7 @@ from amazon_books_review_spark.plans.behavior_queries import BEHAVIOR_QUERIES
 from amazon_books_review_spark.plans.sqlsurface_queries import SQLSURFACE_QUERIES
 from amazon_books_review_spark.plans.governance_queries import GOVERNANCE_QUERIES
 from amazon_books_review_spark.plans.lakehouse_queries import LAKEHOUSE_QUERIES
+from amazon_books_review_spark.plans.graph_queries import GRAPH_QUERIES
 from amazon_books_review_spark.plans.retrieval_queries import RETRIEVAL_QUERIES
 from amazon_books_review_spark.plans.selection_queries import SELECTION_QUERIES
 from amazon_books_review_spark.streaming.queries import STREAMING_QUERIES
@@ -57,5 +58,6 @@ for _name, _fn, _oracle, _doc in (
     + LAKEHOUSE_QUERIES
     + SELECTION_QUERIES
     + RETRIEVAL_QUERIES
+    + GRAPH_QUERIES
 ):
     query(_name, _oracle, doc=_doc)(_fn)

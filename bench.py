@@ -247,6 +247,8 @@ HEADLINE += [
     "kcenter_coreset",
     "kmv_difference_audit",
     "corpus_version_diff",
+    "label_propagation_communities",
+    "adamic_adar_linkpred",
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).

@@ -86,6 +86,13 @@ QUERIES = [
     # the claim is that adjacency-array intersection work scales with
     # the true wedge count while every shuffle stays O(E) rows.
     "triangle_count_copurchase",
+    # round-9 graph completions: like pagerank, the synthesis keeps
+    # the node set fixed and grows the pre-distinct pair volume REPx
+    # — the claim under test is the edge-derivation shuffle plus the
+    # per-round label join (LP) / the hub-capped wedge join (AA)
+    # staying flat once edges dedup to the same graph.
+    "label_propagation_communities",
+    "adamic_adar_linkpred",
     # round-7 lakehouse + optimizer wave: MERGE and its CDF inverse
     # are one key-shuffle-per-side joins (orders scale REPx); the
     # bloom join's claim is that the injected might_contain keeps the

@@ -253,6 +253,15 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # iteration shuffles are spent, the top-k is TakeOrdered + a
     # 20-row rank window
     "pagerank_copurchase": (2, 0, 0),
+    # final plan reads the round-3 label checkpoint: per-round
+    # shuffles are spent; what's left is the size rollup + the
+    # broadcast size join
+    "label_propagation_communities": (4, 2, 0),
+    # wedge self-join broadcasts the checkpointed edge list at test
+    # SF (hence only min 2 BHJ pinned: the hub-weight broadcast and
+    # the anti-join); at scale it degrades to the co-partitioned
+    # SMJ the repartition("src") laid out — hence the allowance
+    "adamic_adar_linkpred": (10, 2, 0, 2),
     # assignment is map-only over the scan (centroids arrive as
     # literals); zero Exchange is the invariant
     "kmeans_quantized_assign": (0, 0, 0),
