@@ -64,10 +64,10 @@ AA_WEIGHTS: dict[int, int] = {
 }
 
 
-def label_propagation_communities(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Synchronous label propagation over the co-purchase graph.
+def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
+    """Synchronous label propagation over a DIRECTED edge list
+    ``(src, dst)`` (both directions present for an undirected graph).
+    Returns ``(node, lbl)`` after ``iters`` rounds.
 
     Init: every node's label is its own id.  Each round, every node
     adopts the label most frequent among its neighbors, ties broken
@@ -85,19 +85,13 @@ def label_propagation_communities(
     No per-round edge shuffle; label state is dimension-sized and
     broadcastable while nodes << edges (drop the broadcast for a
     web-scale node set and both joins degrade gracefully to
-    shuffles on the same keys).  ``LP_ITERS`` is fixed so the
-    DuckDB oracle unrolls to one CTE pair per round.
+    shuffles on the same keys).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        copurchase_edges(li, directed=True)
-        .repartition("dst")
-        .localCheckpoint(eager=True)
-    )
+    edges = edges.repartition("dst").localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(LP_ITERS):
+    for _ in range(iters):
         adopted = (
             edges.join(F.broadcast(labels), edges["dst"] == labels["node"])
             .groupBy("src", "lbl")
@@ -113,6 +107,18 @@ def label_propagation_communities(
             )
         )
         labels = adopted.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`propagate_labels` over the co-purchase graph, with a
+    per-community size rollup.  ``LP_ITERS`` is fixed so the DuckDB
+    oracle unrolls to one CTE pair per round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = propagate_labels(copurchase_edges(li, directed=True))
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")
     )
@@ -156,28 +162,27 @@ FROM {last} l JOIN sizes s ON s.lbl = l.lbl
     )
 
 
-def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic-Adar link prediction: score non-adjacent part pairs by
-    their shared co-purchase neighbors, weighted ``1/ln(deg)``.
+def adamic_adar_scores(adj: DataFrame) -> DataFrame:
+    """Adamic-Adar link prediction scores over a DIRECTED edge list
+    ``(src, dst)``: non-adjacent pairs ``(u, v)`` with ``u < v``
+    scored by shared neighbors, weighted ``1/ln(deg)`` in
+    ``AA_SCALE`` integer units.  Returns
+    ``(u, v, n_common, score_units)``, un-truncated.
 
     Plan shape: degree is one count over the directed edge list;
     the weight lookup is a 63-entry literal map (degrees above
     ``AA_DEG_CAP`` fall out of the map and are EXCLUDED before the
     wedge join — the hub-capping that bounds the quadratic).  The
     wedge enumeration is the edge list self-joined on the hub key
-    with ``u < w`` dedup; per-pair scores roll up in one int64 sum,
-    known-adjacent pairs leave via an anti-join against the
-    undirected edge set, and the top-``AA_TOP`` surfaces through
-    the TakeOrdered path (no global sort).  The wedge self-join's
-    build side is the whole (hub-annotated) edge list: AQE
-    broadcasts it at test SF, but it is NOT broadcastable at 100 TB
-    — there it degrades to the co-partitioned exchange pair the
-    ``repartition("src")`` + checkpoint already laid out, which is
-    why the plan budget carries an SMJ allowance alongside the
-    measured broadcast form.
+    with ``u < v`` dedup; per-pair scores roll up in one int64 sum
+    and known-adjacent pairs leave via an anti-join against the
+    undirected edge set.  The wedge self-join's build side is the
+    whole (hub-annotated) edge list: AQE broadcasts it at test SF,
+    but it is NOT broadcastable at 100 TB — there it degrades to
+    the co-partitioned exchange pair the ``repartition("src")`` +
+    checkpoint already laid out, which is why the plan budget
+    carries an SMJ allowance alongside the measured broadcast form.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    adj = copurchase_edges(li, directed=True)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(AA_WEIGHTS.items()) for x in kv]
@@ -205,8 +210,19 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wv").cast("long").alias("score_units"),
         )
     )
-    und = copurchase_edges(li, directed=False)
-    fresh = scored.join(und, ["u", "v"], "left_anti")
+    und = adj.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return scored.join(und, ["u", "v"], "left_anti")
+
+
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`adamic_adar_scores` over the co-purchase graph; the
+    top-``AA_TOP`` pairs surface through the TakeOrdered path (no
+    global sort), then a rank window runs over those rows only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fresh = adamic_adar_scores(copurchase_edges(li, directed=True))
     top = global_top_k(
         fresh,
         [F.col("score_units").desc(), F.col("u").asc(), F.col("v").asc()],
