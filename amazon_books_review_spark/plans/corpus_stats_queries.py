@@ -590,6 +590,8 @@ def _bpe_merge_rounds(words: DataFrame) -> list[tuple]:
         best = pairs.orderBy(
             F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
         ).first()  # the 1-row loop-carried sync (kmeans-centroid discipline)
+        if best is None:  # no adjacent pair left (degenerate/exhausted corpus)
+            break
         merges.append((rnd, best["l"], best["r"], best["l"] + best["r"], best["cnt"]))
         rep = rep.select(
             F.replace(

@@ -230,7 +230,11 @@ def _key_skew(df: DataFrame, table: str, key_col: str) -> DataFrame:
             9,
         ).alias("topn_share"),
         F.round(
-            F.sum(F.col("cnt") * F.col("cnt")) / (F.sum("cnt") * F.sum("cnt")),
+            # denominator multiplied as DOUBLE (matching the oracle's
+            # CAST(sum(cnt) AS DOUBLE) * sum(cnt)) — int64*int64 would
+            # wrap past ~3e9 rows, exactly the scale this audit targets.
+            F.sum(F.col("cnt") * F.col("cnt"))
+            / (F.sum("cnt").cast("double") * F.sum("cnt")),
             9,
         ).alias("hhi"),
     )

@@ -34,6 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amazon_books_review_spark.operators.joins import broadcast_if_small
 from amazon_books_review_spark.operators.windows import global_top_k
 from amazon_books_review_spark.plans.scale_ops_queries import copurchase_edges
 from amazon_books_review_spark.sources.io import load_table
@@ -83,17 +84,21 @@ def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     map-side partial aggregation, then a ``groupBy(src)`` argmax
     over (count, -label) structs at (node x adopted-label) grain.
     No per-round edge shuffle; label state is dimension-sized and
-    broadcastable while nodes << edges (drop the broadcast for a
-    web-scale node set and both joins degrade gracefully to
-    shuffles on the same keys).
+    broadcast via :func:`broadcast_if_small` — past the configured
+    node budget the hint comes off and both joins degrade to
+    shuffles on the same keys (the web-scale path).
     """
     edges = edges.repartition("dst").localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    n_nodes = labels.count()  # one O(nodes) job on the checkpointed frame
     for _ in range(iters):
         adopted = (
-            edges.join(F.broadcast(labels), edges["dst"] == labels["node"])
+            edges.join(
+                broadcast_if_small(labels, n_nodes),
+                edges["dst"] == labels["node"],
+            )
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("src")

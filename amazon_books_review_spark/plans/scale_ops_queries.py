@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amazon_books_review_spark.functions import text
+from amazon_books_review_spark.operators.joins import broadcast_if_small
 from amazon_books_review_spark.sources.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -758,8 +759,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node-sized rank table against this static frame, and the
     # groupBy(dst) rides the existing hashpartitioning(dst) — zero
     # per-iteration edge shuffle.  (Valid while nodes are
-    # dimension-sized, as here — parts are bounded; for a web-scale
-    # node set, drop the broadcast and accept the shuffle join.)
+    # dimension-sized, as here — parts are bounded; past the
+    # configured node budget broadcast_if_small drops the hint and
+    # the join degrades to a shuffle join on src.)
     from pyspark.sql import Window
 
     w_deg = Window.partitionBy("src")
@@ -779,7 +781,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PR_ITERS):
         contrib = edges_deg.join(
-            F.broadcast(ranks), edges_deg["src"] == ranks["node"]
+            broadcast_if_small(ranks, n_nodes),
+            edges_deg["src"] == ranks["node"],
         ).select("dst", F.expr("r div deg").alias("c"))
         ranks = (
             contrib.groupBy("dst")
@@ -1184,10 +1187,14 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     seed = pts.orderBy("vec_id").first()
+    if seed is None:
+        raise ValueError("kcenter_coreset: embeddings table is empty")
     picks = [(0, seed["vec_id"], None)]
     state = pts.withColumn("dmin", d2_to(seed["qv"]))
     for i in range(1, KC_K):
         best = state.orderBy(F.col("dmin").desc(), F.col("vec_id").asc()).first()
+        if best is None:  # fewer points than KC_K: stop with what exists
+            break
         picks.append((i, best["vec_id"], best["dmin"]))
         state = state.withColumn(
             "dmin", F.least("dmin", d2_to(best["qv"]))
@@ -1631,12 +1638,18 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     # Degree table is NODE-cardinality (20k at sf0.1, |parts| at any
-    # SF) — broadcast, same posture as pagerank's rank broadcast: at
-    # web-scale node counts the hint comes off and these become two
-    # O(E)-row shuffle joins.  The adjacency joins below stay
-    # UN-hinted on purpose: their payload is edge-sized.
-    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
-    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    # SF) — broadcast via broadcast_if_small, same posture as
+    # pagerank's rank broadcast: past the configured node budget the
+    # hint comes off and these become two O(E)-row shuffle joins.
+    # The adjacency joins below stay UN-hinted on purpose: their
+    # payload is edge-sized.
+    n_nodes_drv = deg.count()  # one O(E) agg over the checkpointed edges
+    du = broadcast_if_small(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), n_nodes_drv
+    )
+    dv = broadcast_if_small(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), n_nodes_drv
+    )
     keyed = und.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))

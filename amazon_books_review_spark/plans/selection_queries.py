@@ -460,7 +460,10 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact.
     """
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
+    # split('', '') yields [''] (one empty element) on empty text, which
+    # would count as a phantom distinct char; drop empties so an empty
+    # document folds over an empty array (nd=0) like the oracle's unnest.
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("runlen"),

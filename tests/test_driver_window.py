@@ -98,10 +98,16 @@ def test_changed_source_evicts_ledger_entry(monkeypatch):
     the source changing, since eviction is exactly hash inequality."""
     import amazon_books_review_spark.plans.catalog as cat
 
-    # pick any currently-verified, non-evicted, unpinned name
+    # pick any currently-verified, non-evicted, unpinned name whose green
+    # row is WITHIN the ledger's horizon — a row greened after the last
+    # refresh has no hash entry yet and is trusted by design (see
+    # test_green_row_newer_than_ledger_is_trusted), so perturbing the
+    # ledger would not evict it.
     name = next(
         n for n in sorted(cat.DRIVER_VERIFIED)
-        if not cat.change_evicted(n) and not cat._pin_active(n)
+        if not cat.change_evicted(n)
+        and not cat._pin_active(n)
+        and cat.DRIVER_VERIFIED[n] <= cat.VERIFIED_HASHES_ROUND
     )
     assert driver_name(name).startswith("zz_")
     monkeypatch.setitem(cat.VERIFIED_HASHES, name, "0" * 16)
@@ -135,7 +141,9 @@ def test_green_row_newer_than_ledger_is_trusted(monkeypatch):
 
     name = next(
         n for n in sorted(cat.DRIVER_VERIFIED)
-        if not cat.change_evicted(n) and not cat._pin_active(n)
+        if not cat.change_evicted(n)
+        and not cat._pin_active(n)
+        and cat.DRIVER_VERIFIED[n] <= cat.VERIFIED_HASHES_ROUND
     )
     # simulate: this name's green row postdates the ledger, no hash yet
     monkeypatch.setitem(cat.DRIVER_VERIFIED, name, cat.VERIFIED_HASHES_ROUND + 1)

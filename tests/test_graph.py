@@ -108,3 +108,47 @@ def test_aa_weight_table_is_monotone_and_bounded():
     ws = [AA_WEIGHTS[d] for d in sorted(AA_WEIGHTS)]
     assert all(a > b for a, b in zip(ws, ws[1:]))
     assert ws[0] == int(1_000_000_000 / __import__("math").log(2))
+
+
+def test_broadcast_guard_hints_below_cap_and_drops_above(spark):
+    """broadcast_if_small must hint under the configured node budget
+    and return the UN-hinted frame above it (VERDICT r9 #3: the
+    web-scale degrade path must exist in code, not just docstrings)."""
+    from amazon_books_review_spark.operators.joins import (
+        BROADCAST_MAX_ROWS_CONF,
+        broadcast_if_small,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(10)], "node long, lbl long")
+    prev = spark.conf.get(BROADCAST_MAX_ROWS_CONF, None)
+    try:
+        spark.conf.set(BROADCAST_MAX_ROWS_CONF, "5")
+        hinted = broadcast_if_small(df, 5)
+        plain = broadcast_if_small(df, 6)
+        assert "UnresolvedHint" in hinted._jdf.queryExecution().logical().toString()
+        assert "Hint" not in plain._jdf.queryExecution().logical().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
+        else:
+            spark.conf.set(BROADCAST_MAX_ROWS_CONF, prev)
+
+
+def test_lp_correct_past_the_broadcast_cap(spark):
+    """Label propagation must produce identical labels when the node
+    budget forces the shuffle-join path."""
+    from amazon_books_review_spark.operators.joins import BROADCAST_MAX_ROWS_CONF
+
+    a, b = [1, 2, 3, 4], [10, 11, 12, 13]
+    edges = _edges(spark, _clique(a) + _clique(b) + [(4, 10)])
+    want = {r.node: r.lbl for r in propagate_labels(edges, iters=3).collect()}
+    prev = spark.conf.get(BROADCAST_MAX_ROWS_CONF, None)
+    try:
+        spark.conf.set(BROADCAST_MAX_ROWS_CONF, "0")  # never broadcast
+        got = {r.node: r.lbl for r in propagate_labels(edges, iters=3).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(BROADCAST_MAX_ROWS_CONF)
+        else:
+            spark.conf.set(BROADCAST_MAX_ROWS_CONF, prev)
+    assert got == want

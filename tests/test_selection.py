@@ -149,3 +149,23 @@ def test_kmv_degenerate_inputs_always_one_row(spark):
     assert (r.exact_a, r.exact_b, r.exact_inter) == (10, 0, 0)
     assert r.est_a == 10.0 and r.est_b is None
     assert r.est_inter == 0.0 and r.inter_within_tol
+
+
+def test_char_entropy_empty_text_has_zero_distinct_chars(spark, tmp_path):
+    """ADVICE r9: split('', '') yields [''], which used to count a
+    phantom distinct char on empty documents.  Empty text must report
+    n_distinct_chars=0 (matching the oracle's unnest-over-nothing);
+    single-char runs still fold correctly."""
+    from amazon_books_review_spark.plans.selection_queries import (
+        char_entropy_quality,
+    )
+
+    spark.createDataFrame(
+        [(1, ""), (2, "aaaa"), (3, "ab")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r for r in char_entropy_quality(spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_chars == 0 and got[1].n_distinct_chars == 0
+    assert got[2].n_distinct_chars == 1 and got[2].entropy_bits == 0.0
+    assert got[3].n_distinct_chars == 2 and got[3].entropy_bits == 1.0
