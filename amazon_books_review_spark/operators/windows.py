@@ -60,3 +60,45 @@ def global_top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame
     single reducer).  No full global sort happens; this is safe at
     any scale for small k."""
     return df.orderBy(*order_by).limit(k)
+
+
+def salted_top_k_per_key(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    salt_col: Column,
+    n_salts: int = 8,
+    rank_alias: str = "rank",
+) -> DataFrame:
+    """Skew-proof per-key top-k in two phases.
+
+    :func:`top_k_per_key` shuffles the WHOLE table on the key — one
+    pathologically hot key (a group holding more rows than a task's
+    memory) lands in one reducer and dominates the stage.  Phase 1
+    here ranks within ``(key, salt)`` — any key's largest partition is
+    bounded at ~1/n_salts of the key — and keeps ``k`` rows per salt,
+    because the true top-k must survive in SOME salt's local top-k
+    (each row's salt is fixed, so the global i-th best is at worst
+    the k-th best within its own salt for i <= k).  Phase 2 re-ranks
+    the ≤ n_salts*k survivors per key: a shuffle of
+    O(keys * n_salts * k) rows, independent of data size.
+
+    ``salt_col`` must be a DETERMINISTIC function of the row (an id
+    mod, a hash bucket) — ``rand()`` would re-assign on retries and
+    both phases assume a row's salt is stable.  Same determinism
+    contract as :func:`top_k_per_key`: ``order_by`` must be a total
+    order.
+    """
+    w1 = Window.partitionBy(*partition_by, "_salt").orderBy(*order_by)
+    local = (
+        df.withColumn("_salt", salt_col)
+        .withColumn("_lrank", F.row_number().over(w1))
+        .filter(F.col("_lrank") <= k)
+    )
+    w2 = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        local.drop("_salt", "_lrank")
+        .withColumn(rank_alias, F.row_number().over(w2))
+        .filter(F.col(rank_alias) <= k)
+    )

@@ -723,7 +723,82 @@ GROUP BY token
 """
 
 
+# ---------------------------------------------------------------------------
+# Dataset card
+# ---------------------------------------------------------------------------
+
+
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row "dataset card" summary every corpus release ships
+    with: global counts, size moments, and the dominant language with
+    its share.  One full scan with map-side partial aggregation plus
+    one language-grain argmax — nothing here is more than two
+    scans over the corpus, and the output is a single row.
+
+    Determinism: counts and sums are exact integers; mean is one
+    divide rounded at 4; the top-language argmax breaks count ties by
+    the LARGEST language code (max over (count, lang) structs — Spark
+    struct ordering), mirrored in the oracle's ORDER BY c DESC, lang
+    DESC.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("mean_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max(F.struct(F.col("c"), F.col("lang"))).alias("top"))
+        .select(
+            F.col("top.lang").alias("top_lang"),
+            F.col("top.c").cast("long").alias("top_lang_docs"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "mean_chars",
+        "min_chars",
+        "max_chars",
+        "top_lang",
+        "top_lang_docs",
+        F.round(F.col("top_lang_docs") / F.col("n_docs"), 6).alias("top_lang_share"),
+    )
+
+
+DATASET_CARD_ORACLE = """
+WITH totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) * 1.0 / count(*), 4) AS mean_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+), top AS (
+    SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+    FROM documents GROUP BY lang
+    ORDER BY count(*) DESC, lang DESC LIMIT 1
+)
+SELECT n_docs, n_sources, n_langs, total_chars, mean_chars, min_chars,
+       max_chars, top_lang, top_lang_docs,
+       round(top_lang_docs * 1.0 / n_docs, 6) AS top_lang_share
+FROM totals CROSS JOIN top
+"""
+
+
 CORPUS_STATS_QUERIES = [
+    ("dataset_card_stats", dataset_card_stats, DATASET_CARD_ORACLE,
+     "one-row dataset-card summary: counts, size moments, dominant language"),
     ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
      "inverted index: df + bounded postings sample, one term shuffle"),
     ("unigram_logprob_score", unigram_logprob_score, UNIGRAM_ORACLE,

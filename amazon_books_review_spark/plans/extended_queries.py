@@ -546,6 +546,48 @@ GROUP BY o_orderpriority
 """
 
 
+#: salt fan-out / returned rows per group for the skew-proof top-k.
+TOPK_SALTS = 8
+TOPK_PER_GROUP = 3
+
+
+def salted_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.windows.salted_top_k_per_key on the engine's most
+    skewed grouping: top-3 events by value per event_type (a handful
+    of types over the whole fact table — exactly the shape where a
+    single window partition swallows a reducer at 100 TB).
+
+    Phase 1 ranks within (event_type, event_id % 8) — the hot type's
+    largest partition drops to ~1/8 of the type — and phase 2 re-ranks
+    the ≤ 8*3 survivors per type.  The salt is a deterministic id mod,
+    never rand(): a row's salt must survive task retries.  Result is
+    row-identical to the plain one-shuffle window top-k, which is what
+    the oracle checks.
+    """
+    from amazon_books_review_spark.operators.windows import salted_top_k_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_top_k_per_key(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=TOPK_PER_GROUP,
+        salt_col=F.pmod(F.col("event_id"), F.lit(TOPK_SALTS)).cast("int"),
+        n_salts=TOPK_SALTS,
+    ).select(
+        "event_type", "event_id", "value", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SALTED_TOPK_ORACLE = f"""
+SELECT event_type, event_id, value,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id ASC) AS rank
+FROM events
+QUALIFY rank <= {TOPK_PER_GROUP}
+"""
+
+
 def bucketed_join_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The amortized-shuffle play under the hard gate: both fact
     tables written as managed tables hash-bucketed (and sorted) on the
@@ -618,6 +660,8 @@ EXTENDED_QUERIES = [
     ("salted_join_priority_revenue", salted_join_priority_revenue,
      SALTED_JOIN_ORACLE,
      "skew-mitigated (salted) fact-fact join == plain join, rollup-verified"),
+    ("salted_topk_per_group", salted_topk_per_group, SALTED_TOPK_ORACLE,
+     "skew-proof two-phase per-group top-k == plain window top-k"),
     ("bucketed_join_status_rollup", bucketed_join_status_rollup,
      BUCKETED_JOIN_ORACLE,
      "co-located bucketed fact-fact join (write-time shuffle), rollup-verified"),

@@ -381,7 +381,194 @@ FROM prod WHERE rnk <= {PREFLIGHT_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# l-diversity (the k-anonymity companion audit)
+# ---------------------------------------------------------------------------
+
+#: minimum distinct sensitive values per quasi-identifier group.
+L_DIVERSE = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity over the customer quasi-identifier groups
+    (Machanavajjhala et al. 2007): k-anonymity alone is defeated by a
+    homogeneous group (everyone in the group shares the sensitive
+    value), so each (nation, balance-band) group is audited for the
+    number of DISTINCT sensitive values (market segment here) it
+    contains, flagging groups below l=3.
+
+    Scale shape: one shuffle to (QI, sensitive) grain with map-side
+    partial aggregation, then a QI-grain rollup of the (already
+    tiny) group table — the same two-level count-distinct plan the
+    null audit uses; never a count(distinct) over raw rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("long")
+    per_value = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            band.alias("acctbal_band"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_value.groupBy("nationkey", "acctbal_band")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_sensitive_values"),
+            F.max("n").cast("long").alias("max_value_rows"),
+        )
+        .select(
+            "nationkey",
+            "acctbal_band",
+            "n_rows",
+            "n_sensitive_values",
+            "max_value_rows",
+            (F.col("n_sensitive_values") < L_DIVERSE).cast("int").alias("below_l"),
+        )
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH per_value AS (
+    SELECT c_nationkey AS nationkey,
+           CAST(floor(c_acctbal / {ACCTBAL_BAND}) AS BIGINT) AS acctbal_band,
+           c_mktsegment AS segment, count(*) AS n
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT nationkey, acctbal_band,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_sensitive_values,
+       CAST(max(n) AS BIGINT) AS max_value_rows,
+       CAST(count(*) < {L_DIVERSE} AS INTEGER) AS below_l
+FROM per_value GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix (profiling)
+# ---------------------------------------------------------------------------
+
+#: numeric lineitem columns profiled pairwise, with their fixed-point
+#: scale (all ship with <= 2 decimals in TPC-H-shaped data, so a x100
+#: long quantization is EXACT — which is what makes the co-moment
+#: sums order-independent integers instead of float reductions).
+CORR_COLS: tuple[tuple[str, int], ...] = (
+    ("l_quantity", 100),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+)
+
+
+def corr_matrix_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem numeric columns —
+    the standard profiling step before feature selection / drift
+    baselines.  One row per ordered pair (x < y by position).
+
+    Determinism (the KM_Q discipline): the inputs are quantized x100
+    to exact longs, every co-moment (sum x, sum x², sum xy) is summed
+    as DECIMAL(38,0) — exact integer arithmetic, so partition order
+    cannot perturb a bit — and only the final correlation divides in
+    double, rounded at 6.  A float sum of 6e5 price-squared terms
+    would carry ~1e-7 relative error, enough to flip the 6th decimal.
+
+    Scale shape: ONE full-scan aggregate computes every co-moment for
+    all pairs simultaneously (no per-pair passes); the matrix
+    assembly is a constant-size projection of that single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = {
+        c: F.round(F.col(c) * s).cast("long").alias(c) for c, s in CORR_COLS
+    }
+    quant = li.select(*q.values())
+    cols = [c for c, _s in CORR_COLS]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(f"ss_{c}")
+        )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(38,0)")).alias(f"sp_{x}_{y}")
+        )
+    m = quant.agg(*aggs)
+
+    def corr_expr(x: str, y: str):
+        n = F.col("n").cast("double")
+        num = F.col(f"sp_{x}_{y}").cast("double") * n - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        vx = F.col(f"ss_{x}").cast("double") * n - (
+            F.col(f"s_{x}").cast("double") * F.col(f"s_{x}").cast("double")
+        )
+        vy = F.col(f"ss_{y}").cast("double") * n - (
+            F.col(f"s_{y}").cast("double") * F.col(f"s_{y}").cast("double")
+        )
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    rows = [
+        m.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.col("n").cast("long").alias("n"),
+            corr_expr(x, y).alias("corr"),
+        )
+        for x, y in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _corr_oracle() -> str:
+    cols = [c for c, _s in CORR_COLS]
+    quant = ", ".join(
+        f"CAST(round({c} * {s}) AS BIGINT) AS {c}" for c, s in CORR_COLS
+    )
+    moments = ["count(*) AS n"]
+    for c in cols:
+        moments.append(f"sum(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(f"sum(CAST({c} AS HUGEINT) * {c}) AS ss_{c}")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        moments.append(f"sum(CAST({x} AS HUGEINT) * {y}) AS sp_{x}_{y}")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(n AS BIGINT) AS n,
+       round((CAST(sp_{x}_{y} AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))
+             / sqrt((CAST(ss_{x} AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))
+                    * (CAST(ss_{y} AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))),
+             6) AS corr
+FROM m"""
+        for x, y in pairs
+    )
+    return f"""
+WITH q AS (SELECT {quant} FROM lineitem),
+m AS (SELECT {", ".join(moments)} FROM q)
+{rows}
+"""
+
+
 GOVERNANCE_QUERIES = [
+    ("l_diversity_audit", l_diversity_audit, L_DIVERSITY_ORACLE,
+     "distinct-l-diversity over quasi-identifier groups (k-anonymity companion)"),
+    ("corr_matrix_numeric", corr_matrix_numeric, _corr_oracle(),
+     "Pearson correlation matrix via one exact-decimal co-moment scan"),
     ("k_anonymity_audit", k_anonymity_audit, K_ANON_ORACLE,
      "quasi-identifier group sizes with k<5 re-identification flags"),
     ("label_drift_kl", label_drift_kl, DRIFT_ORACLE,

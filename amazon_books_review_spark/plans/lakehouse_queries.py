@@ -316,7 +316,88 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Compaction bin-packing (the OPTIMIZE planner)
+# ---------------------------------------------------------------------------
+
+#: target compacted-file size, in characters of document payload (the
+#: fixture's proxy for bytes; real deployments target 128 MB-1 GB).
+COMPACT_TARGET_CHARS = 60_000
+
+
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the core of every lakehouse
+    OPTIMIZE: group input files into target-size output bins so the
+    rewrite produces few large files instead of many small ones.
+    Input "files" here are the (source, lang) document groups with
+    their payload size; one row per file with its assigned bin plus
+    the bin's rollup.
+
+    The packer is NEXT-FIT BY OFFSET: files in a stable name order, a
+    running cumulative size, and ``bin = (cumsum - size) div target``
+    — each file lands in the bin its STARTING offset falls in, so a
+    boundary-straddling file overshoots its bin by at most one file
+    (the same guarantee next-fit gives, and the standard trade against
+    first-fit-decreasing, whose sequential bin state cannot be
+    expressed as a scan).
+
+    Scale shape: the packing input is the FILE MANIFEST, not data —
+    thousands of rows per table at 100 TB.  The cumulative sum is one
+    ordered window over that manifest; a single-partition window over
+    a manifest-sized frame is the correct plan (the data-sized work
+    was the upstream size rollup, one shuffle with map-side partials).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    files = (
+        docs.groupBy("source", "lang")
+        .agg(F.sum("n_chars").cast("long").alias("size_chars"))
+        .select(
+            F.concat_ws("/", "source", "lang").alias("file_name"), "size_chars"
+        )
+    )
+    from pyspark.sql import Window
+
+    planned = files.withColumn(
+        "bin_id",
+        F.expr(
+            f"(sum(size_chars) OVER (ORDER BY file_name "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size_chars) "
+            f"div {COMPACT_TARGET_CHARS}"
+        ).cast("long"),
+    )
+    wb = Window.partitionBy("bin_id")
+    return planned.select(
+        "file_name",
+        "size_chars",
+        "bin_id",
+        F.sum("size_chars").over(wb).cast("long").alias("bin_total_chars"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("n_files_in_bin"),
+    )
+
+
+COMPACTION_ORACLE = f"""
+WITH files AS (
+    SELECT source || '/' || lang AS file_name,
+           CAST(sum(n_chars) AS BIGINT) AS size_chars
+    FROM documents GROUP BY source, lang
+), planned AS (
+    SELECT file_name, size_chars,
+           CAST((sum(size_chars) OVER (ORDER BY file_name
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - size_chars) // {COMPACT_TARGET_CHARS} AS BIGINT) AS bin_id
+    FROM files
+)
+SELECT file_name, size_chars, bin_id,
+       CAST(sum(size_chars) OVER (PARTITION BY bin_id) AS BIGINT)
+           AS bin_total_chars,
+       CAST(count(*) OVER (PARTITION BY bin_id) AS BIGINT) AS n_files_in_bin
+FROM planned
+"""
+
+
 LAKEHOUSE_QUERIES = [
+    ("compaction_bin_packing", compaction_bin_packing, COMPACTION_ORACLE,
+     "OPTIMIZE-style small-file compaction planner: next-fit-by-offset bins over the manifest"),
     ("merge_upsert_orders", merge_upsert_orders, MERGE_UPSERT_ORACLE,
      "MERGE INTO semantics (update + insert + conditional delete) in one full-outer pass"),
     ("cdc_orders_changes", cdc_orders_changes, CDC_ORACLE,

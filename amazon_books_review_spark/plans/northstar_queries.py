@@ -1731,7 +1731,98 @@ FROM kept k JOIN b ON k.doc_id = b.doc_id
 """
 
 
+# --- URL-canonicalization dedup ----------------------------------------------
+
+
+def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup by canonicalization — the crawl-frontier/WARC-merge
+    step that collapses scheme, ``www.``, tracking-parameter,
+    fragment, and trailing-slash variants of one page BEFORE any
+    content fetch or text dedup runs (a crawl that treats
+    ``http://www.x.com/p?utm_source=a`` and ``https://x.com/p`` as two
+    pages fetches and stores everything twice).
+
+    Each document is dressed with a deterministic raw URL (variant
+    chosen by ``doc_id div 40 % 4``, page identity by ``doc_id % 40``
+    — both engines construct the same strings, keeping the operator a
+    pure function of the corpus).  The canonicalizer is a chained
+    regexp projection (case-insensitive scheme strip, ``www.`` strip,
+    fragment strip, ``utm_*`` query strip, trailing-slash strip —
+    production adds a per-parameter allowlist), then one exact
+    group-by on the canonical form: n_docs, distinct raw variants,
+    and the kept (minimum) doc id per page.
+
+    Scale shape: canonicalization is map-side codegen; the dedup is
+    ONE shuffle at canonical-URL grain with map-side partials — the
+    same linear plan as ``dedup_exact_docs``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+    )
+    v = F.expr("(doc_id div 40) % 4")
+    raw = (
+        F.when(v == 0, F.concat(F.lit("http://www."), base))
+        .when(v == 1, F.concat(F.lit("https://"), base, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .otherwise(F.concat(F.lit("HTTP://"), base, F.lit("#section-2")))
+    )
+    canon = F.regexp_replace(raw, r"^[a-zA-Z]+://", "")
+    canon = F.regexp_replace(canon, r"^www\.", "")
+    canon = F.regexp_replace(canon, r"#.*$", "")
+    canon = F.regexp_replace(canon, r"\?utm_[^#]*", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        docs.select("doc_id", raw.alias("raw_url"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+DEDUP_URL_ORACLE = """
+WITH raw AS (
+    SELECT doc_id,
+           CASE (doc_id // 40) % 4
+             WHEN 0 THEN 'http://www.' || b
+             WHEN 1 THEN 'https://' || b || '/'
+             WHEN 2 THEN 'https://' || b || '?utm_source=feed&utm_medium=rss'
+             ELSE 'HTTP://' || b || '#section-2'
+           END AS raw_url
+    FROM (SELECT doc_id,
+                 'site' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) AS b
+          FROM documents)
+), canon AS (
+    SELECT doc_id, raw_url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw_url, '^[a-zA-Z]+://', ''),
+                   '^www\\.', ''),
+                 '#.*$', ''),
+               '\\?utm_[^#]*', ''),
+             '/$', '') AS canonical_url
+    FROM raw
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY 1
+"""
+
+
 NORTHSTAR_QUERIES = [
+    ("dedup_url_normalized", dedup_url_normalized, DEDUP_URL_ORACLE,
+     "URL canonicalization (scheme/www/utm/fragment/slash) + exact page dedup"),
     ("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_ORACLE,
      "exact dedup: canonical id per md5(text)"),
     ("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE,

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from amazon_books_review_spark.functions import dedup
 from amazon_books_review_spark.functions.text import tokens
+from amazon_books_review_spark.operators.windows import global_top_k
 from amazon_books_review_spark.sources.io import load_table
 
 # --- BM25 -------------------------------------------------------------------
@@ -416,9 +417,210 @@ exact AS (
 """
 
 
+# --- Reciprocal-rank fusion -------------------------------------------------
+
+#: the standard RRF smoothing constant (Cormack et al. 2009).
+RRF_K = 60
+#: fused results returned per probe term.
+RRF_TOP = 5
+#: candidates contributed by the non-lexical ranker per term.
+RRF_PRIOR_K = 10
+
+
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: per probe term,
+    fuse the BM25 lexical top-k with a document-prior ranking using
+    ``score = Σ 1/(RRF_K + rank)`` over the union of candidates
+    (Cormack et al. 2009 — the fusion every hybrid lexical+dense
+    stack runs; the prior slot here is a corpus-global length
+    ranking, standing in for whatever dense/quality ranker production
+    pairs with BM25, which keeps the operator a pure function of the
+    corpus).
+
+    Scale shape: rankings are top-k-bounded BEFORE fusion, so the
+    fusion input is O(#queries * k) rows regardless of corpus size —
+    the full-outer rank join, the score sum, and the final per-term
+    window all run on that bounded frame.  The only corpus-scale work
+    is inside the upstream rankers (BM25's postings-of-query shuffle;
+    the prior's TakeOrdered top-k).
+
+    Determinism: ranks are small exact integers; ``1/(60+r)`` and the
+    two-term sum are single IEEE ops identical in any engine, rounded
+    at 6 before the fused ordering (ties break on doc_id).
+    """
+    lex = bm25_topk_docs(spark, sf_dir).select(
+        "term", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    top_prior = global_top_k(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        RRF_PRIOR_K,
+    )
+    w_prior = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    prior = top_prior.select(
+        "doc_id", F.row_number().over(w_prior).cast("long").alias("prior_rank")
+    )
+    per_term_prior = (
+        lex.select("term").distinct().crossJoin(F.broadcast(prior))
+    )
+    fused = (
+        lex.join(per_term_prior, ["term", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("prior_rank")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select("term", "doc_id", "lex_rank", "prior_rank", "rrf_score", "fused_rank")
+    )
+
+
+RRF_ORACLE = f"""
+WITH lex AS (
+    SELECT term, doc_id, rank AS lex_rank FROM ({BM25_ORACLE})
+), prior AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS prior_rank
+    FROM documents
+    QUALIFY prior_rank <= {RRF_PRIOR_K}
+), per_term_prior AS (
+    SELECT t.term, p.doc_id, p.prior_rank
+    FROM (SELECT DISTINCT term FROM lex) t CROSS JOIN prior p
+), fused AS (
+    SELECT coalesce(l.term, p.term) AS term,
+           coalesce(l.doc_id, p.doc_id) AS doc_id,
+           l.lex_rank, p.prior_rank,
+           round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + p.prior_rank), 0.0), 6) AS rrf_score
+    FROM lex l FULL OUTER JOIN per_term_prior p
+      ON l.term = p.term AND l.doc_id = p.doc_id
+)
+SELECT term, doc_id, lex_rank, prior_rank, rrf_score,
+       row_number() OVER (PARTITION BY term
+                          ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_TOP}
+"""
+
+
+# --- Matryoshka prefix-dim recall --------------------------------------------
+
+#: prefix dimensions retained in the truncated index (of EMB_DIM=64).
+MAT_PREFIX_DIM = 16
+
+
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PREFIX-dimension cosine retrieval against the
+    full-dimension ranking — the acceptance audit for Matryoshka-style
+    truncation (Kusupati et al. 2022), where a 64-dim index is served
+    from its first 16 dims to cut memory/bandwidth 4x and the question
+    is how much of the true top-k survives.
+
+    Both arms are the exact-cosine operator (same rounding/tie
+    contract as ``similarity_cosine_topk``); the audit is their
+    per-query overlap.  Scale shape: both rankings are top-k-bounded,
+    so the overlap join is O(#probes * k) rows; the brute-force arms
+    are the documented verify stage (production uses the IVF/LSH
+    routes for the full index and this audit certifies the truncation
+    before switching the serving index over).
+    """
+    from amazon_books_review_spark.functions import similarity
+    from amazon_books_review_spark.plans.northstar_queries import (
+        N_PROBES,
+        TOPK_K,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    full = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=TOPK_K)
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, MAT_PREFIX_DIM).alias("embedding")
+    )
+    tprobes = trunc.filter(F.col("vec_id") < N_PROBES)
+    pref = similarity.cosine_topk(trunc, tprobes, "vec_id", "embedding", k=TOPK_K)
+    hits = (
+        full.select("query_id", "neighbor_id")
+        .join(pref.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(TOPK_K), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _matryoshka_oracle() -> str:
+    from amazon_books_review_spark.plans.northstar_queries import (
+        N_PROBES,
+        TOPK_K,
+    )
+
+    def arm(slice_expr: str) -> str:
+        return f"""
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(list_inner_product(p.e, c.e) / (p.nrm * c.nrm), 6)
+                            DESC,
+                        c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, {slice_expr} AS e,
+                 sqrt(list_inner_product({slice_expr}, {slice_expr})) AS nrm
+          FROM embeddings WHERE vec_id < {N_PROBES}) p
+    JOIN (SELECT vec_id, {slice_expr} AS e,
+                 sqrt(list_inner_product({slice_expr}, {slice_expr})) AS nrm
+          FROM embeddings) c ON c.vec_id <> p.vec_id
+    QUALIFY rank <= {TOPK_K}
+"""
+
+    full_e = "embedding::DOUBLE[]"
+    pref_e = f"(embedding::DOUBLE[])[1:{MAT_PREFIX_DIM}]"
+    return f"""
+WITH full_arm AS ({arm(full_e)}),
+pref_arm AS ({arm(pref_e)}),
+hits AS (
+    SELECT f.query_id, count(*) AS n_overlap
+    FROM full_arm f JOIN pref_arm p
+      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+    GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(h.n_overlap, 0) * 1.0 / {TOPK_K}, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM full_arm) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 RETRIEVAL_QUERIES = [
     ("bm25_topk_docs", bm25_topk_docs, BM25_ORACLE,
      "Okapi BM25 top-k docs per probe term; postings-of-query shuffle only"),
+    ("rrf_hybrid_retrieval", rrf_hybrid_retrieval, RRF_ORACLE,
+     "reciprocal-rank fusion of BM25 and a document-prior ranking, top-k-bounded"),
+    ("matryoshka_recall_audit", matryoshka_recall_audit, _matryoshka_oracle(),
+     "recall@k of prefix-dim cosine retrieval vs the full-dim ranking"),
     ("minhash_containment_pairs", minhash_containment_pairs, _containment_oracle(),
      "doc-inside-doc detection: LSH candidates verified by containment coefficient"),
     ("lsh_recall_audit", lsh_recall_audit, _lsh_recall_oracle(),

@@ -102,7 +102,75 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Epoch reshuffles
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 3
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training order: :func:`sampling.shuffled_shard_manifest`
+    once per epoch with an epoch-salted key, unioned with an ``epoch``
+    column.  Multi-epoch training needs a DIFFERENT example order each
+    epoch (repeating one order overfits the schedule) that is still
+    bit-reproducible on retry/resume — a fresh salt is a fresh
+    independent md5 permutation, no RNG state to checkpoint.
+
+    Scale shape: each epoch is the manifest's one hash-partition-on-
+    shard + in-shard sort; epochs are independent branches of one scan
+    (Spark unions them without a barrier).  The epoch count multiplies
+    manifest size, never data reads — the manifest is (epoch, id,
+    shard, pos), data stays in place.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        sampling.shuffled_shard_manifest(
+            docs, "doc_id", shards=EPOCH_SHARDS, salt=f"epoch{e}"
+        ).select(F.lit(e).cast("int").alias("epoch"), "doc_id", "shuffle_key", "shard", "pos")
+        for e in range(N_EPOCHS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _epoch_shuffle_oracle() -> str:
+    # md5-hex -> int via hex-digit arithmetic (no conv() in DuckDB),
+    # the hash_bucket twin — same construction as the shard manifest
+    # oracle, once per epoch salt.
+    def bucket(expr: str) -> str:
+        digit = lambda i: f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"  # noqa: E731
+        val = digit(1)
+        for i in range(2, 8):
+            val = f"({val} * 16 + {digit(i)})"
+        return f"({val}) % {EPOCH_SHARDS}"
+
+    epochs = "\nUNION ALL\n".join(
+        f"""SELECT {e} AS epoch, doc_id,
+       md5('epoch{e}|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       {bucket(f"md5('epoch{e}|' || CAST(doc_id AS VARCHAR))")} AS bkey
+FROM documents"""
+        for e in range(N_EPOCHS)
+    )
+    return f"""
+WITH k AS (
+{epochs}
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, shuffle_key,
+       CAST(bkey AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY epoch, bkey
+                          ORDER BY shuffle_key, doc_id) AS pos
+FROM k
+"""
+
+
 TRAINDATA_QUERIES = [
+    ("epoch_shuffle_assignment", epoch_shuffle_assignment,
+     _epoch_shuffle_oracle(),
+     "per-epoch deterministic reshuffle: epoch-salted md5 manifests, unioned"),
     ("decontam_against_eval", decontam_against_eval, DECONTAM_ORACLE,
      "benchmark decontamination: 8-gram overlap vs broadcast eval-gram set"),
     ("training_shard_manifest", training_shard_manifest, _shard_oracle(),

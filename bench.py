@@ -252,6 +252,16 @@ HEADLINE += [
     # lsh_recall_audit is NOT benched: its exact all-pairs arm is the
     # audit harness (quadratic by definition, like dedup_ngram_jaccard —
     # run on a sample to certify band configs, never on the corpus).
+    # round-10 additions
+    "rrf_hybrid_retrieval",
+    "matryoshka_recall_audit",
+    "salted_topk_per_group",
+    "compaction_bin_packing",
+    "epoch_shuffle_assignment",
+    "dedup_url_normalized",
+    "l_diversity_audit",
+    "corr_matrix_numeric",
+    "dataset_card_stats",
 ]
 
 
