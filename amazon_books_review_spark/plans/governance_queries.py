@@ -514,19 +514,22 @@ def corr_matrix_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.round(num / F.sqrt(vx * vy), 6)
 
-    rows = [
-        m.select(
-            F.lit(x).alias("col_x"),
-            F.lit(y).alias("col_y"),
-            F.col("n").cast("long").alias("n"),
-            corr_expr(x, y).alias("corr"),
-        )
-        for x, y in pairs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE row carries every co-moment; the matrix is an explode of a
+    # constant-size struct array over that row.  (A per-pair union of
+    # selects re-plans the aggregate per branch — 12 scans of lineitem
+    # for 6 pairs; this form keeps it at exactly one scan.)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                corr_expr(x, y).alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return m.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 def _corr_oracle() -> str:

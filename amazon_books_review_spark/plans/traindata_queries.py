@@ -118,23 +118,43 @@ def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible on retry/resume — a fresh salt is a fresh
     independent md5 permutation, no RNG state to checkpoint.
 
-    Scale shape: each epoch is the manifest's one hash-partition-on-
-    shard + in-shard sort; epochs are independent branches of one scan
-    (Spark unions them without a barrier).  The epoch count multiplies
-    manifest size, never data reads — the manifest is (epoch, id,
-    shard, pos), data stays in place.
+    Scale shape: ONE corpus scan fans out to (epoch, doc) rows via an
+    exploded epoch sequence (a per-epoch union would re-scan the
+    corpus N_EPOCHS times), then one hash partition on (epoch, shard)
+    + in-shard sort — the same clustering the per-epoch shard write
+    needs anyway.  The epoch count multiplies MANIFEST size, never
+    data reads — the manifest is (epoch, id, shard, pos), data stays
+    in place.  The key/shard construction is
+    :func:`sampling.shuffled_shard_manifest`'s, with the salt column-
+    ized so one expression serves all epochs.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    parts = [
-        sampling.shuffled_shard_manifest(
-            docs, "doc_id", shards=EPOCH_SHARDS, salt=f"epoch{e}"
-        ).select(F.lit(e).cast("int").alias("epoch"), "doc_id", "shuffle_key", "shard", "pos")
-        for e in range(N_EPOCHS)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    fanned = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("_e"),
+        "doc_id",
+    ).select(F.col("_e").cast("int").alias("epoch"), "doc_id")
+    # md5('epoch{e}|' || id): the shuffled_shard_manifest key with the
+    # epoch folded into the salt (same construction, column-ized).
+    key = F.md5(
+        F.concat(
+            F.lit("epoch"),
+            F.col("epoch").cast("string"),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 7), 16, 10).cast("long") % EPOCH_SHARDS
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        fanned.select(
+            "epoch", "doc_id", key.alias("shuffle_key"), shard.alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
 
 
 def _epoch_shuffle_oracle() -> str:
