@@ -204,6 +204,27 @@ QUERIES = [
     "bpe_train_merges",
     # k-center scans points K times; embeddings scale REPx
     "kcenter_coreset",
+    # round-10 wave.  RRF's fusion input is top-k-bounded — wall time
+    # must track BM25's postings scan, never the fusion; matryoshka
+    # is probe-bounded double brute-force (corpus side REPx, probes
+    # fixed); the salted top-k is two window shuffles over events
+    # (scale by users); compaction's packing input is the MANIFEST
+    # (fixed (source, lang) group count — flat packing cost as data
+    # grows is the whole claim); the epoch reshuffle is N_EPOCHS
+    # manifest windows off one scan; URL dedup is one canonical-grain
+    # shuffle with fixed key cardinality (map-side partials absorb
+    # the growth); corr is a single co-moment scan; the dataset card
+    # is one scan + a language argmax.  l_diversity_audit is NOT
+    # here: customer is a passthrough table in this synthesis (the
+    # k_anonymity exclusion).
+    "rrf_hybrid_retrieval",
+    "matryoshka_recall_audit",
+    "salted_topk_per_group",
+    "compaction_bin_packing",
+    "epoch_shuffle_assignment",
+    "dedup_url_normalized",
+    "corr_matrix_numeric",
+    "dataset_card_stats",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
@@ -228,6 +249,8 @@ FORCE_ALL_COLUMNS = {
     "mad_outlier_flags",            # per-row flags prunable
     "quality_logistic_score",       # pure scoring scan (r8 addition)
     "char_entropy_quality",         # pure per-row entropy arithmetic (r9)
+    "epoch_shuffle_assignment",     # pos windows pruned under count() (r10)
+    "compaction_bin_packing",       # bin rollup windows pruned under count() (r10)
 }
 
 
