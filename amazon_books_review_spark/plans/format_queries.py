@@ -223,7 +223,77 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# binaryFile source (the multimodal ingest path)
+# ---------------------------------------------------------------------------
+
+#: files materialized for the binaryFile fixture — the ingest demo is
+#: probe-bounded by contract (a real deployment points the source at
+#: an existing object-store prefix; the bound exists only because THIS
+#: fixture must mint its files per process).
+BINFILE_MAX_DOCS = 200
+
+
+def binaryfile_ingest_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest through Spark's built-in ``binaryFile``
+    source — the standard first hop for image/audio/video corpora
+    (one row per file: path, modificationTime, length, content).
+    The fixture writes one ``doc_<id>.bin`` per document (payload =
+    the text's UTF-8 bytes, so the oracle can recompute everything
+    from the parquet original); the operator is the read-back: parse
+    the id out of the file path, verify the payload byte length
+    against the source-of-truth column, and fingerprint the content.
+
+    Scale shape: ``binaryFile`` lists + splits by FILE (content is
+    never split), so parallelism = file count and the natural 100 TB
+    layout is many ~100 MB-1 GB blobs; tiny-file corpora hit the
+    driver's listing wall first — the same small-file problem
+    ``compaction_bin_packing`` plans away.  Everything after the scan
+    is a zero-shuffle projection (md5 + length + a path regexp).
+    """
+    import os
+
+    path = fixtures.pid_fixture_path(
+        "abr_binf_", sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    )
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        docs.filter(F.col("doc_id") < BINFILE_MAX_DOCS)
+        .select("doc_id", "text")
+        .collect()  # bounded by BINFILE_MAX_DOCS — fixture mint only
+    )
+    for r in rows:
+        with open(os.path.join(path, f"doc_{r['doc_id']:06d}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("file_bytes"),
+        F.length("content").cast("long").alias("payload_bytes"),
+        F.md5("content").alias("payload_md5"),
+    )
+
+
+BINARYFILE_ORACLE = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS file_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       md5(text) AS payload_md5
+FROM documents
+WHERE doc_id < {BINFILE_MAX_DOCS}
+"""
+
+
 FORMAT_QUERIES = [
+    ("binaryfile_ingest_meta", binaryfile_ingest_meta, BINARYFILE_ORACLE,
+     "binaryFile source ingest: per-file blob rows -> id parse + byte-length + md5"),
     ("jsonl_corpus_roundtrip", jsonl_corpus_roundtrip, JSONL_ROUNDTRIP_ORACLE,
      "JSONL nested-record corpus scan (explicit schema) round-trip"),
     ("orc_lineitem_roundtrip", orc_lineitem_roundtrip, ORC_ROUNDTRIP_ORACLE,

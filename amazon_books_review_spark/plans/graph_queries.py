@@ -270,10 +270,111 @@ QUALIFY rnk <= {AA_TOP}
 """
 
 
+# --- Bipartite k-core ---------------------------------------------------------
+
+#: minimum degree a node (order OR part) needs to survive a peel round.
+KCORE_K = 5
+#: synchronous peel rounds.  The order-part graph converges in 1-2
+#: rounds at test SFs (tests assert a further round is a no-op); deep
+#: cascades exist on adversarial graphs — production raises this or
+#: loops to fixpoint with a count-based stop.
+KCORE_ITERS = 3
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataFrame:
+    """Synchronous k-core peeling over a BIPARTITE edge list
+    ``(o, p)``: each round drops every node (either side) with degree
+    < k, then removes its edges; the k-core is the fixed point
+    (Matula & Beck 1983; the distributed form is Montresor et al.'s
+    synchronous variant).  Returns the surviving edges after
+    ``iters`` rounds.
+
+    Scale shape: per round, one degree aggregate per side (map-side
+    partials) and two semi-joins of the edge list against the
+    node-sized keep sets — O(E)-row shuffles only, never a pairwise
+    term; lineage is truncated per round like PageRank.  The keep
+    sets are dimension-sized and AQE broadcasts them at test SF;
+    at web scale they degrade to shuffle semi-joins on the same keys.
+    """
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(iters):
+        ko = cur.groupBy("o").agg(F.count(F.lit(1)).alias("c")).filter(
+            F.col("c") >= k
+        ).select("o")
+        kp = cur.groupBy("p").agg(F.count(F.lit(1)).alias("c")).filter(
+            F.col("c") >= k
+        ).select("p")
+        cur = (
+            cur.join(ko, "o", "left_semi")
+            .join(kp, "p", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def kcore_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`kcore_peel` on the order-part bipartite graph (distinct
+    lineitem pairs): the dense transactional core — orders with >= k
+    distinct parts whose parts each appear in >= k surviving orders.
+    Output: one row per surviving node, tagged by side, with its
+    in-core degree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    core = kcore_peel(edges)
+    orders = core.groupBy("o").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.lit("order").alias("node_type"),
+        F.col("o").alias("node_id"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+    parts = core.groupBy("p").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.lit("part").alias("node_type"),
+        F.col("p").alias("node_id"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+    return orders.unionByName(parts)
+
+
+def _kcore_oracle() -> str:
+    ctes = ["e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"]
+    for i in range(1, KCORE_ITERS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(
+            f"ko{i} AS (SELECT o FROM {prev} GROUP BY o"
+            f" HAVING count(*) >= {KCORE_K})"
+        )
+        ctes.append(
+            f"kp{i} AS (SELECT p FROM {prev} GROUP BY p"
+            f" HAVING count(*) >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{i} AS (SELECT e.o, e.p FROM {prev} e"
+            f" SEMI JOIN ko{i} USING (o) SEMI JOIN kp{i} USING (p))"
+        )
+    last = f"e{KCORE_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT 'order' AS node_type, o AS node_id,
+       CAST(count(*) AS BIGINT) AS core_degree
+FROM {last} GROUP BY o
+UNION ALL
+SELECT 'part' AS node_type, p AS node_id,
+       CAST(count(*) AS BIGINT) AS core_degree
+FROM {last} GROUP BY p
+"""
+    )
+
+
 GRAPH_QUERIES = [
     ("label_propagation_communities", label_propagation_communities,
      _label_propagation_oracle(),
      "synchronous min-tie-break label propagation, fixed rounds, pure integer"),
     ("adamic_adar_linkpred", adamic_adar_linkpred, _adamic_adar_oracle(),
      "hub-capped Adamic-Adar common-neighbor link prediction, integer weights"),
+    ("kcore_order_part", kcore_order_part, _kcore_oracle(),
+     "bipartite k-core peel over order-part edges: per-round degree agg + semi-joins"),
 ]

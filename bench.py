@@ -262,6 +262,8 @@ HEADLINE += [
     "l_diversity_audit",
     "corr_matrix_numeric",
     "dataset_card_stats",
+    "binaryfile_ingest_meta",
+    "kcore_order_part",
 ]
 
 

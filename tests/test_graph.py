@@ -152,3 +152,41 @@ def test_lp_correct_past_the_broadcast_cap(spark):
         else:
             spark.conf.set(BROADCAST_MAX_ROWS_CONF, prev)
     assert got == want
+
+
+def test_kcore_cascade_on_hand_bipartite_graph(spark):
+    """k=2 bipartite cascade: dropping a degree-1 part must knock out
+    the order that depended on it in the NEXT round (two peel rounds
+    needed), leaving the clean 2x2 core."""
+    from amazon_books_review_spark.plans.graph_queries import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 20), (3, 30)],
+        "o long, p long",
+    )
+    core = kcore_peel(edges, k=2, iters=3)
+    got = sorted((r.o, r.p) for r in core.collect())
+    assert got == [(1, 10), (1, 20), (2, 10), (2, 20)]
+    # one round is NOT enough — the cascade is real
+    partial = kcore_peel(edges, k=2, iters=1)
+    assert sorted((r.o, r.p) for r in partial.collect()) != got
+
+
+def test_kcore_iters_converged_on_testdata(spark):
+    """KCORE_ITERS rounds must reach the fixed point on the order-part
+    graph (an extra round is a no-op) — the constant's contract."""
+    from amazon_books_review_spark.plans.graph_queries import (
+        KCORE_ITERS,
+        KCORE_K,
+        kcore_peel,
+    )
+    from amazon_books_review_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    at = kcore_peel(edges, k=KCORE_K, iters=KCORE_ITERS)
+    beyond = kcore_peel(edges, k=KCORE_K, iters=KCORE_ITERS + 1)
+    assert sorted(map(tuple, at.collect())) == sorted(map(tuple, beyond.collect()))
