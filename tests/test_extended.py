@@ -71,3 +71,48 @@ def test_csv_source_explicit_schema(spark, tmp_path):
     assert back.count() == 2
     # partitioned layout -> partition pruning applies on year filters
     assert back.filter(F.col("year") == 2001).count() == 1
+
+
+def test_threshold_alerts_matches_batch_rownumber(spark):
+    """transformWithStateInPandas (state v2) end-to-end == the batch
+    row_number formulation.  The v2 Python protocol needs protobuf,
+    absent from this runtime — gated like the delta-spark tests."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import duckdb
+
+    from amazon_books_review_spark.plans.extended_queries import (
+        THRESHOLD_ALERTS_ORACLE,
+        streaming_threshold_alerts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in streaming_threshold_alerts(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(THRESHOLD_ALERTS_ORACLE).fetchall())
+    assert got == want
+
+
+def test_threshold_alerts_gate_raises_clearly(spark):
+    """Without protobuf the operator must fail EAGERLY with an
+    actionable ImportError, not crash mid-stream in a worker."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — the gate is open; see the e2e test")
+    except ImportError:
+        pass
+    from amazon_books_review_spark.plans.extended_queries import (
+        streaming_threshold_alerts,
+    )
+
+    with pytest.raises(ImportError, match="protobuf"):
+        streaming_threshold_alerts(spark, "/root/testdata/sf0.001")
