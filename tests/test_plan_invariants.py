@@ -384,6 +384,25 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "wordpiece_tokenize": (6, 2, 0),
     "temperature_mixture_weights": (8, 0, 2),
     "bpe_apply_tokenize": (2, 0, 0),
+    # round-10 additions.  RRF's full-outer fusion join is SMJ by
+    # Spark's rules (full outer cannot broadcast) but both inputs are
+    # top-k-bounded; the BNLJs are the intended 1-row/ k-row scalar
+    # broadcasts (BM25 stats, the prior cross-attach).  Matryoshka's
+    # SMJs are the (query, neighbor) overlap joins on k-bounded arms.
+    "rrf_hybrid_retrieval": (40, 2, 6, 4),
+    "matryoshka_recall_audit": (22, 0, 6, 6),
+    "salted_topk_per_group": (6, 0, 0),
+    "compaction_bin_packing": (6, 0, 0),
+    "epoch_shuffle_assignment": (4, 0, 0),
+    "dedup_url_normalized": (6, 0, 0),
+    "l_diversity_audit": (6, 0, 0),
+    "corr_matrix_numeric": (4, 0, 0),
+    # the 2 BNLJs are the intended 1-row totals x top-language attach
+    "dataset_card_stats": (12, 0, 2),
+    "binaryfile_ingest_meta": (2, 0, 0),
+    # post-checkpoint plan: the two side rollups + union (per-round
+    # peel lineage is truncated like pagerank's)
+    "kcore_order_part": (8, 0, 0),
 }
 
 
