@@ -217,6 +217,11 @@ QUERIES = [
     # is one scan + a language argmax.  l_diversity_audit is NOT
     # here: customer is a passthrough table in this synthesis (the
     # k_anonymity exclusion).
+    # k-core peels the order-part graph: orders (and distinct edges)
+    # scale REPx while parts stay fixed — per-round degree aggs and
+    # semi-joins are the O(E) claim under test.  binaryfile ingest is
+    # NOT here: its fixture is contract-bounded (BINFILE_MAX_DOCS).
+    "kcore_order_part",
     "rrf_hybrid_retrieval",
     "matryoshka_recall_audit",
     "salted_topk_per_group",
