@@ -382,6 +382,101 @@ FROM prod WHERE rnk <= {PREFLIGHT_TOP}
 
 
 # ---------------------------------------------------------------------------
+# PSI — population stability index over a numeric column
+# ---------------------------------------------------------------------------
+
+#: fixed-width price band (stable across releases — data-dependent
+#: quantile bands would make PSI compare different bins each run).
+PSI_BAND = 50_000.0
+#: bands at/above this index fold into the top band (open-ended tail).
+PSI_TOP_BAND = 8
+#: a zero share is clamped to this before the log-ratio — the
+#: standard PSI convention (otherwise one empty band is +inf).
+PSI_EPS = 1e-4
+
+
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of ``o_totalprice`` between a
+    deterministic reference/current split — the production-ML drift
+    gate (PSI < 0.1 stable, > 0.25 act) that complements
+    ``label_drift_kl``: KL monitors a CATEGORICAL label, PSI bands a
+    NUMERIC feature with fixed-width bins so releases compare the
+    same bins.  One row per band with both shares and the band's PSI
+    contribution ``(q - p) * ln(q / p)`` (zero shares clamped to
+    ``PSI_EPS``), plus the running total as a window over the
+    band-sized frame.
+
+    Scale design (label_drift_kl's): ONE pass over the fact table —
+    both split counts as conditional sums in one groupBy on the band
+    key; totals ride a second tiny aggregate broadcast back; the PSI
+    sum is a window over <= ``PSI_TOP_BAND`` + 1 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / PSI_BAND), F.lit(PSI_TOP_BAND)
+        ).cast("long").alias("band"),
+        (F.col("o_orderkey") % DRIFT_MOD < DRIFT_TRAIN_LT).alias("is_ref"),
+    )
+    per_band = orders.groupBy("band").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = per_band.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p = F.greatest(F.col("n_ref") / F.col("tot_ref"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("n_cur") / F.col("tot_cur"), F.lit(PSI_EPS))
+    contrib = F.round((q - p) * (F.log(q) - F.log(p)), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        per_band.join(F.broadcast(totals))
+        .select(
+            "band",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            contrib.alias("psi_contrib"),
+        )
+        .withColumn("psi_total", F.round(F.sum("psi_contrib").over(w), 6))
+    )
+
+
+PSI_ORACLE = f"""
+WITH banded AS (
+    SELECT least(CAST(floor(o_totalprice / {PSI_BAND}) AS BIGINT), {PSI_TOP_BAND})
+               AS band,
+           (o_orderkey % {DRIFT_MOD} < {DRIFT_TRAIN_LT}) AS is_ref
+    FROM orders
+), per_band AS (
+    SELECT band,
+           sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+    FROM banded GROUP BY band
+), totals AS (
+    SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM per_band
+), scored AS (
+    SELECT band,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(greatest(n_ref / tot_ref, {PSI_EPS}), 6) AS p_ref,
+           round(greatest(n_cur / tot_cur, {PSI_EPS}), 6) AS p_cur,
+           round((greatest(n_cur / tot_cur, {PSI_EPS})
+                  - greatest(n_ref / tot_ref, {PSI_EPS}))
+                 * (ln(greatest(n_cur / tot_cur, {PSI_EPS}))
+                    - ln(greatest(n_ref / tot_ref, {PSI_EPS}))), 6)
+               AS psi_contrib
+    FROM per_band CROSS JOIN totals
+)
+SELECT band, n_ref, n_cur, p_ref, p_cur, psi_contrib,
+       round(sum(psi_contrib) OVER (), 6) AS psi_total
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # l-diversity (the k-anonymity companion audit)
 # ---------------------------------------------------------------------------
 
@@ -570,6 +665,8 @@ m AS (SELECT {", ".join(moments)} FROM q)
 GOVERNANCE_QUERIES = [
     ("l_diversity_audit", l_diversity_audit, L_DIVERSITY_ORACLE,
      "distinct-l-diversity over quasi-identifier groups (k-anonymity companion)"),
+    ("psi_price_drift", psi_price_drift, PSI_ORACLE,
+     "population stability index over fixed price bands (numeric-feature drift gate)"),
     ("corr_matrix_numeric", corr_matrix_numeric, _corr_oracle(),
      "Pearson correlation matrix via one exact-decimal co-moment scan"),
     ("k_anonymity_audit", k_anonymity_audit, K_ANON_ORACLE,

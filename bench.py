@@ -264,6 +264,7 @@ HEADLINE += [
     "dataset_card_stats",
     "binaryfile_ingest_meta",
     "kcore_order_part",
+    "psi_price_drift",
 ]
 
 

@@ -230,6 +230,9 @@ QUERIES = [
     "dedup_url_normalized",
     "corr_matrix_numeric",
     "dataset_card_stats",
+    # PSI is one conditional-sum pass over orders (scale REPx) + a
+    # band-sized window — the label_drift_kl shape on a numeric column
+    "psi_price_drift",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]

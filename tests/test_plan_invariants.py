@@ -403,6 +403,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # post-checkpoint plan: the two side rollups + union (per-round
     # peel lineage is truncated like pagerank's)
     "kcore_order_part": (8, 0, 0),
+    # the 2 BNLJs are the intended 1-row totals broadcast; exchanges
+    # include the empty-partition window total over the band frame
+    "psi_price_drift": (12, 0, 2),
 }
 
 
