@@ -460,3 +460,50 @@ def test_snapshot_diff_feed_reconstructs_new(spark, tables):
     else:
         replayed = base
     assert {r.k: r.v for r in replayed.collect()} == b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group
+            st.integers(0, 10_000),     # id (deduped below)
+            st.integers(-50, 50),       # value (ties likely)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 5),
+    n_salts=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_salted_topk_matches_plain_topk(spark, rows, k, n_salts):
+    """salted_top_k_per_key == top_k_per_key on adversarial frames:
+    duplicate values (ties), singleton groups, k > group size, any
+    salt fan-out.  Ids are deduped so the (value desc, id asc) order
+    is total — the operator's documented contract."""
+    from amazon_books_review_spark.operators.windows import (
+        salted_top_k_per_key,
+        top_k_per_key,
+    )
+
+    dedup = {(g, i): v for g, i, v in rows}
+    data = [(g, i, float(v)) for (g, i), v in dedup.items()]
+    df = spark.createDataFrame(data, "grp int, id long, v double")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    want = sorted(
+        tuple(r)
+        for r in top_k_per_key(df, ["grp"], order, k=k)
+        .select("grp", "id", "v", "rank")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_top_k_per_key(
+            df, ["grp"], order, k=k,
+            salt_col=F.pmod(F.col("id"), F.lit(n_salts)).cast("int"),
+            n_salts=n_salts,
+        )
+        .select("grp", "id", "v", "rank")
+        .collect()
+    )
+    assert got == want
