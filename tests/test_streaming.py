@@ -532,3 +532,95 @@ def test_streaming_incremental_rollup_matches_batch(spark):
     )
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_stream_stream_left_outer_join_emits_nulls_on_eviction(spark, tmp_path):
+    """ST4 outer-join semantics: a LEFT OUTER watermarked stream-stream
+    join emits the null-padded left row only once the watermark proves
+    no right match can still arrive — and left rows whose join window
+    the final watermark has NOT passed are withheld, not fabricated.
+
+    Two sequential drains against one checkpoint: drain 1 feeds a
+    matched pair plus an unmatched left row, with the watermark held
+    low — the match emits, the null-pad must NOT (its window is still
+    open).  Drain 2 feeds only a far-future left row, pushing the
+    watermark past the unmatched row's window — the null-pad emits
+    exactly once, and the far-future row itself stays withheld.
+    """
+    from pyspark.sql import Row
+
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream,
+    )
+
+    lsrc = str(tmp_path / "lsrc")
+    rsrc = str(tmp_path / "rsrc")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = 1_700_000_400
+
+    def lrows(*pairs):
+        return spark.createDataFrame(
+            [Row(lid=i, k=k, lts_s=t) for i, (k, t) in enumerate(pairs, 1)]
+        )
+
+    def rrows(*pairs):
+        return spark.createDataFrame(
+            [Row(rid=i, rk=k, rts_s=t) for i, (k, t) in enumerate(pairs, 1)]
+        )
+
+    def drain():
+        left = (
+            read_stream_parquet(spark, lsrc, lrows(("a", 0)).schema)
+            .withColumn("lts", F.timestamp_seconds("lts_s"))
+            .withWatermark("lts", "10 minutes")
+        )
+        right = (
+            read_stream_parquet(spark, rsrc, rrows(("a", 0)).schema)
+            .withColumn("rts", F.timestamp_seconds("rts_s"))
+            .withWatermark("rts", "10 minutes")
+        )
+        joined = left.join(
+            right,
+            (F.col("k") == F.col("rk"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") < F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+            "left_outer",
+        ).select("lid", "k", "rid")
+        write_stream(joined, sink, ckpt, query_name="ss_left_outer").awaitTermination()
+
+    # drain 1: left "a" matches right "a"; left "b" has no right row.
+    # Max event time = base+60 -> watermark stays below b's window end,
+    # so b's null-pad is withheld.
+    lrows(("a", base), ("b", base)).write.mode("append").parquet(lsrc)
+    rrows(("a", base + 60)).write.mode("append").parquet(rsrc)
+    drain()
+    first = {(r.lid, r.k): r.rid for r in spark.read.parquet(sink).collect()}
+    assert first == {(1, "a"): 1}, f"expected only the matched pair, got {first}"
+
+    # drain 2: far-future rows on BOTH sides advance the watermark an
+    # hour, past b's [base, base+300) window, so b emits null-padded.
+    # Both sides matter — the global watermark is the MIN across
+    # watermark nodes (multipleWatermarkPolicy=min), so a side that
+    # never sees data pins outer-state eviction forever.  That is the
+    # 100 TB operational trap this test documents: a stalled upstream
+    # freezes null-emission on the OTHER stream too.
+    lrows(("c", base + 3600)).write.mode("append").parquet(lsrc)
+    rrows(("z", base + 3600)).write.mode("append").parquet(rsrc)
+    drain()
+    second = {(r.lid, r.k): r.rid for r in spark.read.parquet(sink).collect()}
+    assert second == {(1, "a"): 1, (2, "b"): None}, f"got {second}"
+
+    # drain 3: another hour on both sides closes c's window; d/z2 are
+    # withheld (their windows are still open under the final watermark).
+    lrows(("d", base + 7200)).write.mode("append").parquet(lsrc)
+    rrows(("z2", base + 7200)).write.mode("append").parquet(rsrc)
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    got = {}
+    for r in rows:
+        key = (r.lid, r.k)
+        assert key not in got, f"{key} emitted twice"
+        got[key] = r.rid
+    assert got == {(1, "a"): 1, (2, "b"): None, (1, "c"): None}, f"got {got}"
