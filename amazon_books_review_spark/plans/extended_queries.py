@@ -565,7 +565,12 @@ def streaming_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     across micro-batches; an alert row is emitted every time it
     crosses a multiple of ``ALERT_STEP`` — the emit-on-condition
     monitoring shape (quota tripwires, rate alerts) that built-in
-    windowed aggregation cannot express.
+    windowed aggregation cannot express.  Sibling:
+    ``streaming/queries.streaming_running_totals_tws`` demonstrates
+    the same API as UPDATE-mode running aggregates (conditionally
+    registered via ``tws_available()``); this one is the append-mode
+    conditional-emit shape, plus the eager ImportError gate that is
+    testable on a protobuf-less runtime.
 
     Determinism: events are processed in (ts, event_id) order within
     the user, so crossing timestamps are a total-order function of

@@ -254,6 +254,121 @@ JOIN events v
 """
 
 
+#: watermark delay for the OUTER stream-stream join (both sides).
+SSOJ_DELAY = "30 minutes"
+
+
+def streaming_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST4 LEFT OUTER — the watermarked stream-stream join that also
+    emits NULL-padded rows for purchases with no preceding view, once
+    the watermark proves no match can still arrive.  Outer results are
+    eviction-driven: a null-pad lands only in a batch AFTER the global
+    watermark (the MIN across both sides' watermark nodes) passes the
+    left row's join window — semantics pinned row-by-row in
+    tests/test_streaming.py::test_stream_stream_left_outer_join_emits_nulls_on_eviction.
+
+    Drain protocol (what makes this hash-gateable): the events table
+    is staged into a fixture dir and drained; then two sentinel waves
+    (+2h, +4h, ``user_id = -1`` so they can never join; one purchase
+    AND one view each, because a side that sees no data pins the MIN
+    watermark and freezes eviction globally — the 100 TB stalled-
+    upstream trap) advance the watermark past every real purchase's
+    window.  Every real unmatched purchase therefore null-pads, and
+    the final sink equals the plain batch LEFT JOIN — the oracle.
+    Sentinels are filtered from the output by ``user_id >= 0``.
+
+    Scale shape: identical to the inner form (state bounded by
+    watermark + range per side); outer adds no state, only the
+    eviction-time emit.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]  # bounded scalar sync
+    src = fixtures.ephemeral_dir("abr_ssoj_src_")
+    out = fixtures.ephemeral_dir("abr_ssoj_out_")
+    ev.write.mode("append").parquet(src)
+    schema = ev.schema
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(src)
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", SSOJ_DELAY)
+        )
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("view_user"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", SSOJ_DELAY)
+        )
+        # Sentinels are NOT filtered here: a user_id predicate inside
+        # the streaming plan pushes below the join into the purchase
+        # branch, removing the sentinel BEFORE its watermark node — the
+        # purchase-side watermark then stalls just under the real max
+        # event time and the max-ts purchase's null-pad never emits
+        # (found the hard way; the min-watermark trap again, this time
+        # self-inflicted by predicate pushdown).  They are dropped on
+        # the batch read-back below instead.
+        joined = purchases.join(
+            views,
+            (F.col("user_id") == F.col("view_user"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") < F.col("purchase_ts")),
+            "left_outer",
+        ).select("purchase_id", "view_id", "user_id")
+        with _state_partitions(spark):
+            q = write_stream(
+                joined, f"{out}/data", f"{out}/ckpt", query_name="ss_outer_join"
+            )
+            q.awaitTermination()
+
+    drain()
+    for wave, hours in enumerate((2, 4), 1):
+        sent_ts = F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")
+        spark.range(1).select(
+            F.lit(-wave).cast("long").alias("event_id"),
+            sent_ts.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+        ).unionByName(
+            spark.range(1).select(
+                F.lit(-10 - wave).cast("long").alias("event_id"),
+                sent_ts.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+            )
+        ).write.mode("append").parquet(src)
+        drain()
+    return read_parquet(spark, f"{out}/data").filter(F.col("user_id") >= 0)
+
+
+STREAM_STREAM_OUTER_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id
+FROM events p
+LEFT JOIN events v
+  ON v.event_type = 'view'
+ AND v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+
 #: salt fan-out for the skew-hardened stream-stream join.  Sizing: the
 #: hot key's state splits SALTS ways; the replicated side's state (and
 #: arrival volume) multiplies by SALTS — pick the smallest value that
@@ -752,6 +867,9 @@ STREAMING_QUERIES = [
     ("streaming_stream_stream_join_salted", streaming_stream_stream_join_salted,
      STREAM_STREAM_JOIN_ORACLE,
      "ST4 skew-hardened: salted key layout spreads a hot user across state partitions"),
+    ("streaming_stream_stream_outer_join", streaming_stream_stream_outer_join,
+     STREAM_STREAM_OUTER_JOIN_ORACLE,
+     "ST4 LEFT OUTER: eviction-driven null-pads once the min watermark closes the window"),
     ("streaming_dedup_events", streaming_dedup_events, STREAM_DEDUP_ORACLE,
      "ST4+A4: dropDuplicatesWithinWatermark repairs at-least-once delivery"),
     ("streaming_session_window_counts", streaming_session_window_counts,

@@ -265,6 +265,7 @@ HEADLINE += [
     "binaryfile_ingest_meta",
     "kcore_order_part",
     "psi_price_drift",
+    "streaming_stream_stream_outer_join",
 ]
 
 
