@@ -796,9 +796,71 @@ FROM totals CROSS JOIN top
 """
 
 
+# ---------------------------------------------------------------------------
+# Document-length histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-count histogram with per-bucket share and
+    cumulative share — the length profile every dataset card plots
+    (sequence-packing efficiency and truncation losses are read
+    straight off it).
+
+    The bucket is ``len(bin(n_tokens))`` = floor(log2) + 1 — INTEGER
+    bit-length arithmetic, not float ``log2`` (whose libm value at an
+    exact power of two can land a hair under the integer and flip the
+    floor on one engine but not the other).  One token-count scan,
+    one bucket-grain aggregate, cumulative share as a window over the
+    ~dozen bucket rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_bucket = (
+        docs.select(F.length(F.bin(n_tokens)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = per_bucket.agg(F.sum("n_docs").alias("tot"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(F.broadcast(total))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket") - 1).cast("long").alias("lo_tokens"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("tot"), 6).alias("share"),
+            F.round(F.sum("n_docs").over(w) / F.col("tot"), 6).alias("cum_share"),
+        )
+    )
+
+
+DOC_LENGTH_HISTOGRAM_ORACLE = """
+WITH b AS (
+    SELECT CAST(length(bin(len(string_split_regex(trim(text), '\\s+'))))
+                AS BIGINT) AS bucket
+    FROM documents
+), per_bucket AS (
+    SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket
+), total AS (SELECT sum(n_docs) AS tot FROM per_bucket)
+SELECT bucket,
+       CAST(power(2, bucket - 1) AS BIGINT) AS lo_tokens,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / tot, 6) AS share,
+       round(sum(n_docs) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / tot, 6) AS cum_share
+FROM per_bucket CROSS JOIN total
+"""
+
+
 CORPUS_STATS_QUERIES = [
     ("dataset_card_stats", dataset_card_stats, DATASET_CARD_ORACLE,
      "one-row dataset-card summary: counts, size moments, dominant language"),
+    ("doc_length_histogram", doc_length_histogram, DOC_LENGTH_HISTOGRAM_ORACLE,
+     "log2-bucket token-length histogram with shares (bit-length, not float log2)"),
     ("inverted_index_postings", inverted_index_postings, INVERTED_INDEX_ORACLE,
      "inverted index: df + bounded postings sample, one term shuffle"),
     ("unigram_logprob_score", unigram_logprob_score, UNIGRAM_ORACLE,

@@ -266,6 +266,7 @@ HEADLINE += [
     "kcore_order_part",
     "psi_price_drift",
     "streaming_stream_stream_outer_join",
+    "doc_length_histogram",
 ]
 
 

@@ -406,6 +406,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # the 2 BNLJs are the intended 1-row totals broadcast; exchanges
     # include the empty-partition window total over the band frame
     "psi_price_drift": (12, 0, 2),
+    # same shape: 1-row total broadcast + bucket-frame window
+    "doc_length_histogram": (12, 0, 2),
 }
 
 
