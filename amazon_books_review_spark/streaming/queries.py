@@ -287,6 +287,11 @@ def streaming_stream_stream_outer_join(
         "event_id", "ts", "user_id", "event_type"
     )
     max_ts = ev.agg(F.max("ts")).first()[0]  # bounded scalar sync
+    if max_ts is None:
+        raise ValueError(
+            "streaming_stream_stream_outer_join: events table is empty — "
+            "no watermark anchor for the sentinel drains"
+        )
     src = fixtures.ephemeral_dir("abr_ssoj_src_")
     out = fixtures.ephemeral_dir("abr_ssoj_out_")
     ev.write.mode("append").parquet(src)
