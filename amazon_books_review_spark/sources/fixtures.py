@@ -82,6 +82,57 @@ def pid_fixture_path(prefix: str, tag: str) -> str:
     return register_owned(os.path.join(tmp, f"{prefix}{tag}_{os.getpid()}"))
 
 
+_STAGED: dict[str, str] = {}
+
+
+def safe_tag(*parts: str) -> str:
+    """Filesystem-safe tag from path-ish parts (joins, strips seps)."""
+    return "_".join(
+        p.strip("/").replace("/", "_").replace(".", "_") for p in parts
+    )
+
+
+def staged_input(tag: str, build) -> str:
+    """Process-cached INPUT fixture: ``build(path)`` materializes the
+    dataset on the first call for ``tag``; every later call in this
+    process returns the same path without rebuilding.
+
+    Why (VERDICT r10 #2): streaming catalog queries used to stage
+    their source feed (a full Spark write of the events/orders table)
+    inside the region the bench times, so the recorded number measured
+    fixture I/O as much as the operator — 15.6 s recorded vs 5.6 s
+    solo for the outer stream-stream join.  Staging is now once per
+    (tag, process); bench pre-stages before its timed pass so the
+    timed region is drain + operator only.  Callers must treat the
+    returned directory as READ-ONLY — anything per-run (sentinel
+    appends, checkpoints, sinks) belongs in its own ephemeral dir
+    (see :func:`hardlink_clone` for cheap per-run mutable copies).
+    """
+    path = _STAGED.get(tag)
+    if path is None:
+        path = pid_fixture_path("abr_staged_", tag)
+        _remove(path)  # same-pid leftover from a crashed prior import
+        build(path)
+        _STAGED[tag] = path
+    return path
+
+
+def hardlink_clone(src: str, dst: str) -> None:
+    """Populate ``dst`` with hard links to ``src``'s files — an O(files)
+    mutable snapshot of an immutable staged input (parquet part files
+    are never rewritten, so link-sharing the bytes is safe).  Falls
+    back to copying if the tmp dir spans filesystems."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if not os.path.isfile(s):
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+
 def ephemeral_dir(prefix: str) -> str:
     """mkdtemp that is swept at exit (and stale siblings now) — for
     streaming sink/checkpoint dirs that are re-read before returning."""
