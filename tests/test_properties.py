@@ -236,13 +236,67 @@ def test_mg_sketch_union_contains_all_heavy_hitters(noise, heavy_draw, n_parts):
             pd.DataFrame({"word": part[i : i + 7]})
             for i in range(0, len(part), 7)
         ]
-        for out in so._mg_sketch(iter(batches)):
+        for out in so.mg_sketch_fn(so.MG_CAPACITY)(iter(batches)):
             candidates.update(out["word"].tolist())
     counts: dict[str, int] = {}
     for w in words:
         counts[w] = counts.get(w, 0) + 1
     heavy = {w for w, c in counts.items() if c * (so.MG_CAPACITY + 1) > n}
     assert heavy <= candidates, f"lost heavy hitters: {heavy - candidates}"
+
+
+def test_mg_capacity_derivation():
+    """Support -> capacity pinning (VERDICT r10 #3): the recall floor
+    N/(cap+1) must sit at or below min_support*N, with the smallest
+    such cap, so vocabulary growth can never evict a target item."""
+    from amazon_books_review_spark.plans import scale_ops_queries as so
+
+    assert so.mg_capacity(0.5) == 1          # majority item: 1 slot
+    assert so.mg_capacity(0.01) == 99        # 1% support: floor N/100
+    assert so.mg_capacity(1.0 / 51.0) == 50  # the catalog query's cap
+    assert so.MG_CAPACITY == 50              # contract unchanged vs r6-r10
+    for s in (0.5, 0.1, 0.033, 0.01, 1 / 51, 1 / 128, 0.0007):
+        cap = so.mg_capacity(s)
+        assert 1.0 / (cap + 1) <= s          # guarantee holds
+        assert cap == 0 or 1.0 / cap > s     # and cap is minimal
+    import pytest
+
+    with pytest.raises(ValueError):
+        so.mg_capacity(0.0)
+    with pytest.raises(ValueError):
+        so.mg_capacity(1.0)
+
+
+def test_mg_support_survives_vocab_growth():
+    """The failure mode the support API closes: a vocabulary far
+    larger than any fixed cap, with one 2%-share item.  Sizing from
+    min_support=0.02 keeps it; the old fixed cap-50 contract only
+    found items above 1/51 ~ 1.96% by luck of its constant."""
+    import pandas as pd
+
+    from amazon_books_review_spark.plans import scale_ops_queries as so
+
+    vocab = 5000                    # >> any reasonable fixed cap
+    noise = [f"n{i}" for i in range(vocab)] * 2        # 10k noise tokens
+    heavy = ["hot"] * 300                              # ~2.9% share
+    words = []
+    for i, w in enumerate(noise):                      # interleave
+        words.append(w)
+        if i % 33 == 0 and heavy:
+            words.append(heavy.pop())
+    words.extend(heavy)
+    n = len(words)
+    support = 0.02
+    cap = so.mg_capacity(support)
+    batches = [
+        pd.DataFrame({"word": words[i : i + 997]})
+        for i in range(0, n, 997)
+    ]
+    (out,) = list(so.mg_sketch_fn(cap)(iter(batches)))
+    survivors = set(out["word"])
+    assert "hot" in survivors, "support-sized sketch evicted the 2.9% item"
+    # and the sketch stayed bounded: at most cap keys retained
+    assert len(survivors) <= cap
 
 
 # --- round-6 analytics operators vs plain-Python references ---------------
