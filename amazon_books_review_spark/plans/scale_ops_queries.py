@@ -137,6 +137,16 @@ def heavy_hitters(toks: DataFrame, min_support: float) -> DataFrame:
     """Exact heavy hitters (share > min_support) over a ``word``
     column via sketch-then-recount, capacity derived from the support.
 
+    The sketch is sized by :func:`mg_capacity` (recall floor
+    ``1/(cap+1) <= min_support``, so no target item is evicted), but
+    the second-pass filter applies the REQUESTED support, not the
+    sketch floor: for supports whose reciprocal is not an integer the
+    floor is strictly looser (0.03 -> cap 33 -> floor 1/34 ~ 2.94%),
+    and filtering on the floor would emit items below the promised
+    threshold (ADVICE r11).  Both sides of the comparison are IEEE
+    doubles built from the same Python float, so the DuckDB oracle
+    (same literal via ``repr``) computes the identical predicate.
+
     At 100 TB the first pass is the point: the full word histogram
     does not fit anywhere, but the MG candidate union is at most
     cap x partitions keys — broadcastable — and the second pass is a
@@ -154,7 +164,7 @@ def heavy_hitters(toks: DataFrame, min_support: float) -> DataFrame:
     total = toks.agg(F.count(F.lit(1)).alias("tot"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .filter(F.col("n") * (cap + 1) > F.col("tot"))
+        .filter(F.col("n") > F.lit(float(min_support)) * F.col("tot"))
         .select("word", "n")
     )
 
@@ -175,7 +185,7 @@ WITH toks AS (
 SELECT word, count(*) AS n
 FROM toks
 GROUP BY word
-HAVING count(*) * {MG_CAPACITY + 1} > (SELECT count(*) FROM toks)
+HAVING count(*) > {MG_MIN_SUPPORT!r} * (SELECT count(*) FROM toks)
 """
 
 

@@ -561,3 +561,27 @@ def test_salted_topk_matches_plain_topk(spark, rows, k, n_salts):
         .collect()
     )
     assert got == want
+
+
+def test_heavy_hitters_filters_on_requested_support(spark):
+    """ADVICE r11 regression: for supports whose reciprocal is not an
+    integer the MG recall floor 1/(cap+1) is strictly looser than the
+    support (0.03 -> cap 33 -> floor 1/34 ~ 2.94%), and the old
+    second-pass filter ``n*(cap+1) > tot`` emitted items BELOW the
+    promised threshold.  An item at 2.96% share must now be excluded
+    at min_support=0.03 while a 4% item survives."""
+    from amazon_books_review_spark.plans import scale_ops_queries as so
+
+    support = 0.03
+    cap = so.mg_capacity(support)
+    assert cap == 33 and 1.0 / (cap + 1) < support  # floor looser than support
+
+    total = 10_000
+    words = (
+        ["hot"] * 400                       # 4.00% > support: keep
+        + ["mid"] * 296                     # 2.96%: above floor, below support
+        + [f"n{i}" for i in range(total - 696)]
+    )
+    toks = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["n"] for r in so.heavy_hitters(toks, support).collect()}
+    assert got == {"hot": 400}, f"support filter leaked: {got}"
