@@ -61,8 +61,13 @@ QUERIES = [
     "training_shard_manifest",
     # round-6 second wave: sketches + fixed-point iterative + windows.
     # heavy_hitters_mg at REPx has a REPx-larger vocabulary (salted
-    # tokens), so the MG sketch actually evicts and the result set
-    # legitimately shrinks to empty — the measurement is wall-time.
+    # tokens) BUT the synthesis exempts the token 'spark' from
+    # salting, so exactly one item keeps a genuine >1/51 global share
+    # at any REP — the r10/r11 done-criterion: the support-sized
+    # sketch (mg_capacity) must retain it through 100x vocabulary
+    # growth and the exact second pass must emit it (the pre-r11
+    # fixed-cap sketch evicted everything here; memory stays
+    # O(1/min_support) per partition, independent of REP).
     "heavy_hitters_mg",
     "mixture_rebalance_corpus",
     "kmeans_quantized_assign",
@@ -321,25 +326,58 @@ def _plane_scaled_entries() -> dict[str, dict[str, object]]:
 def synthesize(spark) -> None:
     from pyspark.sql import functions as F
 
+    # SCALE_TABLES=documents,events limits synthesis to those fact
+    # tables (others symlink the 1x base) — for single-query re-runs
+    # via the ONLY filter, where materializing the full REPx lineitem
+    # would dominate the wall clock for nothing.
+    _only_tables = {
+        t for t in os.environ.get("SCALE_TABLES", "").split(",") if t
+    }
+
+    def _wanted(t: str) -> bool:
+        return not _only_tables or t in _only_tables
+
+    def _passthrough(table: str) -> None:
+        dst = os.path.join(SCALED_DIR, f"{table}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, f"{table}.parquet"), dst)
+
     os.makedirs(SCALED_DIR, exist_ok=True)
     passthrough = ["region", "nation", "customer", "supplier", "part"]
     for t in passthrough:
-        dst = os.path.join(SCALED_DIR, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+        _passthrough(t)
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
+        if not _wanted(t):
+            _passthrough(t)
 
-    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
-    reps = []
-    for i in range(REP):
-        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET))
-        if i:
-            r = r.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+    if _wanted("documents"):
+        docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+        reps = []
+        for i in range(REP):
+            r = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * ID_OFFSET)
             )
-        reps.append(r)
-    functools.reduce(lambda a, b: a.unionByName(b), reps).write.mode(
-        "overwrite"
-    ).parquet(f"{SCALED_DIR}/documents.parquet")
+            if i:
+                r = r.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+                )
+                # Exempt ONE token from salting so the scaled corpus
+                # has a genuine global heavy hitter ('spark' holds
+                # ~3.4% share at 1x and keeps it at any REP): the
+                # heavy_hitters_mg curve then tests that the
+                # support-sized sketch retains a true >min_support
+                # item through REPx vocabulary growth, with a
+                # non-empty exact output — instead of the degenerate
+                # everything-salted run where no item has >1/51 share
+                # and empty is the CORRECT answer.
+                r = r.withColumn(
+                    "text",
+                    F.regexp_replace("text", rf"\bsparkx{i}\b", "spark"),
+                )
+            reps.append(r)
+        functools.reduce(lambda a, b: a.unionByName(b), reps).write.mode(
+            "overwrite"
+        ).parquet(f"{SCALED_DIR}/documents.parquet")
 
     # The shipped corpus contains NO true near-dups (max pairwise
     # cosine 0.60), so a threshold-0.9 run would correctly return zero
@@ -353,6 +391,12 @@ def synthesize(spark) -> None:
         dst = os.path.join(PLANTED_1X, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+    if not _wanted("embeddings"):
+        dst = os.path.join(PLANTED_1X, "embeddings.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, "embeddings.parquet"), dst)
+        _synthesize_tail(spark, F, _wanted)
+        return
     emb0 = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
     plants = (
         emb0.filter(F.col("vec_id") % 20 == 0)
@@ -386,19 +430,29 @@ def synthesize(spark) -> None:
         "overwrite"
     ).parquet(f"{SCALED_DIR}/embeddings.parquet")
 
-    # events: REPx USERS (ids offset per replica), per-user event
-    # volume unchanged — the axis user-partitioned windows scale on
-    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
-    reps = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
-        .withColumn("user_id", F.col("user_id") + F.lit(i * ID_OFFSET))
-        for i in range(REP)
-    ]
-    functools.reduce(lambda a, b: a.unionByName(b), reps).write.mode(
-        "overwrite"
-    ).parquet(f"{SCALED_DIR}/events.parquet")
+    _synthesize_tail(spark, F, _wanted)
+
+
+def _synthesize_tail(spark, F, _wanted) -> None:
+    """events/orders/lineitem replicas (split out so a SCALE_TABLES
+    run that skips embeddings can still build them)."""
+    if _wanted("events"):
+        # events: REPx USERS (ids offset per replica), per-user event
+        # volume unchanged — the axis user-partitioned windows scale on
+        ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+        reps = [
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * ID_OFFSET)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * ID_OFFSET))
+            for i in range(REP)
+        ]
+        functools.reduce(lambda a, b: a.unionByName(b), reps).write.mode(
+            "overwrite"
+        ).parquet(f"{SCALED_DIR}/events.parquet")
 
     for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if not _wanted(t):
+            continue
         df = spark.read.parquet(f"{BASE_SF}/{t}.parquet")
         reps = [
             df.withColumn(key, F.col(key) + F.lit(i * KEY_OFFSET))
