@@ -13,10 +13,22 @@ Design (the part that must be right at 100 TB):
 Decode depth: image *header* decode (PNG / JPEG / GIF dimensions and
 format sniffing) is REAL — these are public byte formats parsed with
 ``struct``, no imaging library needed (:func:`parse_image_header`).
-Full pixel decode / audio / video codecs are stubbed: payloads whose
-signature matches none of the known formats raise NotImplementedError
-under ``strict=True``, or fall back to a clearly-labeled deterministic
-fake (format='unknown', dims derived from size) so the Spark plumbing —
+Two formats additionally get REAL full-content decode, because they
+are uncompressed public byte layouts that need no codec library:
+
+- BMP (BI_RGB 24-bit): the whole pixel array is decoded —
+  ``numpy.frombuffer`` over the bottom-up, 4-byte-row-aligned BGR
+  buffer — and per-image pixel statistics computed from the actual
+  samples (:func:`parse_bmp`, :func:`decode_pixel_stats`).
+- WAV (16-bit PCM): the ``data`` chunk is decoded to int16 samples
+  (``numpy.frombuffer('<i2')``) and per-clip sample statistics
+  computed from the actual PCM values (:func:`parse_wav_pcm`,
+  :func:`decode_pcm_stats`).
+
+COMPRESSED codecs (JPEG entropy decode, MP3 synthesis, video) remain
+stubbed: payloads whose signature matches no decodable format raise
+NotImplementedError under ``strict=True``, or fall back to a
+clearly-labeled deterministic fake / row drop so the Spark plumbing —
 schema, batching, UDF signature — stays exercised end to end.
 """
 
@@ -587,3 +599,267 @@ def resize_images(
             )
 
     return df.mapInPandas(resize, schema=RESIZE_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL full-content decode: BMP pixels + WAV PCM samples
+# ---------------------------------------------------------------------------
+# These two formats are uncompressed public byte layouts, so a 100 TB
+# pipeline can decode them with numpy buffer views alone — no codec
+# library, no stub.  They are the proof that the mapInPandas decode
+# plumbing carries REAL pixel/sample work, not just header sniffing.
+
+#: Output schema of the pixel-stats stage.
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "max_luma int"
+)
+
+#: Output schema of the PCM-stats stage.
+PCM_STATS_SCHEMA = (
+    "doc_id bigint, format string, sample_rate int, channels int, "
+    "n_samples bigint, sum_samples bigint, peak_abs int"
+)
+
+
+def make_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Build REAL, fully-decodable BMP payloads (BI_RGB 24-bit, valid
+    54-byte header + actual pixel array, bottom-up rows padded to 4
+    bytes) entirely Catalyst-side — zero Python, like
+    :func:`make_image_payload`, but with a complete pixel body.
+
+    Dimensions and every pixel derive from the id so a DuckDB oracle
+    can recompute what a correct FULL decode must report:
+
+    - ``w = id % 13 + 4``, ``h = id % 7 + 3``
+    - pixel ``p = y*w + x`` (row-major, top-down) has
+      ``B = (31*id + 3p) % 256``, ``G = (31*id + 3p + 1) % 256``,
+      ``R = (31*id + 3p + 2) % 256``.
+
+    The file stores rows bottom-up (positive biHeight), so a decoder
+    that forgets the vertical flip, the BGR channel order, or the
+    4-byte row padding reads different bytes — the oracle's pixel
+    sums catch all three.
+    """
+    d = F.col(id_col)
+    base = df.select(
+        d,
+        (d % 13 + 4).cast("int").alias("__w"),
+        (d % 7 + 3).cast("int").alias("__h"),
+    )
+    w, h = F.col("__w"), F.col("__h")
+    stride = F.expr("(__w * 3 + 3) div 4 * 4")
+
+    def le2(col: Column) -> Column:
+        hx = F.lpad(F.hex(col), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    def le4(col: Column) -> Column:
+        hx = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(hx, 7, 2),
+                F.substring(hx, 5, 2),
+                F.substring(hx, 3, 2),
+                F.substring(hx, 1, 2),
+            )
+        )
+
+    pixels_hex = F.expr(
+        f"""array_join(transform(sequence(__h - 1, 0, -1), y ->
+              concat(
+                array_join(transform(sequence(0, __w - 1), x ->
+                  concat(
+                    lpad(hex((31 * {id_col} + 3 * (y * __w + x)) % 256), 2, '0'),
+                    lpad(hex((31 * {id_col} + 3 * (y * __w + x) + 1) % 256), 2, '0'),
+                    lpad(hex((31 * {id_col} + 3 * (y * __w + x) + 2) % 256), 2, '0')
+                  )), ''),
+                repeat('00', (__w * 3 + 3) div 4 * 4 - __w * 3)
+              )), '')"""
+    )
+    payload = F.concat(
+        F.encode(F.lit("BM"), "utf-8"),
+        le4(stride * h + 54),          # file size
+        le4(F.lit(0)),                 # reserved
+        le4(F.lit(54)),                # pixel-array offset
+        le4(F.lit(40)),                # BITMAPINFOHEADER size
+        le4(w),
+        le4(h),                        # positive: bottom-up rows
+        le2(F.lit(1)),                 # planes
+        le2(F.lit(24)),                # bits per pixel
+        le4(F.lit(0)),                 # BI_RGB (uncompressed)
+        le4(stride * h),               # image size
+        le4(F.lit(2835)),              # x pixels/metre (96 dpi)
+        le4(F.lit(2835)),              # y pixels/metre
+        le4(F.lit(0)),                 # palette colours
+        le4(F.lit(0)),                 # important colours
+        F.unhex(pixels_hex),
+    )
+    return base.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("image/bmp").alias("media_type"),
+    )
+
+
+def parse_bmp(b: bytes):
+    """REAL full BMP decode (BI_RGB 24-bit): returns
+    ``(width, height, pixels)`` where ``pixels`` is an ``(h, w, 3)``
+    uint8 ndarray in BGR channel order, top-down — or ``None`` if the
+    payload is not an uncompressed 24-bit BMP.
+
+    Pure public-format byte parsing: 14-byte file header (pixel-array
+    offset at 10), BITMAPINFOHEADER dims at 18 (signed; negative
+    height = top-down rows), rows padded to 4-byte alignment.  The
+    pixel view is a zero-copy ``numpy.frombuffer`` slice.
+    """
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (off,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < off + stride * h:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, offset=off, count=stride * h)
+    pix = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        pix = pix[::-1]  # bottom-up file order -> top-down
+    return w, h, pix
+
+
+def decode_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
+    """REAL pixel-level decode stage: mapInPandas over (id, payload),
+    full BMP decode via :func:`parse_bmp`, then integer pixel
+    statistics computed from the ACTUAL samples — channel sums and
+    max integer luma ``(299R + 587G + 114B) div 1000`` (exact
+    integers, so the oracle comparison is engine-exact, no float
+    tolerance).
+
+    Non-BMP payloads need a codec library: ``strict=True`` raises
+    NotImplementedError; the default drops the row (the routing a
+    mixed-media corpus wants — decode what is decodable, count the
+    rest upstream via :func:`binary_meta`).
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [
+            "doc_id", "format", "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b", "max_luma",
+        ]
+        for pdf in batches:
+            rows = []
+            for pid, buf in zip(pdf[id_col], pdf["payload"]):
+                parsed = parse_bmp(bytes(buf))
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"{id_col}={pid}: not an uncompressed 24-bit "
+                            "BMP; compressed formats need a codec library"
+                        )
+                    continue
+                w, h, pix = parsed
+                p64 = pix.astype(np.int64)
+                sum_b = int(p64[:, :, 0].sum())
+                sum_g = int(p64[:, :, 1].sum())
+                sum_r = int(p64[:, :, 2].sum())
+                luma = (
+                    299 * p64[:, :, 2] + 587 * p64[:, :, 1] + 114 * p64[:, :, 0]
+                ) // 1000
+                rows.append(
+                    (int(pid), "bmp", w, h, w * h,
+                     sum_r, sum_g, sum_b, int(luma.max()))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+def parse_wav_pcm(b: bytes):
+    """REAL PCM decode of a 16-bit WAV payload: returns
+    ``(sample_rate, channels, samples)`` with ``samples`` an int16
+    ndarray (interleaved channels, file order) — or ``None`` if the
+    payload is not 16-bit PCM WAV.
+
+    Walks the RIFF chunk list to the ``data`` chunk (never assumes
+    the canonical 44-byte layout) and takes a zero-copy little-endian
+    ``numpy.frombuffer`` view of the sample bytes.
+    """
+    import numpy as np
+
+    meta = parse_audio_header(b)
+    if meta is None or meta[0] != "wav":
+        return None
+    _, sample_rate, channels, bits = meta
+    if bits != 16:
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        chunk_id = b[i : i + 4]
+        (chunk_size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if chunk_id == b"data":
+            avail = min(chunk_size, len(b) - i - 8)
+            samples = np.frombuffer(
+                b, dtype="<i2", offset=i + 8, count=avail // 2
+            )
+            return sample_rate, channels, samples
+        i += 8 + chunk_size + (chunk_size & 1)
+    return None
+
+
+def decode_pcm_stats(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
+    """REAL sample-level audio decode stage: mapInPandas over
+    (id, payload), full 16-bit PCM decode via :func:`parse_wav_pcm`,
+    then integer sample statistics from the ACTUAL PCM values —
+    count, sum, peak absolute amplitude (exact integers; engine-exact
+    oracle comparison).
+
+    Compressed audio (MP3 etc.) needs a codec: ``strict=True`` raises
+    NotImplementedError; the default drops the row, mirroring
+    :func:`decode_pixel_stats`'s mixed-corpus routing.
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [
+            "doc_id", "format", "sample_rate", "channels",
+            "n_samples", "sum_samples", "peak_abs",
+        ]
+        for pdf in batches:
+            rows = []
+            for pid, buf in zip(pdf[id_col], pdf["payload"]):
+                parsed = parse_wav_pcm(bytes(buf))
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"{id_col}={pid}: not 16-bit PCM WAV; "
+                            "compressed audio needs a codec library"
+                        )
+                    continue
+                rate, channels, samples = parsed
+                s64 = samples.astype(np.int64)
+                peak = int(np.abs(s64).max()) if s64.size else 0
+                rows.append(
+                    (int(pid), "wav", rate, channels,
+                     int(s64.size), int(s64.sum()), peak)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_stats, schema=PCM_STATS_SCHEMA)

@@ -1475,6 +1475,93 @@ FROM documents
 """
 
 
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL full-pixel decode under the hard gate (closes the r10/r11
+    'pixel decode stubbed' carry-over): fully valid BI_RGB 24-bit BMP
+    payloads — 54-byte header plus an ACTUAL pixel array, bottom-up
+    4-byte-aligned BGR rows — are built Catalyst-side with id-derived
+    dimensions and per-pixel values (multimodal.make_bmp_payload);
+    the mapInPandas stage then decodes every pixel for real
+    (numpy.frombuffer over the payload bytes, vertical flip, channel
+    split — multimodal.parse_bmp) and reports integer channel sums +
+    max integer luma from the decoded samples.  The oracle recomputes
+    the same statistics from the generative pixel formula, so a wrong
+    row stride, a missed bottom-up flip, swapped BGR channels, or any
+    header-layout bug changes the decoded bytes and fails the value
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.make_bmp_payload(docs, "doc_id")
+    return multimodal.decode_pixel_stats(with_payload, "doc_id")
+
+
+PIXEL_STATS_ORACLE = """
+WITH dims AS (
+    SELECT doc_id,
+           CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+           CAST(doc_id % 7 + 3 AS INTEGER) AS h
+    FROM documents
+), px AS (
+    SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims
+)
+SELECT doc_id,
+       'bmp' AS format,
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum((31 * doc_id + 3 * p + 2) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((31 * doc_id + 3 * p + 1) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((31 * doc_id + 3 * p) % 256) AS BIGINT) AS sum_b,
+       CAST(max((299 * ((31 * doc_id + 3 * p + 2) % 256)
+               + 587 * ((31 * doc_id + 3 * p + 1) % 256)
+               + 114 * ((31 * doc_id + 3 * p) % 256)) // 1000)
+            AS INTEGER) AS max_luma
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def multimodal_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode under the hard gate: the mixed WAV/MP3
+    corpus from multimodal.make_audio_payload goes through
+    multimodal.decode_pcm_stats, which decodes the 16-bit PCM data
+    chunk of every WAV payload to int16 samples (numpy '<i2' buffer
+    view after a RIFF chunk walk) and reports count / sum / peak
+    amplitude from the decoded values; MP3 rows are dropped by the
+    documented mixed-corpus routing (compressed audio needs a codec).
+    The WAV body is the md5-hex of the text (32 ASCII bytes = 16
+    little-endian int16 samples), so the oracle recomputes each
+    sample as ascii(char[2i]) + 256*ascii(char[2i+1]) from md5(text)
+    — a wrong endianness, a wrong data-chunk offset, or a signedness
+    bug fails the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.make_audio_payload(docs, "doc_id", "text")
+    return multimodal.decode_pcm_stats(with_payload, "doc_id")
+
+
+PCM_STATS_ORACLE = """
+WITH w AS (
+    SELECT doc_id, md5(text) AS hsh FROM documents WHERE doc_id % 2 = 0
+), s AS (
+    SELECT doc_id, hsh, unnest(range(0, 16)) AS i FROM w
+), samp AS (
+    SELECT doc_id,
+           ascii(substr(hsh, CAST(2 * i + 1 AS INTEGER), 1))
+           + 256 * ascii(substr(hsh, CAST(2 * i + 2 AS INTEGER), 1)) AS v
+    FROM s
+)
+SELECT doc_id,
+       'wav' AS format,
+       CAST(CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 32000 ELSE 48000 END AS INTEGER) AS sample_rate,
+       CAST((doc_id // 2) % 2 + 1 AS INTEGER) AS channels,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_samples,
+       CAST(max(v) AS INTEGER) AS peak_abs
+FROM samp
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup — new batch vs existing corpus index
 # ---------------------------------------------------------------------------
@@ -1901,6 +1988,10 @@ NORTHSTAR_QUERIES = [
      "Catalyst-native fixed-size byte chunking (no Python boundary)"),
     ("multimodal_audio_meta", multimodal_audio_meta, AUDIO_META_ORACLE,
      "real WAV/MP3 header decode (RIFF chunk walk + MPEG frame header)"),
+    ("multimodal_pixel_stats", multimodal_pixel_stats, PIXEL_STATS_ORACLE,
+     "REAL full-pixel BMP decode: numpy over BGR rows, integer pixel stats"),
+    ("multimodal_pcm_stats", multimodal_pcm_stats, PCM_STATS_ORACLE,
+     "REAL 16-bit PCM decode of the WAV data chunk: int16 sample stats"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),
      "end-to-end corpus prep: quality cutoff -> exact dedup -> split, one plan"),
     ("text_extract_urls", text_extract_urls, EXTRACT_URLS_ORACLE,
