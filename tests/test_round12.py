@@ -130,3 +130,30 @@ def test_decode_pcm_stats_strict_raises_on_mp3(spark):
     payload = multimodal.make_audio_payload(df, "doc_id", "text")  # id 1 -> mp3
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_pcm_stats(payload, "doc_id", strict=True).collect()
+
+
+def test_format_gate_decision_logic(monkeypatch):
+    """The delta/protobuf packages cannot be installed in this runtime
+    (package installs are out of contract), so the gate DECISION logic
+    is pinned directly: default_stream_format() must resolve to
+    'delta' exactly when the package is importable — simulated both
+    ways via find_spec, no package needed."""
+    import importlib.util
+
+    from amazon_books_review_spark.sources import io as io_mod
+
+    real_find_spec = importlib.util.find_spec
+
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a: object() if name == "delta" else real_find_spec(name, *a),
+    )
+    assert io_mod.delta_available() is True
+    assert io_mod.default_stream_format() == "delta"
+
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a: None if name == "delta" else real_find_spec(name, *a),
+    )
+    assert io_mod.delta_available() is False
+    assert io_mod.default_stream_format() == "parquet"
