@@ -121,16 +121,29 @@ def hardlink_clone(src: str, dst: str) -> None:
     """Populate ``dst`` with hard links to ``src``'s files — an O(files)
     mutable snapshot of an immutable staged input (parquet part files
     are never rewritten, so link-sharing the bytes is safe).  Falls
-    back to copying if the tmp dir spans filesystems."""
+    back to copying if the tmp dir spans filesystems.
+
+    Recurses into subdirectories (ADVICE r11): a staged input written
+    with ``partitionBy`` is a directory tree, and a clone that
+    silently skipped directories would hand downstream a dataset with
+    every partitioned row missing — wrong results, no error.
+    Non-file, non-directory entries (sockets, devices) raise instead
+    of being dropped."""
     os.makedirs(dst, exist_ok=True)
     for name in os.listdir(src):
         s, d = os.path.join(src, name), os.path.join(dst, name)
-        if not os.path.isfile(s):
-            continue
-        try:
-            os.link(s, d)
-        except OSError:
-            shutil.copy2(s, d)
+        if os.path.isdir(s):
+            hardlink_clone(s, d)
+        elif os.path.isfile(s):
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+        else:
+            raise ValueError(
+                f"hardlink_clone: unsupported entry type at {s!r} — "
+                "staged inputs must contain only files and directories"
+            )
 
 
 def ephemeral_dir(prefix: str) -> str:

@@ -297,26 +297,88 @@ def _run_one(spark, fn, sf_dir: str) -> tuple[float | None, str | None]:
     return round(time.perf_counter() - t0, 3), None
 
 
-def _prior_records() -> dict[str, float]:
+def _same_sf(recorded, sf_tag: str) -> bool:
+    """sf equality across representations (ADVICE r11): the stored
+    'sf' is a parsed float (1.0) while the tag is the raw dir suffix
+    ('1') — compare numerically when both parse, else as strings."""
+    try:
+        return float(recorded) == float(sf_tag)
+    except (TypeError, ValueError):
+        return str(recorded) == sf_tag
+
+
+def _prior_records(
+    repo: str | None = None,
+    sf_dir: str | None = None,
+    current_hashes: dict[str, str] | None = None,
+    verified_hashes: dict[str, str] | None = None,
+) -> dict[str, float]:
     """Per-query best (min) committed time at the CURRENT bench sf,
     across every prior round's BENCH_LOCAL_r*.json — both the session
     series and the solo lane.  This is the reference the >1.5x
     regression gate compares against; min-over-history is robust to
-    contended outliers in any single round."""
+    contended outliers in any single round.
+
+    Records are CHANGE-AWARE (VERDICT r11 #6, same machinery as the
+    correctness ledger): a record only counts for a query whose
+    implementation hash at record time matches its current
+    ``src_hash``, so a legitimate slowdown from a code change
+    re-baselines instead of being solo-retimed against a stale min
+    forever.  Detail files from r12 on carry a ``src_hashes`` map;
+    older hash-less files are grandfathered ONLY for queries whose
+    current hash still matches the driver-verified ledger (i.e. the
+    source genuinely hasn't changed since the record was set).
+    """
+    if current_hashes is None or verified_hashes is None:
+        from amazon_books_review_spark.plans.catalog import (
+            VERIFIED_HASHES,
+            _REGISTRY,
+        )
+
+        if current_hashes is None:
+            current_hashes = {n: e.src_hash for n, e in _REGISTRY.items()}
+        if verified_hashes is None:
+            verified_hashes = dict(VERIFIED_HASHES)
+
+    def _record_ok(name: str, recorded_hashes: dict | None) -> bool:
+        cur = current_hashes.get(name)
+        if cur is None:
+            return True  # not a catalog entry (defensive): keep old behavior
+        if recorded_hashes is not None:
+            rec_hash = recorded_hashes.get(name)
+            return rec_hash is None or rec_hash == cur
+        # hash-less history: trust it only if the source hasn't
+        # changed since the last driver-verified tree
+        return verified_hashes.get(name) == cur
+
     rec: dict[str, float] = {}
-    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    for p in sorted(Path(_REPO).glob("BENCH_LOCAL_r*.json")):
+    sf_tag = (sf_dir or SF_DIR).rstrip("/").rsplit("sf", 1)[-1]
+    for p in sorted(Path(repo or _REPO).glob("BENCH_LOCAL_r*.json")):
         try:
             d = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        if str(d.get("sf")) != sf_tag:
+        if not _same_sf(d.get("sf"), sf_tag):
             continue
+        recorded_hashes = d.get("src_hashes")
         for series in (d.get("queries"), d.get("solo_retimed")):
             for k, v in (series or {}).items():
-                if isinstance(v, (int, float)) and (k not in rec or v < rec[k]):
+                if not isinstance(v, (int, float)):
+                    continue
+                if not _record_ok(k, recorded_hashes):
+                    continue
+                if k not in rec or v < rec[k]:
                     rec[k] = float(v)
     return rec
+
+
+def _entry_hash(name: str) -> str | None:
+    """Current src_hash of a catalog entry (None for non-catalog
+    names), for the change-aware record keying in detail files."""
+    from amazon_books_review_spark.plans.catalog import _REGISTRY
+
+    entry = _REGISTRY.get(name)
+    return entry.src_hash if entry is not None else None
 
 
 def _next_round() -> int:
@@ -472,6 +534,12 @@ def main() -> None:
                 "ratio": ratio,
                 "new_entrant_floor_sec": new_entrant_floor,
                 "n_records": len(records),
+            },
+            # change-aware record keying (VERDICT r11 #6): future
+            # _prior_records() runs only accept this file's numbers
+            # for queries whose implementation hash still matches.
+            "src_hashes": {
+                n: _entry_hash(n) for n in timings if _entry_hash(n)
             },
         }
     )

@@ -157,3 +157,85 @@ def test_format_gate_decision_logic(monkeypatch):
     )
     assert io_mod.delta_available() is False
     assert io_mod.default_stream_format() == "parquet"
+
+
+def test_bench_records_rebaseline_on_hash_change(tmp_path):
+    """VERDICT r11 #6: the bench record ledger is change-aware.  A
+    query whose implementation hash changed since a record was set
+    must get a FRESH baseline (no record returned) instead of being
+    solo-retimed forever against the stale min; unchanged queries
+    keep their history — including hash-less pre-r12 files, which are
+    grandfathered only when the current hash still matches the
+    driver-verified ledger."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_LOCAL_r01.json").write_text(_json.dumps({
+        "sf": 0.1,
+        "queries": {"q_changed": 1.0, "q_same": 2.0, "q_ledgered": 3.0},
+    }))
+    (tmp_path / "BENCH_LOCAL_r02.json").write_text(_json.dumps({
+        "sf": 0.1,
+        "queries": {"q_changed": 4.0, "q_same": 5.0},
+        "src_hashes": {"q_changed": "OLDHASH", "q_same": "H2"},
+    }))
+
+    records = bench._prior_records(
+        repo=str(tmp_path),
+        sf_dir="/root/testdata/sf0.1",
+        current_hashes={"q_changed": "NEWHASH", "q_same": "H2",
+                        "q_ledgered": "H3"},
+        verified_hashes={"q_same": "H2", "q_ledgered": "H3"},
+    )
+    # hash-carrying record with a stale hash: dropped; the hash-less
+    # r01 record is also dropped because the ledger disagrees
+    assert "q_changed" not in records
+    # matching hash keeps the r02 record; the hash-less r01 record is
+    # grandfathered (ledger hash matches) so the min survives
+    assert records["q_same"] == 2.0
+    # hash-less-only history, ledger matches current: grandfathered
+    assert records["q_ledgered"] == 3.0
+
+
+def test_bench_sf_tag_matches_numerically(tmp_path):
+    """ADVICE r11: a stored float sf (1.0) must match the raw dir
+    suffix ('1') — integer scale factors silently dropped every
+    record before this fix."""
+    import json as _json
+
+    import bench
+
+    assert bench._same_sf(1.0, "1")
+    assert bench._same_sf(0.1, "0.1")
+    assert not bench._same_sf(0.1, "1")
+    assert bench._same_sf("weird", "weird")
+
+    (tmp_path / "BENCH_LOCAL_r01.json").write_text(_json.dumps({
+        "sf": 1.0, "queries": {"q": 7.5}, "src_hashes": {"q": "H"},
+    }))
+    records = bench._prior_records(
+        repo=str(tmp_path), sf_dir="/data/sf1",
+        current_hashes={"q": "H"}, verified_hashes={},
+    )
+    assert records == {"q": 7.5}
+
+
+def test_hardlink_clone_recurses_into_partitioned_dirs(tmp_path):
+    """ADVICE r11: a partitionBy-written staged input is a directory
+    tree — the clone must carry the nested part files, not silently
+    skip them."""
+    from amazon_books_review_spark.sources.fixtures import hardlink_clone
+
+    src = tmp_path / "src"
+    (src / "lang=en").mkdir(parents=True)
+    (src / "lang=en" / "part-0.parquet").write_bytes(b"en-bytes")
+    (src / "_SUCCESS").write_bytes(b"")
+    dst = tmp_path / "dst"
+    hardlink_clone(str(src), str(dst))
+    assert (dst / "_SUCCESS").exists()
+    assert (dst / "lang=en" / "part-0.parquet").read_bytes() == b"en-bytes"
+    # hard-linked, not copied (same inode), when on one filesystem
+    assert (dst / "lang=en" / "part-0.parquet").stat().st_ino == (
+        src / "lang=en" / "part-0.parquet"
+    ).stat().st_ino
