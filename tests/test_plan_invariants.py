@@ -212,6 +212,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "jsonl_corpus_roundtrip": (0, 0, 0),
     "orc_lineitem_roundtrip": (2, 0, 0),
     "multimodal_decode_meta": (0, 0, 0),
+    # r12 REAL decodes: payload build + mapInPandas are one map stage
+    "multimodal_pixel_stats": (0, 0, 0),
+    "multimodal_pcm_stats": (0, 0, 0),
     # the 2 SMJs are one logical merge join on (orderkey, salt) — the
     # deliberately-hinted shuffle path the salting demo exists for
     "salted_join_priority_revenue": (6, 0, 0, 2),
