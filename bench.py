@@ -277,6 +277,9 @@ HEADLINE += [
     "psi_price_drift",
     "streaming_stream_stream_outer_join",
     "doc_length_histogram",
+    # round-12 REAL decodes (BMP pixels / WAV PCM samples)
+    "multimodal_pixel_stats",
+    "multimodal_pcm_stats",
 ]
 
 
