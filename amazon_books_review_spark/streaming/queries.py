@@ -16,6 +16,7 @@ tests/test_streaming.py instead.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,18 +68,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the testdata generation; both are normalized to TimestampType via
     sources.io.normalize_event_time — withWatermark rejects NTZ.
 
-    The streaming file source requires a *directory*, so we stream the
-    sf dir with a glob filter selecting just the events file.  The
-    reader schema is the RAW file schema (the source must match the
-    bytes on disk); normalization is a projection on top.
+    Layout-agnostic (r12): ``events.parquet`` is a single FILE in the
+    driver's raw drop but a DIRECTORY of part files after any Spark
+    rewrite (bench's ingest re-layout, a medallion bronze, any real
+    table).  The streaming file source requires a directory, so a
+    directory streams directly and a bare file streams via its parent
+    with a glob filter selecting just that file — the pre-r12
+    glob-only form silently matched ZERO files against a directory
+    layout (part-*.parquet never matches 'events.parquet') and every
+    downstream drain saw an empty source.  The reader schema is the
+    RAW file schema (the source must match the bytes on disk);
+    normalization is a projection on top.
     """
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    batch = spark.read.parquet(path)
+    reader = spark.readStream.format("parquet").schema(batch.schema)
+    if os.path.isdir(path):
+        stream = reader.load(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_event_time(stream)
 
 
