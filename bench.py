@@ -337,8 +337,10 @@ def _prior_records(
         from amazon_books_review_spark.plans.catalog import (
             VERIFIED_HASHES,
             _REGISTRY,
+            all_queries,
         )
 
+        all_queries()  # the registry populates lazily — force the load
         if current_hashes is None:
             current_hashes = {n: e.src_hash for n, e in _REGISTRY.items()}
         if verified_hashes is None:

@@ -270,3 +270,18 @@ def test_bench_optimize_layout_rescues_split_starved_scans(spark, tmp_path, monk
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_bench_prior_records_loads_catalog_lazily():
+    """_prior_records must trigger the lazy catalog load itself: with
+    an unloaded registry the current-hash map would be empty and every
+    stale record would be grandfathered (the r12 first-run bug —
+    heavy_hitters_mg kept its pre-change record)."""
+    import bench
+    from amazon_books_review_spark.plans.catalog import _REGISTRY
+
+    records = bench._prior_records()
+    assert _REGISTRY, "registry still empty after _prior_records"
+    # this round's changed queries must NOT inherit stale records
+    for name in ("heavy_hitters_mg", "streaming_windowed_counts"):
+        assert name not in records, f"{name} kept a stale pre-change record"
