@@ -405,11 +405,18 @@ def _optimize_layout(spark) -> tuple[str, float]:
     dst = os.path.join(
         tempfile.gettempdir(), f"abr_bench_opt_{os.getpid()}"
     )
+    # CPUS/2 splits, floor 4: a measured sweet spot — CPU-heavy doc
+    # scans keep their full re-layout speedup (gopher 1.87s at 16
+    # splits vs 1.86s at 32) while the per-scan constant every SMALL
+    # query pays (listing + footer reads + task launch, x files)
+    # halves (8-query probe total: raw 11.9s / 16 splits 6.0s /
+    # 32 splits 6.8s).
+    parts = max(4, CPUS // 2)
     t0 = time.perf_counter()
     for t in TESTDATA_TABLES:
         (
             spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
-            .repartition(CPUS)
+            .repartition(parts)
             .write.mode("overwrite")
             .parquet(os.path.join(dst, f"{t}.parquet"))
         )
