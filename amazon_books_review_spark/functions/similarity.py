@@ -544,3 +544,108 @@ def lsh_bucketed_topk(
             "sim",
         )
     )
+
+
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    LASER / CCMatrix parallel-corpus alignment rule): candidate pairs
+    are the MUTUAL k-NN between two embedding corpora, scored by the
+    ratio margin
+
+        margin(x, y) = cos(x, y) / ((mean_kNN(x->tgt) + mean_kNN(y->src)) / 2)
+
+    which normalizes away hubness — a vector that is "close to
+    everything" has a high k-NN mean, so its raw-cosine matches stop
+    outranking genuinely aligned pairs.
+
+    Engine-exactness: cosines are integer-quantized up front
+    (``cos_q = floor(cos * 1e6 + 0.5)`` as BIGINT), so ranking,
+    mutual-k-NN membership, and the k-NN SUMS are exact integer
+    arithmetic — immune to float summation order across partitions —
+    and the margin itself is a fixed two-step double expression over
+    those integers, replayed operation-for-operation by the SQL
+    oracle.
+
+    Plan shape: one broadcast cross-score of the two sides (the same
+    deliberate BNLJ fan-out as :func:`cosine_topk`), then ONE window
+    shuffle per direction (rank + k-NN sum share each partition).
+    This exact all-pairs form is the verify tier; at 100 TB generate
+    the candidate pairs per direction with :func:`ivf_topk` (or the
+    sign-LSH tables) and feed them through the identical
+    rank/sum/margin windows — the scoring contract is unchanged.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_sv"),
+        l2_norm(F.col(vec_col)).alias("_sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    cos = dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
+    scored = (
+        s.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cos_q",
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .select("src_id", "tgt_id", "cos_q")
+    )
+    w_x = Window.partitionBy("src_id").orderBy(
+        F.col("cos_q").desc(), F.col("tgt_id").asc()
+    )
+    w_y = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_q").desc(), F.col("src_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rank_x", F.row_number().over(w_x))
+        .withColumn(
+            "sum_x",
+            F.sum(F.when(F.col("rank_x") <= k, F.col("cos_q"))).over(
+                Window.partitionBy("src_id")
+            ),
+        )
+        .withColumn(
+            "cnt_x",
+            F.sum(F.when(F.col("rank_x") <= k, F.lit(1))).over(
+                Window.partitionBy("src_id")
+            ),
+        )
+        .withColumn("rank_y", F.row_number().over(w_y))
+        .withColumn(
+            "sum_y",
+            F.sum(F.when(F.col("rank_y") <= k, F.col("cos_q"))).over(
+                Window.partitionBy("tgt_id")
+            ),
+        )
+        .withColumn(
+            "cnt_y",
+            F.sum(F.when(F.col("rank_y") <= k, F.lit(1))).over(
+                Window.partitionBy("tgt_id")
+            ),
+        )
+    )
+    margin = F.round(
+        F.lit(2.0)
+        * F.col("cos_q")
+        / (
+            F.col("sum_x") * F.lit(1.0) / F.col("cnt_x")
+            + F.col("sum_y") * F.lit(1.0) / F.col("cnt_y")
+        ),
+        6,
+    )
+    return (
+        ranked.filter((F.col("rank_x") <= k) & (F.col("rank_y") <= k))
+        .withColumn("margin", margin)
+        .filter(F.col("margin") > margin_threshold)
+        .select("src_id", "tgt_id", "cos_q", "margin")
+    )

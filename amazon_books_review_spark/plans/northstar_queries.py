@@ -305,6 +305,73 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+BITEXT_K = 4
+BITEXT_MARGIN = 1.02
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    LASER/CCMatrix parallel-corpus alignment rule) between two
+    embedding corpora — even vec_ids play the source language, odd
+    the target (the incremental-dedup split convention).  Mutual
+    k-NN candidates scored by the hubness-normalizing ratio margin;
+    see :func:`functions.similarity.margin_bitext_pairs` for the
+    integer-quantized engine-exactness contract and the IVF candidate
+    path at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_bitext_pairs(
+        src, tgt, "vec_id", "embedding",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    )
+
+
+BITEXT_MARGIN_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), s AS (
+    SELECT vec_id AS src_id, e, nrm FROM v WHERE vec_id % 2 = 0
+), t AS (
+    SELECT vec_id AS tgt_id, e, nrm FROM v WHERE vec_id % 2 = 1
+), scored AS (
+    SELECT src_id, tgt_id,
+           CAST(floor(list_inner_product(s.e, t.e) / (s.nrm * t.nrm)
+                      * 1000000 + 0.5) AS BIGINT) AS cos_q
+    FROM s, t
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cos_q DESC, tgt_id ASC) AS rank_x,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY cos_q DESC, src_id ASC) AS rank_y
+    FROM scored
+), sums AS (
+    SELECT *,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY src_id) AS sum_x,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY src_id) AS cnt_x,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY tgt_id) AS sum_y,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY tgt_id) AS cnt_y
+    FROM ranked
+), margins AS (
+    SELECT src_id, tgt_id, cos_q,
+           round(2.0 * cos_q
+                 / (sum_x * 1.0 / cnt_x + sum_y * 1.0 / cnt_y), 6) AS margin
+    FROM sums
+    WHERE rank_x <= {BITEXT_K} AND rank_y <= {BITEXT_K}
+)
+SELECT src_id, tgt_id, cos_q, margin
+FROM margins
+WHERE margin > {BITEXT_MARGIN!r}
+"""
+
+
 def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/Arrow physical strategy for the same logical query —
     shares the exact-cosine oracle (results are value-identical)."""
@@ -1990,6 +2057,8 @@ NORTHSTAR_QUERIES = [
      "real WAV/MP3 header decode (RIFF chunk walk + MPEG frame header)"),
     ("multimodal_pixel_stats", multimodal_pixel_stats, PIXEL_STATS_ORACLE,
      "REAL full-pixel BMP decode: numpy over BGR rows, integer pixel stats"),
+    ("bitext_margin_mining", bitext_margin_mining, BITEXT_MARGIN_ORACLE,
+     "LASER/CCMatrix margin bitext mining: mutual k-NN + ratio margin, int-quantized"),
     ("multimodal_pcm_stats", multimodal_pcm_stats, PCM_STATS_ORACLE,
      "REAL 16-bit PCM decode of the WAV data chunk: int16 sample stats"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),

@@ -215,6 +215,10 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # r12 REAL decodes: payload build + mapInPandas are one map stage
     "multimodal_pixel_stats": (0, 0, 0),
     "multimodal_pcm_stats": (0, 0, 0),
+    # r12 bitext mining: the BNLJ is the deliberate cross-score
+    # fan-out (cosine_topk's shape); one window shuffle per direction
+    # (3 physical exchanges: broadcast + 2 window hashpartitionings)
+    "bitext_margin_mining": (6, 0, 2),
     # the 2 SMJs are one logical merge join on (orderkey, salt) — the
     # deliberately-hinted shuffle path the salting demo exists for
     "salted_join_priority_revenue": (6, 0, 0, 2),

@@ -272,16 +272,74 @@ def test_bench_optimize_layout_rescues_split_starved_scans(spark, tmp_path, monk
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def test_bench_prior_records_loads_catalog_lazily():
+def test_bench_prior_records_loads_catalog_lazily(tmp_path):
     """_prior_records must trigger the lazy catalog load itself: with
     an unloaded registry the current-hash map would be empty and every
     stale record would be grandfathered (the r12 first-run bug —
-    heavy_hitters_mg kept its pre-change record)."""
+    heavy_hitters_mg kept its pre-change record).  Hermetic: a crafted
+    detail file records a REAL catalog query under a hash that cannot
+    match its live src_hash; the record must be dropped, which only
+    happens if the registry actually loaded."""
+    import json as _json
+
     import bench
     from amazon_books_review_spark.plans.catalog import _REGISTRY
 
-    records = bench._prior_records()
+    (tmp_path / "BENCH_LOCAL_r01.json").write_text(_json.dumps({
+        "sf": 0.1,
+        "queries": {"heavy_hitters_mg": 0.5},
+        "src_hashes": {"heavy_hitters_mg": "not-a-real-hash"},
+    }))
+    records = bench._prior_records(
+        repo=str(tmp_path), sf_dir="/root/testdata/sf0.1"
+    )
     assert _REGISTRY, "registry still empty after _prior_records"
-    # this round's changed queries must NOT inherit stale records
-    for name in ("heavy_hitters_mg", "streaming_windowed_counts"):
-        assert name not in records, f"{name} kept a stale pre-change record"
+    assert "heavy_hitters_mg" not in records, "stale-hash record survived"
+
+
+def test_margin_bitext_matches_plain_python_replay(spark):
+    """Margin mining semantics: mutual-k-NN membership, integer
+    quantization, and the ratio-margin formula must match an
+    independent plain-numpy replay exactly (same quantization)."""
+    import math
+
+    import numpy as np
+
+    from amazon_books_review_spark.functions import similarity
+
+    rng = np.random.default_rng(3)
+    src_vecs = rng.normal(size=(6, 8)); tgt_vecs = rng.normal(size=(7, 8))
+    src_rows = [(2 * i, [float(x) for x in v]) for i, v in enumerate(src_vecs)]
+    tgt_rows = [(2 * i + 1, [float(x) for x in v]) for i, v in enumerate(tgt_vecs)]
+    src = spark.createDataFrame(src_rows, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id long, embedding array<double>")
+    K = 3
+    out = similarity.margin_bitext_pairs(
+        src, tgt, "vec_id", "embedding", k=K, margin_threshold=0.0
+    )
+    got = {
+        (r["src_id"], r["tgt_id"]): (r["cos_q"], r["margin"])
+        for r in out.collect()
+    }
+
+    # independent replay
+    sid = [r[0] for r in src_rows]; tid = [r[0] for r in tgt_rows]
+    q = {}
+    for i, a in enumerate(src_vecs):
+        for j, b in enumerate(tgt_vecs):
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            q[(sid[i], tid[j])] = math.floor(cos * 1e6 + 0.5)
+    def topk(keys, pid, other_idx):
+        pairs = sorted(keys, key=lambda kv: (-q[kv], kv[other_idx]))
+        return pairs[:K]
+    expect = {}
+    knn_x = {s: topk([kv for kv in q if kv[0] == s], s, 1) for s in sid}
+    knn_y = {t_: topk([kv for kv in q if kv[1] == t_], t_, 0) for t_ in tid}
+    for s in sid:
+        for t_ in tid:
+            if (s, t_) in knn_x[s] and (s, t_) in knn_y[t_]:
+                sum_x = sum(q[kv] for kv in knn_x[s]); sum_y = sum(q[kv] for kv in knn_y[t_])
+                margin = round(2.0 * q[(s, t_)] / (sum_x * 1.0 / K + sum_y * 1.0 / K), 6)
+                if margin > 0.0:
+                    expect[(s, t_)] = (q[(s, t_)], margin)
+    assert got == expect
