@@ -546,60 +546,16 @@ def lsh_bucketed_topk(
     )
 
 
-def margin_bitext_pairs(
-    src: DataFrame,
-    tgt: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 4,
-    margin_threshold: float = 1.05,
+def _margin_from_scored(
+    scored: DataFrame, k: int, margin_threshold: float
 ) -> DataFrame:
-    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
-    LASER / CCMatrix parallel-corpus alignment rule): candidate pairs
-    are the MUTUAL k-NN between two embedding corpora, scored by the
-    ratio margin
-
-        margin(x, y) = cos(x, y) / ((mean_kNN(x->tgt) + mean_kNN(y->src)) / 2)
-
-    which normalizes away hubness — a vector that is "close to
-    everything" has a high k-NN mean, so its raw-cosine matches stop
-    outranking genuinely aligned pairs.
-
-    Engine-exactness: cosines are integer-quantized up front
-    (``cos_q = floor(cos * 1e6 + 0.5)`` as BIGINT), so ranking,
-    mutual-k-NN membership, and the k-NN SUMS are exact integer
-    arithmetic — immune to float summation order across partitions —
-    and the margin itself is a fixed two-step double expression over
-    those integers, replayed operation-for-operation by the SQL
-    oracle.
-
-    Plan shape: one broadcast cross-score of the two sides (the same
-    deliberate BNLJ fan-out as :func:`cosine_topk`), then ONE window
-    shuffle per direction (rank + k-NN sum share each partition).
-    This exact all-pairs form is the verify tier; at 100 TB generate
-    the candidate pairs per direction with :func:`ivf_topk` (or the
-    sign-LSH tables) and feed them through the identical
-    rank/sum/margin windows — the scoring contract is unchanged.
-    """
-    s = src.select(
-        F.col(id_col).alias("src_id"),
-        F.col(vec_col).alias("_sv"),
-        l2_norm(F.col(vec_col)).alias("_sn"),
-    )
-    t = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        F.col(vec_col).alias("_tv"),
-        l2_norm(F.col(vec_col)).alias("_tn"),
-    )
-    cos = dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
-    scored = (
-        s.crossJoin(F.broadcast(t))
-        .withColumn(
-            "cos_q",
-            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
-        )
-        .select("src_id", "tgt_id", "cos_q")
-    )
+    """Shared margin-scoring tail over a (src_id, tgt_id, cos_q)
+    candidate frame: per-direction rank + k-NN sum windows (one
+    shuffle each — rank and sum share the partition), mutual-k-NN
+    filter, ratio margin.  ``cos_q`` must be the integer-quantized
+    cosine; every downstream step is then exact integer arithmetic
+    except the final two-step double margin, which the SQL oracles
+    replay operation-for-operation."""
     w_x = Window.partitionBy("src_id").orderBy(
         F.col("cos_q").desc(), F.col("tgt_id").asc()
     )
@@ -649,3 +605,104 @@ def margin_bitext_pairs(
         .filter(F.col("margin") > margin_threshold)
         .select("src_id", "tgt_id", "cos_q", "margin")
     )
+
+
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    LASER / CCMatrix parallel-corpus alignment rule): candidate pairs
+    are the MUTUAL k-NN between two embedding corpora, scored by the
+    ratio margin
+
+        margin(x, y) = cos(x, y) / ((mean_kNN(x->tgt) + mean_kNN(y->src)) / 2)
+
+    which normalizes away hubness — a vector that is "close to
+    everything" has a high k-NN mean, so its raw-cosine matches stop
+    outranking genuinely aligned pairs.
+
+    Engine-exactness: cosines are integer-quantized up front
+    (``cos_q = floor(cos * 1e6 + 0.5)`` as BIGINT), so ranking,
+    mutual-k-NN membership, and the k-NN SUMS are exact integer
+    arithmetic — immune to float summation order across partitions —
+    and the margin itself is a fixed two-step double expression over
+    those integers, replayed operation-for-operation by the SQL
+    oracle (see :func:`_margin_from_scored`).
+
+    Plan shape: one broadcast cross-score of the two sides (the same
+    deliberate BNLJ fan-out as :func:`cosine_topk`), then ONE window
+    shuffle per direction.  This exact all-pairs form is the verify
+    tier — quadratic in corpus size, excluded from the bench scale
+    paths like the other exact all-pairs operators;
+    :func:`margin_bitext_pairs_cells` is the candidate-bounded 100 TB
+    shape with the identical scoring tail.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_sv"),
+        l2_norm(F.col(vec_col)).alias("_sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    cos = dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
+    scored = (
+        s.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cos_q",
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .select("src_id", "tgt_id", "cos_q")
+    )
+    return _margin_from_scored(scored, k, margin_threshold)
+
+
+def margin_bitext_pairs_cells(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+) -> DataFrame:
+    """The candidate-bounded scale shape of :func:`margin_bitext_pairs`
+    — the IVF posture applied to bitext mining: both corpora carry a
+    quantizer cell id (here a label column; at 100 TB the learned
+    k-means/IVF cell, with the corpora physically partitioned by it),
+    candidate pairs are the SAME-CELL equi-join — a plain shuffle
+    join, NEITHER side broadcast, volume bounded by per-cell
+    occupancy — and the identical rank/sum/margin windows run over
+    the candidates.  k-NN means are then within-cell means, the
+    standard IVF approximation (recall tunable by cell size /
+    multi-assignment, auditable exactly like `ann_recall_audit`).
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(cell_col).alias("_cell"),
+        F.col(vec_col).alias("_sv"),
+        l2_norm(F.col(vec_col)).alias("_sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(cell_col).alias("_cell"),
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    cos = dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
+    scored = (
+        s.join(t, "_cell")
+        .withColumn(
+            "cos_q",
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .select("src_id", "tgt_id", "cos_q")
+    )
+    return _margin_from_scored(scored, k, margin_threshold)

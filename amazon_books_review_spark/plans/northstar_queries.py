@@ -372,6 +372,68 @@ WHERE margin > {BITEXT_MARGIN!r}
 """
 
 
+def bitext_margin_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-bounded scale shape of bitext_margin_mining: the
+    quantizer cell (the embeddings ``label`` column; at 100 TB the
+    learned IVF cell with the corpora physically partitioned by it)
+    bounds candidates to SAME-CELL pairs via a plain shuffle
+    equi-join — neither corpus broadcast — and the identical
+    rank/sum/margin scoring tail runs over the candidates
+    (:func:`functions.similarity.margin_bitext_pairs_cells`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_bitext_pairs_cells(
+        src, tgt, "vec_id", "embedding", "label",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    )
+
+
+BITEXT_MARGIN_CELLS_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), s AS (
+    SELECT vec_id AS src_id, label, e, nrm FROM v WHERE vec_id % 2 = 0
+), t AS (
+    SELECT vec_id AS tgt_id, label, e, nrm FROM v WHERE vec_id % 2 = 1
+), scored AS (
+    SELECT src_id, tgt_id,
+           CAST(floor(list_inner_product(s.e, t.e) / (s.nrm * t.nrm)
+                      * 1000000 + 0.5) AS BIGINT) AS cos_q
+    FROM s JOIN t USING (label)
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cos_q DESC, tgt_id ASC) AS rank_x,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY cos_q DESC, src_id ASC) AS rank_y
+    FROM scored
+), sums AS (
+    SELECT *,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY src_id) AS sum_x,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY src_id) AS cnt_x,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY tgt_id) AS sum_y,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY tgt_id) AS cnt_y
+    FROM ranked
+), margins AS (
+    SELECT src_id, tgt_id, cos_q,
+           round(2.0 * cos_q
+                 / (sum_x * 1.0 / cnt_x + sum_y * 1.0 / cnt_y), 6) AS margin
+    FROM sums
+    WHERE rank_x <= {BITEXT_K} AND rank_y <= {BITEXT_K}
+)
+SELECT src_id, tgt_id, cos_q, margin
+FROM margins
+WHERE margin > {BITEXT_MARGIN!r}
+"""
+
+
 def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/Arrow physical strategy for the same logical query —
     shares the exact-cosine oracle (results are value-identical)."""
@@ -2059,6 +2121,8 @@ NORTHSTAR_QUERIES = [
      "REAL full-pixel BMP decode: numpy over BGR rows, integer pixel stats"),
     ("bitext_margin_mining", bitext_margin_mining, BITEXT_MARGIN_ORACLE,
      "LASER/CCMatrix margin bitext mining: mutual k-NN + ratio margin, int-quantized"),
+    ("bitext_margin_mining_cells", bitext_margin_mining_cells, BITEXT_MARGIN_CELLS_ORACLE,
+     "bitext mining scale shape: same-cell shuffle-join candidates, identical margin tail"),
     ("multimodal_pcm_stats", multimodal_pcm_stats, PCM_STATS_ORACLE,
      "REAL 16-bit PCM decode of the WAV data chunk: int16 sample stats"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),

@@ -281,6 +281,10 @@ HEADLINE += [
     # round-12 REAL decodes (BMP pixels / WAV PCM samples)
     "multimodal_pixel_stats",
     "multimodal_pcm_stats",
+    # round-12 bitext mining — the candidate-bounded scale shape only
+    # (bitext_margin_mining is the exact all-pairs verify tier,
+    # excluded like dedup_ngram_jaccard / cosine_neardup_pairs)
+    "bitext_margin_mining_cells",
 ]
 
 

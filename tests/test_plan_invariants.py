@@ -219,6 +219,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # fan-out (cosine_topk's shape); one window shuffle per direction
     # (3 physical exchanges: broadcast + 2 window hashpartitionings)
     "bitext_margin_mining": (6, 0, 2),
+    # scale shape: same-cell equi-join candidates (broadcast at test
+    # sf, shuffle at scale) + the two window partitionings
+    "bitext_margin_mining_cells": (8, 0, 0, 2),
     # the 2 SMJs are one logical merge join on (orderkey, salt) — the
     # deliberately-hinted shuffle path the salting demo exists for
     "salted_join_priority_revenue": (6, 0, 0, 2),
