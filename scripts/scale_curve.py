@@ -238,6 +238,16 @@ QUERIES = [
     # PSI is one conditional-sum pass over orders (scale REPx) + a
     # band-sized window — the label_drift_kl shape on a numeric column
     "psi_price_drift",
+    # round-12 bitext mining, cell-candidate form.  The synthesis
+    # keeps the label (cell) cardinality FIXED while embeddings grow
+    # REPx, so per-cell occupancy grows REPx and the same-cell
+    # candidate join grows REP^2 — the curve measures exactly the
+    # quadratic-at-fixed-cells failure the docstring's IVF posture
+    # (cells ~ n, occupancy flat) exists to prevent; the sign-flip
+    # decorrelation keeps cross-replica pairs below the margin
+    # threshold so OUTPUT grows ~REPx while candidate work shows the
+    # cell-sizing cost.
+    "bitext_margin_mining_cells",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
