@@ -706,3 +706,70 @@ def margin_bitext_pairs_cells(
         .select("src_id", "tgt_id", "cos_q")
     )
     return _margin_from_scored(scored, k, margin_threshold)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    max_sim: float = 0.95,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training data (the
+    DPR / SimCSE / contrastive-finetune prep step): for each probe,
+    the k most-similar corpus vectors that carry a DIFFERENT label —
+    the near-misses that teach the model the decision boundary —
+    excluding anything at or above ``max_sim`` (those are presumed
+    positives/near-duplicates, not negatives; the standard
+    false-negative guard).
+
+    Same determinism contract as :func:`cosine_topk` (rounded sims,
+    id-ascending tie-break) and the same plan shape: broadcast probe
+    fan-out + one corpus scan + one probe-keyed window.  At 100 TB
+    swap the cross-score for :func:`ivf_topk`-style cell candidates
+    with ``nprobe`` raised until the negative pool per probe is deep
+    enough — hard negatives live NEAR the probe by construction, so
+    cell routing loses little recall.
+    """
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                sim_decimals,
+            ),
+        )
+        .filter(F.col("sim") < max_sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_ql").alias("query_label"),
+            "neighbor_id",
+            F.col("_cl").alias("neighbor_label"),
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )

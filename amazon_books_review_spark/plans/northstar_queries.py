@@ -434,6 +434,51 @@ WHERE margin > {BITEXT_MARGIN!r}
 """
 
 
+HARDNEG_MAX_SIM = 0.95
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: per probe, the top-k
+    most-similar vectors with a DIFFERENT label, capped below the
+    presumed-positive threshold — see
+    :func:`functions.similarity.hard_negatives` for the
+    false-negative guard and the IVF posture at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.hard_negatives(
+        emb, probes, "vec_id", "embedding", "label",
+        k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
+    )
+
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), probes AS (
+    SELECT vec_id AS query_id, label AS query_label, e, nrm
+    FROM v WHERE vec_id < {N_PROBES}
+), scored AS (
+    SELECT p.query_id, p.query_label,
+           c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           round(list_inner_product(p.e, c.e) / (p.nrm * c.nrm), 6) AS sim
+    FROM probes p
+    JOIN v c ON c.label <> p.query_label
+), capped AS (
+    SELECT * FROM scored WHERE sim < {HARDNEG_MAX_SIM!r}
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM capped
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/Arrow physical strategy for the same logical query —
     shares the exact-cosine oracle (results are value-identical)."""
@@ -2123,6 +2168,8 @@ NORTHSTAR_QUERIES = [
      "LASER/CCMatrix margin bitext mining: mutual k-NN + ratio margin, int-quantized"),
     ("bitext_margin_mining_cells", bitext_margin_mining_cells, BITEXT_MARGIN_CELLS_ORACLE,
      "bitext mining scale shape: same-cell shuffle-join candidates, identical margin tail"),
+    ("hard_negative_mining", hard_negative_mining, HARD_NEGATIVES_ORACLE,
+     "contrastive-training prep: top-k different-label neighbors below the positive cap"),
     ("multimodal_pcm_stats", multimodal_pcm_stats, PCM_STATS_ORACLE,
      "REAL 16-bit PCM decode of the WAV data chunk: int16 sample stats"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),

@@ -285,6 +285,7 @@ HEADLINE += [
     # (bitext_margin_mining is the exact all-pairs verify tier,
     # excluded like dedup_ngram_jaccard / cosine_neardup_pairs)
     "bitext_margin_mining_cells",
+    "hard_negative_mining",
 ]
 
 

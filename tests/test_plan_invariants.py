@@ -222,6 +222,8 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # scale shape: same-cell equi-join candidates (broadcast at test
     # sf, shuffle at scale) + the two window partitionings
     "bitext_margin_mining_cells": (8, 0, 0, 2),
+    # r12 hard negatives: cosine_topk's shape (probe BNLJ + 1 window)
+    "hard_negative_mining": (4, 0, 2),
     # the 2 SMJs are one logical merge join on (orderkey, salt) — the
     # deliberately-hinted shuffle path the salting demo exists for
     "salted_join_priority_revenue": (6, 0, 0, 2),
