@@ -343,3 +343,37 @@ def test_margin_bitext_matches_plain_python_replay(spark):
                 if margin > 0.0:
                     expect[(s, t_)] = (q[(s, t_)], margin)
     assert got == expect
+
+
+def test_hard_negatives_exclude_positives_and_same_label(spark):
+    """Hard-negative contract: no same-label neighbor, nothing at or
+    above the presumed-positive cap, at most k rows per probe, ranked
+    by similarity descending."""
+    import math
+
+    import numpy as np
+
+    from amazon_books_review_spark.functions import similarity
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=6)
+        rows.append((i, i % 3, [float(x) for x in v]))
+    # a near-duplicate of vec 0 with a DIFFERENT label: similarity
+    # ~1.0 >= max_sim, so the cap must exclude it even though the
+    # label differs
+    base = np.array(rows[0][2])
+    rows.append((99, 1, [float(x) for x in base * 1.001]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    probes = df.filter("vec_id = 0")
+    out = similarity.hard_negatives(
+        df, probes, "vec_id", "embedding", "label", k=4, max_sim=0.95
+    ).collect()
+    assert 0 < len(out) <= 4
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    for r in out:
+        assert r["neighbor_label"] != r["query_label"]
+        assert r["sim"] < 0.95
+        assert r["neighbor_id"] != 99, "near-duplicate leaked past the cap"
