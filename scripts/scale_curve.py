@@ -248,6 +248,10 @@ QUERIES = [
     # threshold so OUTPUT grows ~REPx while candidate work shows the
     # cell-sizing cost.
     "bitext_margin_mining_cells",
+    # round-12 REAL decodes: Arrow-batched full-content decode over
+    # Catalyst-built payloads — linear map stages, the curve pins it
+    "multimodal_pixel_stats",
+    "multimodal_pcm_stats",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
