@@ -143,9 +143,12 @@ def heavy_hitters(toks: DataFrame, min_support: float) -> DataFrame:
     sketch floor: for supports whose reciprocal is not an integer the
     floor is strictly looser (0.03 -> cap 33 -> floor 1/34 ~ 2.94%),
     and filtering on the floor would emit items below the promised
-    threshold (ADVICE r11).  Both sides of the comparison are IEEE
-    doubles built from the same Python float, so the DuckDB oracle
-    (same literal via ``repr``) computes the identical predicate.
+    threshold (ADVICE r11).  Both sides of the comparison run the
+    same IEEE-double arithmetic: Spark multiplies doubles, and the
+    DuckDB oracle CASTs the repr'd literal to DOUBLE first (ADVICE
+    r12 — without the cast DuckDB parses it as DECIMAL and does exact
+    decimal arithmetic, which can disagree with doubles exactly at
+    integer-multiple boundaries like tot % 51 == 0).
 
     At 100 TB the first pass is the point: the full word histogram
     does not fit anywhere, but the MG candidate union is at most
@@ -185,7 +188,7 @@ WITH toks AS (
 SELECT word, count(*) AS n
 FROM toks
 GROUP BY word
-HAVING count(*) > {MG_MIN_SUPPORT!r} * (SELECT count(*) FROM toks)
+HAVING count(*) > CAST({MG_MIN_SUPPORT!r} AS DOUBLE) * (SELECT count(*) FROM toks)
 """
 
 

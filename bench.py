@@ -53,6 +53,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Solo re-times shorter than this get ONE warm re-run (min taken):
+# below it, fresh-session one-shot costs dominate the measurement.
+_SOLO_RERUN_UNDER_SEC = 3.0
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WARMUP_SF_DIR = os.environ.get(
     "SPARK_GRAFT_WARMUP_SF_DIR",
@@ -280,6 +283,8 @@ HEADLINE += [
     "doc_length_histogram",
     # round-12 REAL decodes (BMP pixels / WAV PCM samples)
     "multimodal_pixel_stats",
+    # round-13: stdlib PNG decode (zlib inflate + unfilter)
+    "multimodal_png_pixel_stats",
     "multimodal_pcm_stats",
     # round-12 bitext mining — the candidate-bounded scale shape only
     # (bitext_margin_mining is the exact all-pairs verify tier,
@@ -335,8 +340,15 @@ def _prior_records(
     re-baselines instead of being solo-retimed against a stale min
     forever.  Detail files from r12 on carry a ``src_hashes`` map;
     older hash-less files are grandfathered ONLY for queries whose
-    current hash still matches the driver-verified ledger (i.e. the
-    source genuinely hasn't changed since the record was set).
+    current hash still matches the driver-verified ledger.  NOTE
+    (ADVICE r12): that ledger check proves the source is unchanged
+    since the LAST driver verification, not necessarily since the
+    hash-less record was set — a query changed and re-verified
+    between the record round and now would still keep its old
+    record.  Accepted as a bench-only heuristic: the window rotates
+    every query through re-verification, and any such stale min can
+    only make the regression gate MORE sensitive (extra solo
+    re-times), never hide a regression.
     """
     if current_hashes is None or verified_hashes is None:
         from amazon_books_review_spark.plans.catalog import (
@@ -428,6 +440,48 @@ def _optimize_layout(spark) -> tuple[str, float]:
     return dst, round(time.perf_counter() - t0, 3)
 
 
+def _measure_streaming_floor(spark) -> float:
+    """Warm-session availableNow machinery floor (VERDICT r12 #7).
+
+    A fresh-checkpoint drain of a 1-row parquet input in the CURRENT
+    (warm) session — the ``second_query_cold`` point of
+    ``scripts/streaming_floor.py``: what every ``streaming_*`` bench
+    entry pays in offset-log / file-listing / checkpoint-commit / sink
+    bookkeeping before any operator work.  Measured untimed each bench
+    run so the detail file can report ``net_of_floor`` per streaming
+    query without solo re-times.  Solo-retimed streaming entries ran
+    in their own fresh sessions, where the FIRST-stream floor (~1.1 s
+    cold, PERF.md) applies instead — their net figure is conservative.
+    """
+    import shutil
+
+    from amazon_books_review_spark.sources.io import (
+        read_stream_parquet,
+        write_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="abr_bench_floor_")
+    try:
+        src = os.path.join(root, "src")
+        spark.range(1).selectExpr(
+            "id", "CAST(id AS STRING) AS v"
+        ).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        t0 = time.perf_counter()
+        q = write_stream(
+            read_stream_parquet(spark, src, schema),
+            os.path.join(root, "sink"),
+            os.path.join(root, "ckpt"),
+            query_name="bench_floor",
+        )
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 3)
+    except Exception:  # noqa: BLE001 — floor is advisory, never fatal
+        return 0.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _entry_hash(name: str) -> str | None:
     """Current src_hash of a catalog entry (None for non-catalog
     names), for the change-aware record keying in detail files."""
@@ -492,6 +546,13 @@ def main() -> None:
         timed_dir, optimize_sec = SF_DIR, 0.0
     else:
         timed_dir, optimize_sec = _optimize_layout(spark)
+        # ADVICE r12: the success path removes this tree at the end of
+        # main(); register cleanup so an exception mid-bench doesn't
+        # leak a full sf copy into /tmp.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, timed_dir, ignore_errors=True)
 
     # Pre-stage every process-cached input fixture at the TIMED sf
     # (streaming feeds, the warcish container write) so the timed
@@ -503,6 +564,10 @@ def main() -> None:
     from amazon_books_review_spark.streaming.queries import prestage_inputs
 
     prestage_inputs(spark, timed_dir)
+
+    # Untimed: warm-session streaming machinery floor, for the
+    # detail file's net_of_floor column (VERDICT r12 #7).
+    streaming_floor = _measure_streaming_floor(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -551,6 +616,19 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         _run_one(spark, queries[name], WARMUP_SF_DIR)  # warm codegen/committer
         secs, err = _run_one(spark, queries[name], timed_dir)
+        # Small-query fairness (r13, adjudicating the r12 trio): a
+        # single fresh-session shot carries first-time sf listing /
+        # footer reads / broadcast build — ~0.5-1 s of one-shot cost
+        # that dwarfs a sub-second query and inflated
+        # hll_distinct_audit 0.47->1.28 s while a warm re-run sits at
+        # record (bisect: the d6ce745 re-layout itself costs <=0.13 s
+        # on these scans).  For short runs, re-run once warm and take
+        # the min — bounded extra cost (< threshold) and the solo
+        # number measures the operator, not session cold-start.
+        if err is None and secs is not None and secs < _SOLO_RERUN_UNDER_SEC:
+            secs2, err2 = _run_one(spark, queries[name], timed_dir)
+            if err2 is None and secs2 is not None:
+                secs = min(secs, secs2)
         if err is None:
             solo[name] = secs
             contended[name] = timings[name]
@@ -611,6 +689,17 @@ def main() -> None:
             # one-time untimed ingest re-layout cost (0.0 = disabled
             # via SPARK_GRAFT_RAW_LAYOUT; see _optimize_layout)
             "ingest_optimize_sec": optimize_sec,
+            # VERDICT r12 #7: warm-session availableNow machinery
+            # floor and floor-subtracted streaming entries, so
+            # operator-cost regressions in streaming_* are visible
+            # without solo re-times (floor 0.0 = measurement failed;
+            # net equals gross then).
+            "streaming_floor_sec": streaming_floor,
+            "net_of_floor": {
+                n: round(max(0.0, t - streaming_floor), 3)
+                for n, t in timings.items()
+                if n.startswith("streaming_")
+            },
         }
     )
     local_path = Path(_REPO) / f"BENCH_LOCAL_r{_next_round():02d}.json"

@@ -1,0 +1,175 @@
+"""Round-13 additions: stdlib PNG full decode (VERDICT r12 #5), the
+position-weighted luma stat that makes pixel order oracle-observable
+(ADVICE r12), and the solo-lane small-query fairness fix."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from amazon_books_review_spark.functions import multimodal
+
+
+def _ref_png(w: int, h: int, pix_topdown: np.ndarray, filters=None) -> bytes:
+    """Hand-rolled reference PNG writer (independent of the engine's
+    mint stage): 8-bit truecolor, per-row filter types as given
+    (default all 0 = None), single IDAT."""
+    filters = filters if filters is not None else [0] * h
+    scan = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        row = pix_topdown[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        scan.append(f)
+        scan.extend(
+            multimodal._png_filter_row(f, row, prior, 3)
+            .astype(np.uint8)
+            .tobytes()
+        )
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_roundtrip_all_filters():
+    rng = np.random.default_rng(13)
+    pix = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # h=5, w=7
+    parsed = multimodal.parse_png(_ref_png(7, 5, pix, filters=[0, 1, 2, 3, 4]))
+    assert parsed is not None
+    w, h, got = parsed
+    assert (w, h) == (7, 5)
+    assert np.array_equal(got, pix)
+
+
+def test_parse_png_filter_inverse_property():
+    """Every filter type is an exact inverse pair on random scanlines
+    (incl. the Paeth predictor's tie-breaking)."""
+    rng = np.random.default_rng(99)
+    for _ in range(20):
+        n = int(rng.integers(3, 60)) * 3
+        row = rng.integers(0, 256, size=n).astype(np.int32)
+        prior = rng.integers(0, 256, size=n).astype(np.int32)
+        for f in range(5):
+            filt = multimodal._png_filter_row(f, row, prior, 3)
+            back = multimodal._png_unfilter_row(f, filt, prior, 3)
+            assert np.array_equal(back, row), f"filter {f} not inverted"
+
+
+def test_parse_png_rejects_bad_crc_and_wrong_shape():
+    pix = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _ref_png(2, 2, pix)
+    assert multimodal.parse_png(good) is not None
+    # flip one IDAT payload byte -> CRC fails -> reject
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    assert multimodal.parse_png(bytes(bad)) is None
+    # not a PNG at all
+    assert multimodal.parse_png(b"BM" + b"\x00" * 64) is None
+    # interlaced / wrong color type rejected (honest codec boundary)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rgba = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    assert multimodal.parse_png(rgba) is None
+
+
+def test_luma_posw_catches_vertical_flip():
+    """ADVICE r12: channel sums / max are permutation-invariant, so a
+    decoder that skips the BMP bottom-up flip passes them; the
+    position-weighted luma must differ for a flipped image (the gap
+    the stat exists to close)."""
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    flipped = pix[::-1]
+
+    def stats(p):
+        p64 = p.astype(np.int64)
+        luma = (299 * p64[:, :, 2] + 587 * p64[:, :, 1] + 114 * p64[:, :, 0]) // 1000
+        pos = np.arange(luma.size, dtype=np.int64)
+        return (
+            int(p64.sum()),
+            int(luma.max()),
+            int((pos * luma.reshape(-1)).sum()),
+        )
+
+    s_ok, s_flip = stats(pix), stats(flipped)
+    assert s_ok[0] == s_flip[0] and s_ok[1] == s_flip[1]  # invariant stats blind
+    assert s_ok[2] != s_flip[2]  # posw sees the flip
+
+
+def test_png_pixel_stats_match_bmp_on_same_ids(spark):
+    """The PNG mint + decode path reports the SAME stats as the BMP
+    path for the same ids (shared generative formula), format tag
+    aside — i.e. the compressed codec roundtrip is lossless."""
+    df = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    bmp = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal.decode_pixel_stats(
+            multimodal.make_bmp_payload(df, "doc_id"), "doc_id"
+        ).collect()
+    }
+    png = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal.decode_pixel_stats(
+            multimodal.make_png_payload(df, "doc_id"), "doc_id"
+        ).collect()
+    }
+    assert set(bmp) == set(png) == set(range(1, 12))
+    for i in bmp:
+        assert bmp[i]["format"] == "bmp" and png[i]["format"] == "png"
+        for k in ("width", "height", "n_pixels", "sum_r", "sum_g",
+                  "sum_b", "max_luma", "luma_posw"):
+            assert bmp[i][k] == png[i][k], (i, k)
+
+
+def test_png_mint_exercises_all_filter_types(spark):
+    """The fixture mint cycles filter types 0-4 so the unfilter path
+    is genuinely exercised — verify by parsing the minted bytes."""
+    df = spark.createDataFrame([(9,)], "doc_id long")  # h = 9%7+3 = 5 rows
+    (row,) = multimodal.make_png_payload(df, "doc_id").collect()
+    b = bytes(row["payload"])
+    idat_at = b.index(b"IDAT")
+    (length,) = struct.unpack(">I", b[idat_at - 4 : idat_at])
+    raw = zlib.decompress(b[idat_at + 4 : idat_at + 4 + length])
+    w, h = 9 % 13 + 4, 9 % 7 + 3
+    stride = w * 3 + 1
+    filters = [raw[y * stride] for y in range(h)]
+    assert filters == [y % 5 for y in range(h)]
+
+
+def test_decode_pixel_stats_strict_still_rejects_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a" + b"\x00" * 60), "image/gif")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        multimodal.decode_pixel_stats(df, "doc_id", strict=True).collect()
+
+
+def test_solo_rerun_threshold_constant():
+    """The solo lane re-runs short queries once warm (r13 trio
+    adjudication); pin the gate so it can't silently vanish."""
+    import bench
+
+    assert bench._SOLO_RERUN_UNDER_SEC == 3.0
