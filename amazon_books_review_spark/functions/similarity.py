@@ -728,11 +728,10 @@ def hard_negatives(
 
     Same determinism contract as :func:`cosine_topk` (rounded sims,
     id-ascending tie-break) and the same plan shape: broadcast probe
-    fan-out + one corpus scan + one probe-keyed window.  At 100 TB
-    swap the cross-score for :func:`ivf_topk`-style cell candidates
-    with ``nprobe`` raised until the negative pool per probe is deep
-    enough — hard negatives live NEAR the probe by construction, so
-    cell routing loses little recall.
+    fan-out + one corpus scan + one probe-keyed window.  This is the
+    exact/verify tier; :func:`hard_negatives_cells` is the
+    cell-routed 100 TB shape — hard negatives live NEAR the probe by
+    construction, so cell routing loses little recall.
     """
     p = probes.select(
         F.col(id_col).alias("query_id"),
@@ -748,6 +747,137 @@ def hard_negatives(
     )
     scored = (
         c.crossJoin(F.broadcast(p))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                sim_decimals,
+            ),
+        )
+        .filter(F.col("sim") < max_sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_ql").alias("query_label"),
+            "neighbor_id",
+            F.col("_cl").alias("neighbor_label"),
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )
+
+
+def signature_cell(vec_col: Column, dim: int, n_planes: int, table: int = 0) -> Column:
+    """Sign-LSH cell id: bit ``p`` set iff ``dot(v, plane_p) >= 0``
+    over :func:`deterministic_planes` — a LABEL-INDEPENDENT,
+    locality-preserving quantizer (``2**n_planes`` cells).  Used where
+    the class label cannot double as the IVF cell (hard-negative
+    mining excludes same-label candidates, so label-cells would empty
+    the candidate set); md5-derived constants keep it replayable by
+    an external SQL oracle.  At 100 TB this is the cell id you
+    compute ONCE at ingest and physically partition by — here it is
+    an inline expression (n_planes * dim literal constants through
+    one codegen'd fold per plane, no join, no shuffle).
+    """
+    planes = deterministic_planes(n_planes, dim, table)
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(c) for c in plane])) >= 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    cell = bits[0]
+    for b in bits[1:]:
+        cell = cell + b
+    return cell
+
+
+def hard_negatives_cells(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    max_sim: float = 0.95,
+    nprobe: int = 2,
+    n_planes: int = 3,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """The cell-routed scale shape of :func:`hard_negatives` (the IVF
+    posture, mirroring :func:`margin_bitext_pairs_cells`): candidates
+    are bounded by cell routing instead of a broadcast probe fan-out,
+    so an unbounded probe set never broadcasts and per-probe work is
+    per-cell occupancy, not |corpus|.
+
+    Mechanics:
+
+    - every corpus vector carries a :func:`signature_cell` id
+      (label-independent — the class label is the EXCLUSION key here,
+      so unlike :func:`ivf_topk` it cannot also be the cell);
+    - per-cell centroids (same rounded elementwise-mean coarse index
+      as :func:`label_centroids`) route each probe to its ``nprobe``
+      nearest cells;
+    - candidates are the same-cell pairs via a PLAIN shuffle
+      equi-join on the cell id — neither side broadcast (at 100 TB:
+      corpus physically partitioned by cell => partition pruning +
+      co-located join);
+    - then the identical different-label filter, false-negative cap
+      (``sim < max_sim``) and per-probe top-k window as the exact
+      tier.
+
+    Each corpus vector lives in exactly ONE cell, so a (probe,
+    neighbor) pair joins at most once — no candidate dedup needed.
+    Recall vs the exact tier is tunable via ``nprobe``/``n_planes``
+    and audited by the catalog's recall-audit queries.
+    """
+    cell = signature_cell(F.col(vec_col), dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        cell.alias("_cell"),
+    )
+    # Coarse index: per-cell rounded centroids (2**n_planes rows).
+    avgs = [
+        F.round(F.avg(F.col("_cv").getItem(i).cast("double")), 6)
+        for i in range(dim)
+    ]
+    cents = c.groupBy("_cell").agg(F.array(*avgs).alias("centroid"))
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    routed = p.crossJoin(F.broadcast(cents)).withColumn(
+        "_csim",
+        F.round(
+            dot(F.col("_qv"), F.col("centroid"))
+            / (F.col("_qn") * l2_norm(F.col("centroid"))),
+            6,
+        ),
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("_cell").asc()
+    )
+    probe_cells = (
+        routed.withColumn("_r", F.row_number().over(w_route))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_ql", "_qv", "_qn", "_cell")
+    )
+    scored = (
+        c.join(probe_cells, "_cell")  # plain shuffle equi-join, no broadcast
         .filter(F.col("_cl") != F.col("_ql"))
         .withColumn(
             "sim",

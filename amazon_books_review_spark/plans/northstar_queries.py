@@ -479,6 +479,149 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+def bitext_cells_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the cell-routed bitext tier against the
+    exact tier (VERDICT r12 #4) — the bitext counterpart of
+    ann_recall_audit: the cells path bounds candidates to same-cell
+    pairs AND computes k-NN means within-cell, so its mined pair set
+    both misses cross-cell pairs (recall < 100) and can admit pairs
+    whose within-cell margin clears the bar only because the cell-mean
+    denominator is smaller (precision < 100).  Both tiers are
+    engine-exact (integer-quantized cosines, deterministic
+    tie-breaks), so the audit is replayed by DuckDB to the integer —
+    no tolerance band.  At 100 TB this query IS the cell-occupancy
+    tuning loop: mine a corpus sample both ways after each
+    re-clustering and read recall/precision before committing the
+    full run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = similarity.margin_bitext_pairs(
+        src, tgt, "vec_id", "embedding",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    ).select("src_id", "tgt_id")
+    cells = similarity.margin_bitext_pairs_cells(
+        src, tgt, "vec_id", "embedding", "label",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    ).select("src_id", "tgt_id")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    nh = exact.join(cells, ["src_id", "tgt_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_cells",
+            "n_hit",
+            F.expr("n_hit * 100 div n_exact").alias("recall_pct"),
+            F.expr("n_hit * 100 div n_cells").alias("precision_pct"),
+        )
+    )
+
+
+BITEXT_CELLS_RECALL_ORACLE = f"""
+WITH exact_pairs AS ({BITEXT_MARGIN_ORACLE}),
+cells_pairs AS ({BITEXT_MARGIN_CELLS_ORACLE}),
+counts AS (
+    SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+           (SELECT count(*) FROM cells_pairs) AS n_cells,
+           (SELECT count(*)
+            FROM exact_pairs e JOIN cells_pairs c
+              ON e.src_id = c.src_id AND e.tgt_id = c.tgt_id) AS n_hit
+)
+SELECT n_exact, n_cells, n_hit,
+       CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct,
+       CAST(n_hit * 100 // n_cells AS BIGINT) AS precision_pct
+FROM counts
+"""
+
+
+HARDNEG_NPROBE = 2
+HARDNEG_PLANES = 3
+
+
+def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-routed scale shape of hard_negative_mining (VERDICT
+    r12 #3): corpus vectors carry a label-INDEPENDENT sign-LSH cell id
+    (the class label is the exclusion key here, so it cannot double
+    as the IVF cell), per-cell centroids route each probe to its
+    nprobe nearest cells, and candidates are the same-cell pairs via
+    a plain shuffle equi-join — no broadcast of the probe set — then
+    the identical different-label / false-negative-cap / top-k tail
+    as the exact tier (:func:`functions.similarity.hard_negatives_cells`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.hard_negatives_cells(
+        emb, probes, "vec_id", "embedding", "label",
+        dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
+        nprobe=HARDNEG_NPROBE, n_planes=HARDNEG_PLANES,
+    )
+
+
+def _hardneg_cells_oracle() -> str:
+    """Replays the full cell-routed pipeline in SQL: the sign-LSH cell
+    bits use the SAME md5-derived hyperplane constants
+    (similarity.deterministic_planes), the centroid/routing CTEs are
+    the _ivf_oracle pattern grouped by cell instead of label."""
+    planes = similarity.deterministic_planes(HARDNEG_PLANES, EMB_DIM, 0)
+    bits = " + ".join(
+        f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), cells AS (
+    SELECT vec_id, label, e, nrm, ({bits}) AS cell FROM v
+), cent AS (
+    SELECT cell,
+           list(round(avg_val, 6) ORDER BY i) AS centroid
+    FROM (
+        SELECT cell, i, avg(e[i]) AS avg_val
+        FROM cells, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY cell, i
+    )
+    GROUP BY cell
+), probes AS (
+    SELECT vec_id AS query_id, label AS query_label, e AS qv, nrm AS qn
+    FROM cells WHERE vec_id < {N_PROBES}
+), routed AS (
+    SELECT query_id, query_label, qv, qn, cell,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_inner_product(qv, centroid)
+                              / (qn * sqrt(list_inner_product(centroid, centroid))), 6) DESC,
+                        cell ASC
+           ) AS r
+    FROM probes, cent
+), probe_cells AS (
+    SELECT query_id, query_label, qv, qn, cell FROM routed WHERE r <= {HARDNEG_NPROBE}
+), scored AS (
+    SELECT p.query_id, p.query_label,
+           c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           round(list_inner_product(p.qv, c.e) / (p.qn * c.nrm), 6) AS sim
+    FROM probe_cells p
+    JOIN cells c ON c.cell = p.cell AND c.label <> p.query_label
+), capped AS (
+    SELECT * FROM scored WHERE sim < {HARDNEG_MAX_SIM!r}
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM capped
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/Arrow physical strategy for the same logical query —
     shares the exact-cosine oracle (results are value-identical)."""
@@ -2206,8 +2349,14 @@ NORTHSTAR_QUERIES = [
      "LASER/CCMatrix margin bitext mining: mutual k-NN + ratio margin, int-quantized"),
     ("bitext_margin_mining_cells", bitext_margin_mining_cells, BITEXT_MARGIN_CELLS_ORACLE,
      "bitext mining scale shape: same-cell shuffle-join candidates, identical margin tail"),
+    ("bitext_cells_recall_audit", bitext_cells_recall_audit,
+     BITEXT_CELLS_RECALL_ORACLE,
+     "cells-tier bitext recall/precision vs the exact tier, engine-exact"),
     ("hard_negative_mining", hard_negative_mining, HARD_NEGATIVES_ORACLE,
      "contrastive-training prep: top-k different-label neighbors below the positive cap"),
+    ("hard_negative_mining_cells", hard_negative_mining_cells,
+     _hardneg_cells_oracle(),
+     "hard-negative scale shape: sign-LSH cells + nprobe routing, no probe broadcast"),
     ("multimodal_pcm_stats", multimodal_pcm_stats, PCM_STATS_ORACLE,
      "REAL 16-bit PCM decode of the WAV data chunk: int16 sample stats"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),

@@ -291,6 +291,11 @@ HEADLINE += [
     # excluded like dedup_ngram_jaccard / cosine_neardup_pairs)
     "bitext_margin_mining_cells",
     "hard_negative_mining",
+    # round-13: the cell-routed hard-negative scale shape (no probe
+    # broadcast).  bitext_cells_recall_audit is NOT benched: its
+    # exact-tier arm is the quadratic audit harness, excluded like
+    # lsh_recall_audit / dedup_ngram_jaccard.
+    "hard_negative_mining_cells",
 ]
 
 

@@ -252,6 +252,16 @@ QUERIES = [
     # Catalyst-built payloads — linear map stages, the curve pins it
     "multimodal_pixel_stats",
     "multimodal_pcm_stats",
+    # round-13: hard-negative cells tier — sign-LSH cells are FIXED
+    # cardinality (2^3), so like bitext_margin_mining_cells the
+    # same-cell candidate join is the quantity under test: probes are
+    # a fixed N_PROBES set, so candidate volume grows with per-cell
+    # occupancy (~REPx), and the curve certifies the no-broadcast
+    # shuffle join stays linear in that volume.
+    "hard_negative_mining_cells",
+    # round-13: stdlib PNG decode (zlib inflate + unfilter per
+    # scanline in Arrow batches) — linear map stage like the BMP path
+    "multimodal_png_pixel_stats",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]

@@ -167,6 +167,92 @@ def test_decode_pixel_stats_strict_still_rejects_unknown(spark):
         multimodal.decode_pixel_stats(df, "doc_id", strict=True).collect()
 
 
+def _emb_rows(n: int, dim: int = 6, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    return [
+        (i, i % 3, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+
+
+def test_signature_cell_range_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from amazon_books_review_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        _emb_rows(40), "vec_id long, label int, embedding array<double>"
+    )
+    cells = df.select(
+        similarity.signature_cell(F.col("embedding"), 6, 3).alias("cell")
+    )
+    vals = [r["cell"] for r in cells.collect()]
+    assert all(0 <= v < 8 for v in vals)
+    assert vals == [r["cell"] for r in cells.collect()]  # deterministic
+
+
+def test_hard_negatives_cells_contract(spark):
+    """Cells tier keeps the exact tier's contract: no same-label
+    neighbor, nothing at/above the cap, dense ranks by sim desc."""
+    from amazon_books_review_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        _emb_rows(40), "vec_id long, label int, embedding array<double>"
+    )
+    probes = df.filter("vec_id < 3")
+    out = similarity.hard_negatives_cells(
+        df, probes, "vec_id", "embedding", "label",
+        dim=6, k=4, max_sim=0.95, nprobe=2, n_planes=3,
+    ).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r["neighbor_label"] != r["query_label"]
+        assert r["sim"] < 0.95
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) <= 4
+
+
+def test_hard_negatives_cells_full_nprobe_equals_exact(spark):
+    """Routing to ALL cells (nprobe = 2^n_planes) makes the candidate
+    set the whole different-label corpus, so the cells tier must equal
+    the exact tier row for row — the approximation is ONLY the cell
+    bound, never the scoring tail."""
+    from amazon_books_review_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        _emb_rows(40, seed=7), "vec_id long, label int, embedding array<double>"
+    )
+    probes = df.filter("vec_id < 4")
+    exact = similarity.hard_negatives(
+        df, probes, "vec_id", "embedding", "label", k=3, max_sim=0.95
+    )
+    cells = similarity.hard_negatives_cells(
+        df, probes, "vec_id", "embedding", "label",
+        dim=6, k=3, max_sim=0.95, nprobe=8, n_planes=3,
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    e = sorted((r.asDict() for r in exact.collect()), key=key)
+    c = sorted((r.asDict() for r in cells.collect()), key=key)
+    assert e == c
+
+
+def test_bitext_recall_audit_invariants(spark):
+    """n_hit bounded by both tiers; integer percentages consistent."""
+    from amazon_books_review_spark.plans.northstar_queries import (
+        bitext_cells_recall_audit,
+    )
+
+    (row,) = bitext_cells_recall_audit(spark, "/root/testdata/sf0.001").collect()
+    assert 0 <= row["n_hit"] <= min(row["n_exact"], row["n_cells"])
+    assert row["recall_pct"] == row["n_hit"] * 100 // row["n_exact"]
+    assert row["precision_pct"] == row["n_hit"] * 100 // row["n_cells"]
+
+
 def test_solo_rerun_threshold_constant():
     """The solo lane re-runs short queries once warm (r13 trio
     adjudication); pin the gate so it can't silently vanish."""
