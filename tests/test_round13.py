@@ -253,6 +253,39 @@ def test_bitext_recall_audit_invariants(spark):
     assert row["precision_pct"] == row["n_hit"] * 100 // row["n_cells"]
 
 
+def test_hard_negatives_cells_plan_never_forces_probe_broadcast(spark):
+    """The scale claim in code: the candidate join on the cell id
+    carries NO broadcast hint.  At sf0.001 the cost-based optimizer
+    legitimately broadcasts the tiny probe_cells side, so the
+    testable invariant is counterfactual: with auto-broadcast
+    disabled the join must degrade to a shuffle join — a forced
+    ``F.broadcast(probe_cells)`` (the r12 scale hole) would survive
+    the conf and keep a BroadcastHashJoin on the cell id."""
+    import contextlib
+    import io
+    import re
+
+    from amazon_books_review_spark.plans.catalog import all_queries
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["hard_negative_mining_cells"](
+            spark, "/root/testdata/sf0.001"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan), plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the centroid routing cross-join stays an explicit broadcast
+    # (2^n_planes rows, deliberate) even with auto-broadcast off
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_solo_rerun_threshold_constant():
     """The solo lane re-runs short queries once warm (r13 trio
     adjudication); pin the gate so it can't silently vanish."""
