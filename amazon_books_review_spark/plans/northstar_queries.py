@@ -622,6 +622,59 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+def hardneg_cells_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall of the cell-routed hard-negative tier against
+    the exact tier — completes the audit symmetry (every approximate
+    tier in the catalog carries an engine-exact recall audit: IVF,
+    LSH, bitext cells, and now hard-negative cells).  Negatives only
+    count as hits if the cells tier surfaced the SAME neighbor id;
+    both tiers are deterministic, so DuckDB replays the recall to the
+    integer.  At 100 TB this is the nprobe/n_planes tuning loop for
+    contrastive-data mining runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    exact = similarity.hard_negatives(
+        emb, probes, "vec_id", "embedding", "label",
+        k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
+    ).select("query_id", "neighbor_id")
+    cells = similarity.hard_negatives_cells(
+        emb, probes, "vec_id", "embedding", "label",
+        dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
+        nprobe=HARDNEG_NPROBE, n_planes=HARDNEG_PLANES,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(cells, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 100 div n_exact").alias("recall_pct"),
+        )
+    )
+
+
+def _hardneg_recall_oracle() -> str:
+    return f"""
+WITH exact_neg AS ({HARD_NEGATIVES_ORACLE}),
+cells_neg AS ({_hardneg_cells_oracle()})
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+            // count(*) AS BIGINT) AS recall_pct
+FROM exact_neg e
+LEFT JOIN cells_neg c
+  ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/Arrow physical strategy for the same logical query —
     shares the exact-cosine oracle (results are value-identical)."""
@@ -2357,6 +2410,9 @@ NORTHSTAR_QUERIES = [
     ("hard_negative_mining_cells", hard_negative_mining_cells,
      _hardneg_cells_oracle(),
      "hard-negative scale shape: sign-LSH cells + nprobe routing, no probe broadcast"),
+    ("hardneg_cells_recall_audit", hardneg_cells_recall_audit,
+     _hardneg_recall_oracle(),
+     "cells-tier hard-negative recall vs the exact tier, engine-exact"),
     ("multimodal_pcm_stats", multimodal_pcm_stats, PCM_STATS_ORACLE,
      "REAL 16-bit PCM decode of the WAV data chunk: int16 sample stats"),
     ("corpus_prep_pipeline", corpus_prep_pipeline, _corpus_prep_oracle(),
