@@ -539,6 +539,145 @@ FROM counts
 """
 
 
+def bitext_margin_mining_cells_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitext cells tier over a LEARNED quantizer (r13): the
+    recall audit measured the label-cell tier at ~8% recall — exactly
+    its same-cell collision mass, because the label column is
+    metadata, not geometry.  This variant routes over the engine's
+    quantized deterministic k-means clusters (the SemDeDup / IVF
+    machinery, `scale_ops_queries._km_final_assignment`) so cells ARE
+    cosine neighborhoods; same candidate shape (plain same-cell
+    shuffle equi-join, neither corpus broadcast) and identical margin
+    tail.  `bitext_kmeans_recall_audit` quantifies the recall this
+    buys; at 100 TB the pair is the re-clustering acceptance test for
+    a mining run, exactly like the ann_recall_audit pair for ANN."""
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KM_K,
+        _km_final_assignment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _km_final_assignment(spark, sf_dir, k=KM_K, route=False).select(
+        "vec_id", F.col("cluster").alias("km_cell")
+    )
+    emb_k = emb.join(cells, "vec_id")
+    src = emb_k.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb_k.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_bitext_pairs_cells(
+        src, tgt, "vec_id", "embedding", "km_cell",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    )
+
+
+def _bitext_kmeans_cells_sql() -> str:
+    """The cells-tier bitext SQL over the k-means CTE cells (the
+    BITEXT_MARGIN_CELLS_ORACLE shape with label -> learned cluster)."""
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KM_ITERS,
+        _kmeans_ctes,
+    )
+
+    prelude = (
+        ",\n".join(_kmeans_ctes())
+        + f",\nkm AS (SELECT vec_id, cluster FROM a{KM_ITERS - 1})"
+    )
+    return f"""
+WITH {prelude}, v AS (
+    SELECT ve.vec_id, km.cluster AS cell, ve.embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(ve.embedding::DOUBLE[], ve.embedding::DOUBLE[])) AS nrm
+    FROM embeddings ve JOIN km ON km.vec_id = ve.vec_id
+), s AS (
+    SELECT vec_id AS src_id, cell, e, nrm FROM v WHERE vec_id % 2 = 0
+), t AS (
+    SELECT vec_id AS tgt_id, cell, e, nrm FROM v WHERE vec_id % 2 = 1
+), scored AS (
+    SELECT src_id, tgt_id,
+           CAST(floor(list_inner_product(s.e, t.e) / (s.nrm * t.nrm)
+                      * 1000000 + 0.5) AS BIGINT) AS cos_q
+    FROM s JOIN t USING (cell)
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cos_q DESC, tgt_id ASC) AS rank_x,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY cos_q DESC, src_id ASC) AS rank_y
+    FROM scored
+), sums AS (
+    SELECT *,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY src_id) AS sum_x,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY src_id) AS cnt_x,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY tgt_id) AS sum_y,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY tgt_id) AS cnt_y
+    FROM ranked
+), margins AS (
+    SELECT src_id, tgt_id, cos_q,
+           round(2.0 * cos_q
+                 / (sum_x * 1.0 / cnt_x + sum_y * 1.0 / cnt_y), 6) AS margin
+    FROM sums
+    WHERE rank_x <= {BITEXT_K} AND rank_y <= {BITEXT_K}
+)
+SELECT src_id, tgt_id, cos_q, margin
+FROM margins
+WHERE margin > {BITEXT_MARGIN!r}
+"""
+
+
+def bitext_kmeans_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the LEARNED-quantizer bitext tier vs the
+    exact tier — same schema as bitext_cells_recall_audit so the two
+    rows compare 1:1; `tests/test_round13.py` pins that the k-means
+    tier's recall is no worse than the label-cell tier's (the
+    quantizer-quality claim, asserted rather than narrated)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src_all = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt_all = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = similarity.margin_bitext_pairs(
+        src_all, tgt_all, "vec_id", "embedding",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    ).select("src_id", "tgt_id")
+    cells = bitext_margin_mining_cells_kmeans(spark, sf_dir).select(
+        "src_id", "tgt_id"
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    nh = exact.join(cells, ["src_id", "tgt_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_cells",
+            "n_hit",
+            F.expr("n_hit * 100 div n_exact").alias("recall_pct"),
+            F.expr("n_hit * 100 div n_cells").alias("precision_pct"),
+        )
+    )
+
+
+def _bitext_kmeans_recall_oracle() -> str:
+    return f"""
+WITH exact_pairs AS ({BITEXT_MARGIN_ORACLE}),
+cells_pairs AS ({_bitext_kmeans_cells_sql()}),
+counts AS (
+    SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+           (SELECT count(*) FROM cells_pairs) AS n_cells,
+           (SELECT count(*)
+            FROM exact_pairs e JOIN cells_pairs c
+              ON e.src_id = c.src_id AND e.tgt_id = c.tgt_id) AS n_hit
+)
+SELECT n_exact, n_cells, n_hit,
+       CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct,
+       CAST(n_hit * 100 // n_cells AS BIGINT) AS precision_pct
+FROM counts
+"""
+
+
 HARDNEG_NPROBE = 2
 HARDNEG_PLANES = 3
 
@@ -2405,6 +2544,12 @@ NORTHSTAR_QUERIES = [
     ("bitext_cells_recall_audit", bitext_cells_recall_audit,
      BITEXT_CELLS_RECALL_ORACLE,
      "cells-tier bitext recall/precision vs the exact tier, engine-exact"),
+    ("bitext_margin_mining_cells_kmeans", bitext_margin_mining_cells_kmeans,
+     _bitext_kmeans_cells_sql(),
+     "bitext cells tier over LEARNED k-means cells (geometry, not metadata)"),
+    ("bitext_kmeans_recall_audit", bitext_kmeans_recall_audit,
+     _bitext_kmeans_recall_oracle(),
+     "learned-quantizer bitext recall vs exact — the re-clustering acceptance test"),
     ("hard_negative_mining", hard_negative_mining, HARD_NEGATIVES_ORACLE,
      "contrastive-training prep: top-k different-label neighbors below the positive cap"),
     ("hard_negative_mining_cells", hard_negative_mining_cells,

@@ -292,10 +292,15 @@ HEADLINE += [
     "bitext_margin_mining_cells",
     "hard_negative_mining",
     # round-13: the cell-routed hard-negative scale shape (no probe
-    # broadcast).  bitext_cells_recall_audit is NOT benched: its
-    # exact-tier arm is the quadratic audit harness, excluded like
-    # lsh_recall_audit / dedup_ngram_jaccard.
+    # broadcast).  The recall audits (bitext_cells_recall_audit,
+    # bitext_kmeans_recall_audit, hardneg_cells_recall_audit) are NOT
+    # benched: their exact-tier arm is the quadratic audit harness,
+    # excluded like lsh_recall_audit / dedup_ngram_jaccard.
     "hard_negative_mining_cells",
+    # round-13: bitext cells over LEARNED k-means cells — same
+    # candidate shape as bitext_margin_mining_cells plus the bounded
+    # k-means assignment (k x dim centroid sync only)
+    "bitext_margin_mining_cells_kmeans",
 ]
 
 

@@ -286,6 +286,23 @@ def test_hard_negatives_cells_plan_never_forces_probe_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_bitext_kmeans_recall_no_worse_than_label_cells(spark):
+    """The quantizer-quality claim, asserted: routing bitext cells
+    over LEARNED k-means clusters (geometry) must recall at least as
+    many exact-tier pairs as the label-cell tier (metadata) — at
+    sf0.01 it roughly quadruples recall (8% -> 31%)."""
+    from amazon_books_review_spark.plans.northstar_queries import (
+        bitext_cells_recall_audit,
+        bitext_kmeans_recall_audit,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    (label_row,) = bitext_cells_recall_audit(spark, sf).collect()
+    (km_row,) = bitext_kmeans_recall_audit(spark, sf).collect()
+    assert km_row["n_exact"] == label_row["n_exact"]
+    assert km_row["recall_pct"] >= label_row["recall_pct"]
+
+
 def test_solo_rerun_threshold_constant():
     """The solo lane re-runs short queries once warm (r13 trio
     adjudication); pin the gate so it can't silently vanish."""
