@@ -262,6 +262,11 @@ QUERIES = [
     # round-13: stdlib PNG decode (zlib inflate + unfilter per
     # scanline in Arrow batches) — linear map stage like the BMP path
     "multimodal_png_pixel_stats",
+    # round-13: learned-quantizer bitext tier — k-means assignment is
+    # bounded (k x dim centroid sync); the candidate join carries the
+    # same fixed-cell-count occupancy-squared term as the label-cell
+    # tier (cells ~ n at a real deployment), measured for parity
+    "bitext_margin_mining_cells_kmeans",
 ]
 
 # Optional filter: scale_curve.py [REP] [query ...]
@@ -331,6 +336,43 @@ def _semdedup_kscaled(k: int):
     return run
 
 
+def _bitext_kmeans_kscaled(k: int):
+    """The bitext kmeans-cells tier with production k-scaling: cell
+    count grows with the corpus so per-cell occupancy (the only
+    quadratic term in the same-cell candidate join) stays constant —
+    the fixed-k catalog entry measures the worst case, this one the
+    deployed shape.  Past KM_ROUTE_MIN_K the k-means assignment
+    itself auto-switches to coarse-cell routing, so the scaled point
+    also exercises the routed clustering path."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from amazon_books_review_spark.functions import similarity
+        from amazon_books_review_spark.plans.northstar_queries import (
+            BITEXT_K,
+            BITEXT_MARGIN,
+        )
+        from amazon_books_review_spark.plans.scale_ops_queries import (
+            _km_final_assignment,
+        )
+        from amazon_books_review_spark.sources.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cells = _km_final_assignment(spark, sf_dir, k=k).select(
+            "vec_id", F.col("cluster").alias("km_cell")
+        )
+        emb_k = emb.join(cells, "vec_id")
+        src = emb_k.filter(F.col("vec_id") % 2 == 0)
+        tgt = emb_k.filter(F.col("vec_id") % 2 == 1)
+        return similarity.margin_bitext_pairs_cells(
+            src, tgt, "vec_id", "embedding", "km_cell",
+            k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+        )
+
+    return run
+
+
 def _plane_scaled_entries() -> dict[str, dict[str, object]]:
     import math
 
@@ -343,6 +385,10 @@ def _plane_scaled_entries() -> dict[str, dict[str, object]]:
         "semdedup_kscaled": {
             "1x": _semdedup_kscaled(25),
             f"{REP}x": _semdedup_kscaled(25 * REP),
+        },
+        "bitext_kmeans_kscaled": {
+            "1x": _bitext_kmeans_kscaled(10),
+            f"{REP}x": _bitext_kmeans_kscaled(10 * REP),
         },
     }
 

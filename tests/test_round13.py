@@ -70,6 +70,59 @@ def test_parse_png_filter_inverse_property():
             assert np.array_equal(back, row), f"filter {f} not inverted"
 
 
+def test_parse_png_property_roundtrip_random_images():
+    """Hypothesis-style property (deterministic seeds): arbitrary
+    image sizes and filter assignments roundtrip exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = [int(x) for x in rng.integers(0, 5, size=h)]
+        parsed = multimodal.parse_png(_ref_png(w, h, pix, filters=filters))
+        assert parsed is not None
+        got_w, got_h, got = parsed
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(got, pix)
+
+    check()
+
+
+def test_parse_png_multiple_idat_chunks():
+    """The spec allows the compressed stream to split across any
+    number of IDAT chunks; the parser must concatenate before
+    inflating."""
+    rng = np.random.default_rng(21)
+    pix = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    single = _ref_png(5, 4, pix)
+    idat_at = single.index(b"IDAT")
+    (length,) = struct.unpack(">I", single[idat_at - 4 : idat_at])
+    payload = single[idat_at + 4 : idat_at + 4 + length]
+    head = single[: idat_at - 4]
+    tail = single[idat_at + 8 + length :]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    mid = len(payload) // 2
+    split = head + chunk(b"IDAT", payload[:mid]) + chunk(
+        b"IDAT", payload[mid:]
+    ) + tail
+    parsed = multimodal.parse_png(split)
+    assert parsed is not None
+    assert np.array_equal(parsed[2], pix)
+
+
 def test_parse_png_rejects_bad_crc_and_wrong_shape():
     pix = np.zeros((2, 2, 3), dtype=np.uint8)
     good = _ref_png(2, 2, pix)
