@@ -625,10 +625,16 @@ PIXEL_STATS_SCHEMA = (
     "max_luma int, luma_posw bigint"
 )
 
-#: Output schema of the PCM-stats stage.
+#: Output schema of the PCM-stats stage.  ``samples_posw`` is the
+#: position-weighted sample sum over the file-order sample index —
+#: count/sum/peak are permutation-invariant, so a decoder that reads
+#: samples reversed (or otherwise permuted) would pass them; the
+#: weighting makes sample ORDER observable to the oracle (the same
+#: ADVICE-r12 closure as the pixel stats' ``luma_posw``).
 PCM_STATS_SCHEMA = (
     "doc_id bigint, format string, sample_rate int, channels int, "
-    "n_samples bigint, sum_samples bigint, peak_abs int"
+    "n_samples bigint, sum_samples bigint, peak_abs int, "
+    "samples_posw bigint"
 )
 
 
@@ -1097,7 +1103,7 @@ def decode_pcm_stats(
 
         cols = [
             "doc_id", "format", "sample_rate", "channels",
-            "n_samples", "sum_samples", "peak_abs",
+            "n_samples", "sum_samples", "peak_abs", "samples_posw",
         ]
         for pdf in batches:
             rows = []
@@ -1113,9 +1119,12 @@ def decode_pcm_stats(
                 rate, channels, samples = parsed
                 s64 = samples.astype(np.int64)
                 peak = int(np.abs(s64).max()) if s64.size else 0
+                posw = int(
+                    (np.arange(s64.size, dtype=np.int64) * s64).sum()
+                )
                 rows.append(
                     (int(pid), "wav", rate, channels,
-                     int(s64.size), int(s64.sum()), peak)
+                     int(s64.size), int(s64.sum()), peak, posw)
                 )
             yield pd.DataFrame(rows, columns=cols)
 

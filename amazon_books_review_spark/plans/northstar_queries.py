@@ -2088,7 +2088,7 @@ WITH w AS (
 ), s AS (
     SELECT doc_id, hsh, unnest(range(0, 16)) AS i FROM w
 ), samp AS (
-    SELECT doc_id,
+    SELECT doc_id, i,
            ascii(substr(hsh, CAST(2 * i + 1 AS INTEGER), 1))
            + 256 * ascii(substr(hsh, CAST(2 * i + 2 AS INTEGER), 1)) AS v
     FROM s
@@ -2100,7 +2100,11 @@ SELECT doc_id,
        CAST((doc_id // 2) % 2 + 1 AS INTEGER) AS channels,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum(v) AS BIGINT) AS sum_samples,
-       CAST(max(v) AS INTEGER) AS peak_abs
+       CAST(max(v) AS INTEGER) AS peak_abs,
+       -- position-weighted sum over the file-order sample index:
+       -- makes sample ORDER observable (ADVICE r12 closure, same as
+       -- the pixel stats' luma_posw)
+       CAST(sum(i * v) AS BIGINT) AS samples_posw
 FROM samp
 GROUP BY doc_id
 """

@@ -356,6 +356,68 @@ def test_bitext_kmeans_recall_no_worse_than_label_cells(spark):
     assert km_row["recall_pct"] >= label_row["recall_pct"]
 
 
+def test_pcm_posw_catches_sample_reversal():
+    """count/sum/peak are permutation-invariant over samples; the
+    position-weighted sum must differ for reversed sample order."""
+    s = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int64)
+    r = s[::-1]
+    assert s.sum() == r.sum() and np.abs(s).max() == np.abs(r).max()
+    idx = np.arange(s.size, dtype=np.int64)
+    assert (idx * s).sum() != (idx * r).sum()
+
+
+def test_gen_sf_matches_fitted_distributions(tmp_path):
+    """scripts/gen_sf.py's claim is DISTRIBUTION match with the real
+    testdata family — pin the fitted parameters so a drive-by edit
+    can't silently unfit the generator the sf1 bench trusts."""
+    import duckdb
+
+    from scripts.gen_sf import generate
+
+    out = tmp_path / "sf001"
+    generate(0.01, out, seed=7)
+    con = duckdb.connect()
+    q = lambda sql: con.execute(  # noqa: E731
+        sql.replace("T/", f"'{out}/")
+    ).fetchone()
+    # row-count scaling (exact)
+    assert q("SELECT count(*) FROM read_parquet(T/customer.parquet')")[0] == 1500
+    assert q("SELECT count(*) FROM read_parquet(T/orders.parquet')")[0] == 15000
+    assert q("SELECT count(*) FROM read_parquet(T/documents.parquet')")[0] == 500
+    assert q("SELECT count(*) FROM read_parquet(T/embeddings.parquet')")[0] == 500
+    # lineitem ~ Poisson(4.0) per order: mean within 3%
+    n_li = q("SELECT count(*) FROM read_parquet(T/lineitem.parquet')")[0]
+    assert abs(n_li / 15000 - 4.0) < 0.12
+    # join domains
+    assert q(
+        "SELECT max(o_custkey) FROM read_parquet(T/orders.parquet')"
+    )[0] <= 1499
+    assert q(
+        "SELECT count(DISTINCT user_id) FROM read_parquet(T/events.parquet')"
+    )[0] <= 150
+    # value ranges the catalog queries filter on
+    lo, hi = q(
+        "SELECT min(l_discount), max(l_discount) FROM read_parquet(T/lineitem.parquet')"
+    )
+    assert 0.0 <= lo and hi <= 0.1
+    segs = q(
+        "SELECT count(DISTINCT c_mktsegment) FROM read_parquet(T/customer.parquet')"
+    )[0]
+    assert segs == 5
+    # embeddings unit-norm
+    nrm = q(
+        "SELECT avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
+        " FROM read_parquet(T/embeddings.parquet')"
+    )[0]
+    assert abs(nrm - 1.0) < 1e-6
+    # document vocabulary is the fitted 31-word set
+    nvocab = q(
+        "SELECT count(DISTINCT w) FROM (SELECT unnest(string_split(text, ' ')) w"
+        " FROM read_parquet(T/documents.parquet'))"
+    )[0]
+    assert nvocab <= 31
+
+
 def test_solo_rerun_threshold_constant():
     """The solo lane re-runs short queries once warm (r13 trio
     adjudication); pin the gate so it can't silently vanish."""
