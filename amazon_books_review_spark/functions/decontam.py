@@ -67,6 +67,11 @@ def flag_contaminated(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
     )
+    return _flags_from_hits(train_df, hits, id_col)
+
+
+def _flags_from_hits(train_df: DataFrame, hits: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail: every training doc, hit count coalesced to 0."""
     return (
         train_df.select(id_col)
         .join(hits, id_col, "left")
@@ -78,3 +83,50 @@ def flag_contaminated(
             (F.col("n_eval_grams_hit").isNotNull()).cast("int").alias("contaminated"),
         )
     )
+
+
+def flag_contaminated_hashed(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DECONTAM_NGRAM,
+) -> DataFrame:
+    """:func:`flag_contaminated` with a HASHED membership prefilter —
+    the shape that keeps decontamination broadcastable when the eval
+    suite is large.
+
+    At 100 TB the corpus is never the broadcast problem — the eval
+    side is: a big benchmark battery (suites x paraphrase sets) can
+    hold ~1e8 distinct 8-grams, and ~50 bytes per gram STRING makes a
+    multi-GB broadcast, while 8-byte ``xxhash64`` values of the same
+    set broadcast in hundreds of MB.  Two stages:
+
+    1. prefilter: corpus grams join the BROADCAST hash set on the
+       64-bit hash — the corpus-side scan stays linear and
+       shuffle-free, exactly like the exact tier;
+    2. verify: the surviving candidate grams (tiny by construction)
+       join the true gram STRINGS in a plain candidate-bounded
+       shuffle equi-join, so a hash collision can never flag a clean
+       document.
+
+    Output is therefore IDENTICAL to the exact tier (the catalog
+    entry shares its oracle), and the hash function is an internal
+    optimization that never reaches the result — so xxhash64 (JVM
+    codegen, no external replay needed) is the right choice over a
+    cross-engine-replayable hash.
+    """
+    eval_grams = eval_ngram_set(eval_df, id_col, text_col, n=n)
+    eval_hashes = eval_grams.select(F.xxhash64("shingle").alias("_h")).distinct()
+    train_grams = shingles(train_df, id_col, text_col, n=n)
+    cand = (
+        train_grams.withColumn("_h", F.xxhash64("shingle"))
+        .join(F.broadcast(eval_hashes), "_h")
+        .drop("_h")
+    )
+    hits = (
+        cand.join(eval_grams, "shingle")  # exact verify, candidate-bounded
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
+    )
+    return _flags_from_hits(train_df, hits, id_col)

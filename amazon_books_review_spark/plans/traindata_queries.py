@@ -38,6 +38,22 @@ def decontam_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.flag_contaminated(train_docs, grams, "doc_id", "text", n=DECONTAM_N)
 
 
+def decontam_hashed_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-eval-suite shape of decontam_against_eval (r13):
+    broadcast the 8-byte xxhash64 set of the eval grams instead of the
+    ~50-byte strings (what keeps a 1e8-gram benchmark battery
+    broadcastable), then exact-verify the surviving candidates against
+    the true strings in a candidate-bounded shuffle join — output is
+    IDENTICAL to the exact tier, so this entry shares its oracle
+    (`functions.decontam.flag_contaminated_hashed`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train_docs = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return decontam.flag_contaminated_hashed(
+        train_docs, eval_docs, "doc_id", "text", n=DECONTAM_N
+    )
+
+
 DECONTAM_ORACLE = f"""
 WITH docs AS (
     SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
@@ -193,6 +209,8 @@ TRAINDATA_QUERIES = [
      "per-epoch deterministic reshuffle: epoch-salted md5 manifests, unioned"),
     ("decontam_against_eval", decontam_against_eval, DECONTAM_ORACLE,
      "benchmark decontamination: 8-gram overlap vs broadcast eval-gram set"),
+    ("decontam_hashed_prefilter", decontam_hashed_prefilter, DECONTAM_ORACLE,
+     "decontam at large-eval scale: broadcast 8-byte gram hashes + exact verify"),
     ("training_shard_manifest", training_shard_manifest, _shard_oracle(),
      "deterministic md5 global shuffle -> (shard, pos) export manifest"),
 ]

@@ -132,6 +132,8 @@ HEADLINE += [
     "clean_books_ratings_csv",
     # training-data hygiene (new in r4)
     "decontam_against_eval",
+    # round-13: hashed-prefilter decontam (large-eval-suite shape)
+    "decontam_hashed_prefilter",
     "training_shard_manifest",
     # interchange-format round-trips (new in r4)
     "jsonl_corpus_roundtrip",

@@ -418,6 +418,23 @@ def test_gen_sf_matches_fitted_distributions(tmp_path):
     assert nvocab <= 31
 
 
+def test_decontam_hashed_equals_exact_tier(spark):
+    """The hashed prefilter is an internal optimization: with exact
+    verification of candidates, the output must equal the exact tier
+    row for row — hash collisions can thin candidates, never flags."""
+    from amazon_books_review_spark.plans.traindata_queries import (
+        decontam_against_eval,
+        decontam_hashed_prefilter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: r["doc_id"]  # noqa: E731
+    exact = sorted((r.asDict() for r in decontam_against_eval(spark, sf).collect()), key=key)
+    hashed = sorted((r.asDict() for r in decontam_hashed_prefilter(spark, sf).collect()), key=key)
+    assert exact == hashed
+    assert any(r["contaminated"] for r in exact)  # flag genuinely exercised
+
+
 def test_solo_rerun_threshold_constant():
     """The solo lane re-runs short queries once warm (r13 trio
     adjudication); pin the gate so it can't silently vanish."""
