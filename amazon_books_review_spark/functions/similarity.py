@@ -860,13 +860,19 @@ def hard_negatives_cells(
         F.col(vec_col).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
+    # Zero-norm guard (ADVICE r13): a zero probe vector or an all-zero
+    # rounded centroid would make the cosine NULL/NaN, and NULL ordering
+    # in the routing window can diverge across engines.  Such pairs get
+    # a deterministic sentinel BELOW any real cosine (-2.0), so routing
+    # degrades to cell-ascending order instead of engine-defined chaos;
+    # the oracle replays the same CASE.
+    _route_den = F.col("_qn") * l2_norm(F.col("centroid"))
     routed = p.crossJoin(F.broadcast(cents)).withColumn(
         "_csim",
-        F.round(
-            dot(F.col("_qv"), F.col("centroid"))
-            / (F.col("_qn") * l2_norm(F.col("centroid"))),
-            6,
-        ),
+        F.when(
+            _route_den > 0,
+            F.round(dot(F.col("_qv"), F.col("centroid")) / _route_den, 6),
+        ).otherwise(F.lit(-2.0)),
     )
     w_route = Window.partitionBy("query_id").orderBy(
         F.col("_csim").desc(), F.col("_cell").asc()

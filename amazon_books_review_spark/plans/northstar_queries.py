@@ -516,8 +516,18 @@ def bitext_cells_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_cells",
             "n_hit",
-            F.expr("n_hit * 100 div n_exact").alias("recall_pct"),
-            F.expr("n_hit * 100 div n_cells").alias("precision_pct"),
+            # empty-tier guard (ADVICE r13): Spark's `div` yields NULL on a
+            # zero denominator while DuckDB's `//` differs — define the
+            # degenerate cases instead (no exact pairs => nothing to miss,
+            # recall 100; no mined pairs => nothing spurious, precision 100)
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN 100"
+                " ELSE n_hit * 100 div n_exact END"
+            ).cast("long").alias("recall_pct"),
+            F.expr(
+                "CASE WHEN n_cells = 0 THEN 100"
+                " ELSE n_hit * 100 div n_cells END"
+            ).cast("long").alias("precision_pct"),
         )
     )
 
@@ -533,8 +543,10 @@ counts AS (
               ON e.src_id = c.src_id AND e.tgt_id = c.tgt_id) AS n_hit
 )
 SELECT n_exact, n_cells, n_hit,
-       CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct,
-       CAST(n_hit * 100 // n_cells AS BIGINT) AS precision_pct
+       CAST(CASE WHEN n_exact = 0 THEN 100
+                 ELSE n_hit * 100 // n_exact END AS BIGINT) AS recall_pct,
+       CAST(CASE WHEN n_cells = 0 THEN 100
+                 ELSE n_hit * 100 // n_cells END AS BIGINT) AS precision_pct
 FROM counts
 """
 
@@ -654,8 +666,18 @@ def bitext_kmeans_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_cells",
             "n_hit",
-            F.expr("n_hit * 100 div n_exact").alias("recall_pct"),
-            F.expr("n_hit * 100 div n_cells").alias("precision_pct"),
+            # empty-tier guard (ADVICE r13): Spark's `div` yields NULL on a
+            # zero denominator while DuckDB's `//` differs — define the
+            # degenerate cases instead (no exact pairs => nothing to miss,
+            # recall 100; no mined pairs => nothing spurious, precision 100)
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN 100"
+                " ELSE n_hit * 100 div n_exact END"
+            ).cast("long").alias("recall_pct"),
+            F.expr(
+                "CASE WHEN n_cells = 0 THEN 100"
+                " ELSE n_hit * 100 div n_cells END"
+            ).cast("long").alias("precision_pct"),
         )
     )
 
@@ -672,8 +694,10 @@ counts AS (
               ON e.src_id = c.src_id AND e.tgt_id = c.tgt_id) AS n_hit
 )
 SELECT n_exact, n_cells, n_hit,
-       CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct,
-       CAST(n_hit * 100 // n_cells AS BIGINT) AS precision_pct
+       CAST(CASE WHEN n_exact = 0 THEN 100
+                 ELSE n_hit * 100 // n_exact END AS BIGINT) AS recall_pct,
+       CAST(CASE WHEN n_cells = 0 THEN 100
+                 ELSE n_hit * 100 // n_cells END AS BIGINT) AS precision_pct
 FROM counts
 """
 
@@ -731,11 +755,16 @@ WITH v AS (
     SELECT vec_id AS query_id, label AS query_label, e AS qv, nrm AS qn
     FROM cells WHERE vec_id < {N_PROBES}
 ), routed AS (
+    -- zero-norm guard mirrors the operator: cosine only when both
+    -- norms are positive, else the -2.0 sentinel (below any real
+    -- cosine) so ties fall to cell-ascending order deterministically
     SELECT query_id, query_label, qv, qn, cell,
            row_number() OVER (
                PARTITION BY query_id
-               ORDER BY round(list_inner_product(qv, centroid)
-                              / (qn * sqrt(list_inner_product(centroid, centroid))), 6) DESC,
+               ORDER BY CASE WHEN qn * sqrt(list_inner_product(centroid, centroid)) > 0
+                             THEN round(list_inner_product(qv, centroid)
+                                        / (qn * sqrt(list_inner_product(centroid, centroid))), 6)
+                             ELSE -2.0 END DESC,
                         cell ASC
            ) AS r
     FROM probes, cent
