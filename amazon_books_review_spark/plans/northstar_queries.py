@@ -551,30 +551,70 @@ FROM counts
 """
 
 
+#: Self-sizing + multi-assignment (VERDICT r13 #1/#2): the cluster
+#: count is DERIVED from the corpus cardinality per run (k = clamp(
+#: ceil(n / OCC), KMIN, KMAX) — occupancy stays flat as the corpus
+#: grows; the pinned k=10 measured 36.6x wall for 10x data at sf1 vs
+#: 5.74x with k scaled), and each SOURCE vector probes its NPROBE
+#: nearest cells so near-boundary pairs — the mass a single-assignment
+#: same-cell join structurally misses — become candidates.
+BITEXT_KM_OCC = 50
+BITEXT_KM_KMIN = 2
+BITEXT_KM_KMAX = 4096
+BITEXT_KM_NPROBE = 2
+
+
 def bitext_margin_mining_cells_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bitext cells tier over a LEARNED quantizer (r13): the
     recall audit measured the label-cell tier at ~8% recall — exactly
     its same-cell collision mass, because the label column is
     metadata, not geometry.  This variant routes over the engine's
     quantized deterministic k-means clusters (the SemDeDup / IVF
-    machinery, `scale_ops_queries._km_final_assignment`) so cells ARE
-    cosine neighborhoods; same candidate shape (plain same-cell
-    shuffle equi-join, neither corpus broadcast) and identical margin
-    tail.  `bitext_kmeans_recall_audit` quantifies the recall this
-    buys; at 100 TB the pair is the re-clustering acceptance test for
-    a mining run, exactly like the ann_recall_audit pair for ANN."""
+    machinery, `scale_ops_queries._km_fit`) so cells ARE cosine
+    neighborhoods; same candidate shape (plain same-cell shuffle
+    equi-join, neither corpus broadcast) and identical margin tail.
+
+    r14 upgrades, both oracle-replayed:
+
+    - ``k`` is self-sizing (:func:`scale_ops_queries.km_k_for`): the
+      SQL derives the same k from ``count(*)`` with identical integer
+      arithmetic, and the seed CTE takes the first ``rn <= k`` rows.
+    - the SOURCE side is MULTI-ASSIGNED to its ``BITEXT_KM_NPROBE``
+      nearest cells (:func:`scale_ops_queries._km_assign_multiprobe`)
+      — the IVF recall lever that took the ANN audit 30 -> 94.  The
+      target side keeps single assignment, so each (src, tgt) pair
+      still joins at most once (tgt lives in exactly one cell):
+      dedup-free by construction.
+
+    `bitext_kmeans_recall_audit` quantifies the recall this buys; at
+    100 TB the pair is the re-clustering acceptance test for a mining
+    run, exactly like the ann_recall_audit pair for ANN.  Above
+    ``KM_ROUTE_MIN_K`` both the Lloyd passes and the multiprobe
+    routing switch to the two-level coarse-cell strategy (n x 2sqrt(k)
+    instead of n x k); parity scales stay below that bound, so the
+    DuckDB replay is the exact brute tier."""
     from amazon_books_review_spark.plans.scale_ops_queries import (
-        KM_K,
-        _km_final_assignment,
+        KM_ROUTE_MIN_K,
+        _km_assign_multiprobe,
+        _km_fit,
+        km_k_for,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = _km_final_assignment(spark, sf_dir, k=KM_K, route=False).select(
-        "vec_id", F.col("cluster").alias("km_cell")
-    )
-    emb_k = emb.join(cells, "vec_id")
-    src = emb_k.filter(F.col("vec_id") % 2 == 0)
-    tgt = emb_k.filter(F.col("vec_id") % 2 == 1)
+    n = emb.count()
+    k = km_k_for(n, BITEXT_KM_OCC, k_min=BITEXT_KM_KMIN, k_max=BITEXT_KM_KMAX)
+    qdf, centroids, assign_pass = _km_fit(spark, sf_dir, k=k)
+    src_cells = _km_assign_multiprobe(
+        qdf.filter(F.col("vec_id") % 2 == 0),
+        centroids,
+        nprobe=BITEXT_KM_NPROBE,
+        route=k >= KM_ROUTE_MIN_K,
+    ).select("vec_id", F.col("cluster").alias("km_cell"))
+    tgt_cells = assign_pass(
+        qdf.filter(F.col("vec_id") % 2 == 1), centroids
+    ).select("vec_id", F.col("cluster").alias("km_cell"))
+    src = emb.join(src_cells, "vec_id")
+    tgt = emb.join(tgt_cells, "vec_id")
     return similarity.margin_bitext_pairs_cells(
         src, tgt, "vec_id", "embedding", "km_cell",
         k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
@@ -583,25 +623,58 @@ def bitext_margin_mining_cells_kmeans(spark: SparkSession, sf_dir: str) -> DataF
 
 def _bitext_kmeans_cells_sql() -> str:
     """The cells-tier bitext SQL over the k-means CTE cells (the
-    BITEXT_MARGIN_CELLS_ORACLE shape with label -> learned cluster)."""
+    BITEXT_MARGIN_CELLS_ORACLE shape with label -> learned cluster).
+
+    Replays BOTH r14 upgrades exactly: the cluster count comes from a
+    ``count(*)``-derived expression with the same integer arithmetic
+    as :func:`scale_ops_queries.km_k_for` (the seed CTE takes the
+    first ``rn <= k`` vectors), and the source side is routed to its
+    ``BITEXT_KM_NPROBE`` nearest FINAL centroids with the same int64
+    distance and ``dist ASC, cid ASC`` tie rule as the operator's
+    stable argsort (``sprobe``, the single-assignment CTE with
+    ``rn = 1`` relaxed to ``rn <= nprobe``)."""
     from amazon_books_review_spark.plans.scale_ops_queries import (
+        KM_DIM,
         KM_ITERS,
         _kmeans_ctes,
     )
 
+    k_expr = (
+        f"SELECT GREATEST({BITEXT_KM_KMIN}, LEAST({BITEXT_KM_KMAX}, "
+        f"(count(*) + {BITEXT_KM_OCC} - 1) // {BITEXT_KM_OCC})) FROM embeddings"
+    )
+    last_c = f"c{KM_ITERS - 1}"
+    last_a = f"a{KM_ITERS - 1}"
+    dist = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+    ).format(d=KM_DIM)
     prelude = (
-        ",\n".join(_kmeans_ctes())
-        + f",\nkm AS (SELECT vec_id, cluster FROM a{KM_ITERS - 1})"
+        ",\n".join(_kmeans_ctes(k=k_expr))
+        + f""",
+sprobe AS (
+    SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cid AS cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY CAST({dist} AS BIGINT) ASC, c.cid ASC) AS rn
+        FROM q, {last_c} c
+        WHERE q.vec_id % 2 = 0
+    ) WHERE rn <= {BITEXT_KM_NPROBE}
+)"""
     )
     return f"""
 WITH {prelude}, v AS (
-    SELECT ve.vec_id, km.cluster AS cell, ve.embedding::DOUBLE[] AS e,
-           sqrt(list_inner_product(ve.embedding::DOUBLE[], ve.embedding::DOUBLE[])) AS nrm
-    FROM embeddings ve JOIN km ON km.vec_id = ve.vec_id
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
 ), s AS (
-    SELECT vec_id AS src_id, cell, e, nrm FROM v WHERE vec_id % 2 = 0
+    SELECT sp.vec_id AS src_id, sp.cluster AS cell, v.e, v.nrm
+    FROM sprobe sp JOIN v ON v.vec_id = sp.vec_id
 ), t AS (
-    SELECT vec_id AS tgt_id, cell, e, nrm FROM v WHERE vec_id % 2 = 1
+    SELECT a.vec_id AS tgt_id, a.cluster AS cell, v.e, v.nrm
+    FROM {last_a} a JOIN v ON v.vec_id = a.vec_id
+    WHERE a.vec_id % 2 = 1
 ), scored AS (
     SELECT src_id, tgt_id,
            CAST(floor(list_inner_product(s.e, t.e) / (s.nrm * t.nrm)
@@ -925,7 +998,16 @@ WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {COSINE_DUP_TH
 """
 
 
-NEARDUP_LSH_PLANES = 4
+#: Self-sizing capacity (VERDICT r13 #1): the plane count is DERIVED
+#: from the corpus cardinality per run — smallest b in [MIN, MAX] with
+#: 2^b * OCC >= n, i.e. expected per-table bucket occupancy at most
+#: OCC — so the within-bucket quadratic verify term stays flat as the
+#: corpus grows (planes ~ log2(n); the pinned 4-plane config measured
+#: 48x wall for 10x data at sf1).  OCC=32 reproduces 4 planes at the
+#: sf0.01 500-vector corpus, 6 at sf0.1's 2000, 10 at a 20k sf1.
+NEARDUP_LSH_OCC = 32
+NEARDUP_LSH_MIN_PLANES = 2
+NEARDUP_LSH_MAX_PLANES = 16
 NEARDUP_LSH_TABLES = 8
 
 
@@ -933,30 +1015,66 @@ def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFram
     """The SCALE path for embedding near-dup (VERDICT r1 §What's wrong
     #3): sign-LSH bucket candidates -> exact cosine verify.  The exact
     triangular self-join (:func:`embedding_neardup_pairs`) stays in
-    the catalog as the sf0.01 verify stage only."""
+    the catalog as the sf0.01 verify stage only.
+
+    Capacity is SELF-SIZING (VERDICT r13 #1): ``n_planes`` comes from
+    :func:`functions.similarity.lsh_planes_for` on the observed corpus
+    count — one driver-side scalar (a parquet-footer count, the same
+    bounded sync discipline as PageRank's N) — so occupancy, and with
+    it the only quadratic term, no longer grows with the corpus.  The
+    derivation is pure integer arithmetic and the hyperplane family is
+    prefix-stable (plane p depends only on (table, p, dim)), so the
+    DuckDB oracle replays it exactly: it inlines MAX_PLANES planes per
+    table and masks each signature down to the SQL-derived plane
+    count (``sig % 2^b`` == the b-plane signature, bit weights being
+    distinct powers of two)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nb = similarity.lsh_planes_for(
+        n, NEARDUP_LSH_OCC,
+        min_planes=NEARDUP_LSH_MIN_PLANES, max_planes=NEARDUP_LSH_MAX_PLANES,
+    )
     return similarity.cosine_neardup_lsh_verified(
         emb, "vec_id", "embedding",
         threshold=COSINE_DUP_THRESHOLD,
-        n_planes=NEARDUP_LSH_PLANES, n_tables=NEARDUP_LSH_TABLES, dim=EMB_DIM,
+        n_planes=nb, n_tables=NEARDUP_LSH_TABLES, dim=EMB_DIM,
     )
 
 
 def _neardup_lsh_oracle() -> str:
     """Mirrors the two-stage operator with the SAME md5-derived
     hyperplane constants inlined as SQL arrays, so the LSH candidate
-    mechanics (not just the verify filter) are oracle-checked."""
+    mechanics (not just the verify filter) are oracle-checked.
+
+    Self-sizing replay: the SQL inlines the full MAX_PLANES-plane
+    signature per table, derives the plane count b from ``count(*)``
+    with the IDENTICAL integer rule as ``lsh_planes_for`` (smallest b
+    with ``2^b * OCC >= n``, clamped), and masks ``sig % 2^b`` — the
+    hyperplane family is prefix-stable, so the masked MAX-plane
+    signature IS the b-plane signature."""
     table_sigs = []
     for t in range(NEARDUP_LSH_TABLES):
-        planes = similarity.deterministic_planes(NEARDUP_LSH_PLANES, EMB_DIM, t)
+        planes = similarity.deterministic_planes(
+            NEARDUP_LSH_MAX_PLANES, EMB_DIM, t
+        )
         bits = " + ".join(
             f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
             for p, plane in enumerate(planes)
         )
-        table_sigs.append(f"SELECT vec_id, {t} AS table_id, ({bits}) AS sig FROM v")
+        table_sigs.append(
+            f"SELECT vec_id, {t} AS table_id,"
+            f" ({bits}) % (SELECT m FROM params) AS sig FROM v"
+        )
     signed = "\n    UNION ALL\n    ".join(table_sigs)
     return f"""
-WITH v AS (
+WITH params AS (
+    SELECT coalesce(
+        min(CASE WHEN (CAST(1 AS BIGINT) << g.b) * {NEARDUP_LSH_OCC} >= nn.n
+                 THEN (CAST(1 AS BIGINT) << g.b) END),
+        (CAST(1 AS BIGINT) << {NEARDUP_LSH_MAX_PLANES})) AS m
+    FROM generate_series({NEARDUP_LSH_MIN_PLANES}, {NEARDUP_LSH_MAX_PLANES}) AS g(b),
+         (SELECT count(*) AS n FROM embeddings) nn
+), v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
