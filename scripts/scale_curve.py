@@ -54,7 +54,19 @@ KEY_OFFSET = 1_000_000_000
 QUERIES = [
     "dedup_minhash_lsh",            # candidate pairs == LSH band joins
     "dedup_neardup_lsh_verified",   # candidates + exact verify
+    # r14: SELF-SIZING — the catalog entry now derives its plane count
+    # from the corpus count (planes ~ log2(n), occupancy flat), so this
+    # row measures the derived config; the fixed-4-planes config
+    # measured 48x at 10x in BENCH_SF1 (VERDICT r13 #1).
     "embedding_neardup_lsh_verified",
+    # r14: k derived from corpus size (occupancy 50) + nprobe=2 source
+    # multi-assignment; the fixed-k=10 config measured 36.6x at 10x.
+    "bitext_margin_mining_cells_kmeans",
+    # r14 (VERDICT r13 #6): both decontam tiers — eval grams AND corpus
+    # grow with the salted REPx corpus; the claim is one linear corpus
+    # pass with a broadcast-bounded probe in both tiers.
+    "decontam_against_eval",
+    "decontam_hashed_prefilter",
     "similarity_ivf_topk",
     "tpch_q9_product_profit",
     "tpch_q18_large_orders",
