@@ -20,7 +20,12 @@ separately by the net-of-floor bench column).
 Usage:
     python scripts/gen_sf.py 0.1 /tmp/abr_gen_sf0.1
     python scripts/gen_sf.py 1 /tmp/abr_gen_sf1
-    python scripts/sf1_bench.py [out.json]
+    python scripts/sf1_bench.py [out.json] [query ...]
+
+Extra argv entries restrict the run to those queries (for re-measuring
+a config change without repaying the full battery); point out.json
+somewhere else than BENCH_SF1.json then, so the full-battery artifact
+survives.
 """
 
 from __future__ import annotations
@@ -57,7 +62,14 @@ QUERIES = [
     "gopher_repetition_rules",
     "bigram_logprob_score",
     "incremental_agg_orders",
+    # r14: the self-sized bitext kmeans tier joins the battery — its
+    # fixed-k predecessor was the 36.6x-at-10x outlier this round fixed
+    "bitext_margin_mining_cells_kmeans",
 ]
+
+ONLY = set(sys.argv[2:])
+if ONLY:
+    QUERIES = [q for q in QUERIES if q in ONLY]
 
 
 def main() -> None:
