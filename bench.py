@@ -55,7 +55,13 @@ if _REPO not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Solo re-times shorter than this get ONE warm re-run (min taken):
 # below it, fresh-session one-shot costs dominate the measurement.
-_SOLO_RERUN_UNDER_SEC = 3.0
+# 10 (was 3): the r14 bitext-kmeans re-time measured 9.2 s fresh vs
+# 2.0 s warm — a query with several mapInPandas stages pays ~7 s of
+# first-touch Python-worker/Arrow/codegen cost in a fresh session,
+# the same disease the 3 s cutoff was built for at a larger constant.
+# Both shots are recorded in the detail file (solo_shots), so the
+# discarded fresh number stays auditable.
+_SOLO_RERUN_UNDER_SEC = 10.0
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WARMUP_SF_DIR = os.environ.get(
     "SPARK_GRAFT_WARMUP_SF_DIR",
