@@ -776,7 +776,15 @@ FROM counts
 
 
 HARDNEG_NPROBE = 2
-HARDNEG_PLANES = 3
+#: Self-sizing cell count (r14, extending VERDICT r13 #1 to the
+#: hard-negative tier): planes derived from the corpus count at a
+#: target per-cell occupancy, so per-probe candidate volume
+#: (nprobe x n / 2^planes) stays FLAT as the corpus grows instead of
+#: linear.  OCC=64 reproduces the r13 3-plane config at the 500-vector
+#: parity corpora (5 planes at sf0.1's 2000).
+HARDNEG_CELL_OCC = 64
+HARDNEG_MIN_PLANES = 2
+HARDNEG_MAX_PLANES = 12
 
 
 def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,13 +795,25 @@ def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe nearest cells, and candidates are the same-cell pairs via
     a plain shuffle equi-join — no broadcast of the probe set — then
     the identical different-label / false-negative-cap / top-k tail
-    as the exact tier (:func:`functions.similarity.hard_negatives_cells`)."""
+    as the exact tier (:func:`functions.similarity.hard_negatives_cells`).
+
+    The plane count self-sizes from the corpus count
+    (:func:`functions.similarity.lsh_planes_for`, occupancy
+    ``HARDNEG_CELL_OCC``) — the oracle replays the derivation with the
+    mask trick (MAX_PLANES prefix-stable planes inlined, cell id
+    masked to the count-derived bit width), exactly like the
+    embedding near-dup entry."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nb = similarity.lsh_planes_for(
+        n, HARDNEG_CELL_OCC,
+        min_planes=HARDNEG_MIN_PLANES, max_planes=HARDNEG_MAX_PLANES,
+    )
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return similarity.hard_negatives_cells(
         emb, probes, "vec_id", "embedding", "label",
         dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
-        nprobe=HARDNEG_NPROBE, n_planes=HARDNEG_PLANES,
+        nprobe=HARDNEG_NPROBE, n_planes=nb,
     )
 
 
@@ -801,20 +821,32 @@ def _hardneg_cells_oracle() -> str:
     """Replays the full cell-routed pipeline in SQL: the sign-LSH cell
     bits use the SAME md5-derived hyperplane constants
     (similarity.deterministic_planes), the centroid/routing CTEs are
-    the _ivf_oracle pattern grouped by cell instead of label."""
-    planes = similarity.deterministic_planes(HARDNEG_PLANES, EMB_DIM, 0)
+    the _ivf_oracle pattern grouped by cell instead of label.  The
+    plane count is derived from ``count(*)`` in the params CTE with
+    the same integer rule as ``lsh_planes_for`` and the cell id is the
+    MAX_PLANES signature masked down (prefix-stable family, so the
+    masked signature IS the derived-plane cell id)."""
+    planes = similarity.deterministic_planes(HARDNEG_MAX_PLANES, EMB_DIM, 0)
     bits = " + ".join(
         f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0"
         f" THEN {1 << p} ELSE 0 END"
         for p, plane in enumerate(planes)
     )
     return f"""
-WITH v AS (
+WITH params AS (
+    SELECT coalesce(
+        min(CASE WHEN (CAST(1 AS BIGINT) << g.b) * {HARDNEG_CELL_OCC} >= nn.n
+                 THEN (CAST(1 AS BIGINT) << g.b) END),
+        (CAST(1 AS BIGINT) << {HARDNEG_MAX_PLANES})) AS m
+    FROM generate_series({HARDNEG_MIN_PLANES}, {HARDNEG_MAX_PLANES}) AS g(b),
+         (SELECT count(*) AS n FROM embeddings) nn
+), v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS e,
            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
 ), cells AS (
-    SELECT vec_id, label, e, nrm, ({bits}) AS cell FROM v
+    SELECT vec_id, label, e, nrm,
+           ({bits}) % (SELECT m FROM params) AS cell FROM v
 ), cent AS (
     SELECT cell,
            list(round(avg_val, 6) ORDER BY i) AS centroid
@@ -878,11 +910,10 @@ def hardneg_cells_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, probes, "vec_id", "embedding", "label",
         k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
     ).select("query_id", "neighbor_id")
-    cells = similarity.hard_negatives_cells(
-        emb, probes, "vec_id", "embedding", "label",
-        dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
-        nprobe=HARDNEG_NPROBE, n_planes=HARDNEG_PLANES,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # the same entry being audited, self-sized planes included
+    cells = hard_negative_mining_cells(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
     return (
         exact.join(cells, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -1092,6 +1123,68 @@ FROM cand
 JOIN v va ON va.vec_id = id_a
 JOIN v vb ON vb.vec_id = id_b
 WHERE round(list_inner_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def neardup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the two-stage LSH near-dup tier against the
+    exact triangular self-join — extends the audit symmetry (IVF,
+    bitext cells, hard-negative cells) to the pair-MINING family, and
+    with r14's self-sized plane count this is the n_tables tuning
+    loop: planes follow log2(n) to hold occupancy, and the per-table
+    recall that costs is bought back with n_tables, read off this row
+    after each re-size (the operating-guide formula, now measured
+    instead of narrated).
+
+    Precision is 100 BY CONSTRUCTION — stage two exact-verifies every
+    candidate against the same threshold — so the precision column
+    turns the verify-stage contract into an oracle-checked value
+    rather than a docstring claim.  Both tiers are deterministic
+    (md5 hyperplanes, round-6 cosines), so DuckDB replays the audit
+    to the integer."""
+    exact = embedding_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    lsh = embedding_neardup_lsh_verified(spark, sf_dir).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = exact.join(lsh, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN 100"
+                " ELSE n_hit * 100 div n_exact END"
+            ).cast("long").alias("recall_pct"),
+            F.expr(
+                "CASE WHEN n_lsh = 0 THEN 100"
+                " ELSE n_hit * 100 div n_lsh END"
+            ).cast("long").alias("precision_pct"),
+        )
+    )
+
+
+def _neardup_lsh_recall_oracle() -> str:
+    return f"""
+WITH exact_pairs AS ({EMBEDDING_NEARDUP_ORACLE}),
+lsh_pairs AS ({_neardup_lsh_oracle()}),
+counts AS (
+    SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+           (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+           (SELECT count(*)
+            FROM exact_pairs e JOIN lsh_pairs l
+              ON e.id_a = l.id_a AND e.id_b = l.id_b) AS n_hit
+)
+SELECT n_exact, n_lsh, n_hit,
+       CAST(CASE WHEN n_exact = 0 THEN 100
+                 ELSE n_hit * 100 // n_exact END AS BIGINT) AS recall_pct,
+       CAST(CASE WHEN n_lsh = 0 THEN 100
+                 ELSE n_hit * 100 // n_lsh END AS BIGINT) AS precision_pct
+FROM counts
 """
 
 
@@ -2644,7 +2737,11 @@ NORTHSTAR_QUERIES = [
     ("embedding_neardup_lsh_verified", embedding_neardup_lsh_verified,
      _neardup_lsh_oracle(),
      "two-stage embedding near-dup: sign-LSH candidates + exact cosine "
-     "verify (scale path)"),
+     "verify (scale path, self-sized planes)"),
+    ("neardup_lsh_recall_audit", neardup_lsh_recall_audit,
+     _neardup_lsh_recall_oracle(),
+     "LSH near-dup recall/precision vs the exact tier — the n_tables "
+     "tuning loop for the self-sized plane count"),
     ("text_token_stats", text_token_stats, TOKEN_STATS_ORACLE,
      "per-doc token stats incl. BPE-ish subword count"),
     ("text_lang_id", text_lang_id, _lang_id_oracle(),

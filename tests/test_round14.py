@@ -201,6 +201,43 @@ def test_bitext_kmeans_multiprobe_pairs_are_unique(spark):
     assert df.count() == df.select("src_id", "tgt_id").distinct().count()
 
 
+def test_neardup_lsh_audit_precision_is_exact_by_construction(spark):
+    """Stage two of the two-stage near-dup tier exact-verifies every
+    candidate against the SAME threshold as the exact tier, so every
+    emitted pair is a true pair: precision_pct must be exactly 100
+    (and the audit's n_hit == n_lsh).  Recall is the tunable quantity;
+    precision is the contract."""
+    from amazon_books_review_spark.plans.northstar_queries import (
+        neardup_lsh_recall_audit,
+    )
+
+    (row,) = neardup_lsh_recall_audit(spark, SF).collect()
+    assert row["precision_pct"] == 100, row
+    assert row["n_hit"] == row["n_lsh"], row
+    assert 0 < row["n_lsh"] <= row["n_exact"], row
+
+
+def test_hardneg_cells_planes_self_size(spark):
+    """The hard-negative cell count derives from the corpus: 3 planes
+    at the 500-vector parity corpora (the r13 config, so the green
+    history stays comparable), 5 at sf0.1's 2000."""
+    from amazon_books_review_spark.plans.northstar_queries import (
+        HARDNEG_CELL_OCC,
+        HARDNEG_MAX_PLANES,
+        HARDNEG_MIN_PLANES,
+    )
+
+    def planes(n):
+        return lsh_planes_for(
+            n, HARDNEG_CELL_OCC,
+            min_planes=HARDNEG_MIN_PLANES, max_planes=HARDNEG_MAX_PLANES,
+        )
+
+    assert planes(500) == 3
+    assert planes(2000) == 5
+    assert planes(20_000) == 9
+
+
 # ---------------------------------------------------------------------------
 # Bench detail invariants (VERDICT r13 #7)
 # ---------------------------------------------------------------------------
