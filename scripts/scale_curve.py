@@ -67,6 +67,11 @@ QUERIES = [
     # pass with a broadcast-bounded probe in both tiers.
     "decontam_against_eval",
     "decontam_hashed_prefilter",
+    # r14: self-sized sign-LSH cells (planes ~ log2(n)) — per-probe
+    # candidate volume (nprobe x occupancy) should stay flat while the
+    # corpus grows; probes are a fixed id-range, so wall should be
+    # dominated by the linear cell/centroid pass.
+    "hard_negative_mining_cells",
     "similarity_ivf_topk",
     "tpch_q9_product_profit",
     "tpch_q18_large_orders",
