@@ -609,11 +609,12 @@ def main() -> None:
     # movement is therefore regression-gateable directly on `queries`.
     records = _prior_records()
     ratio = float(os.environ.get("SPARK_GRAFT_SOLO_RATIO", "1.5"))
-    # 40 (was 25): the r13 run consumed all 25 slots and left six
-    # marginal 1.51-1.55x contended entries un-retimed; the lane is
-    # ~15 s per query, so the wider cap costs ~4 min worst-case and
+    # 60 (was 40, was 25): a systematically slow sweep (host variance)
+    # marks MANY marginal entries suspect at once — an r14 run consumed
+    # all 40 slots and left two 1.56x entries un-retimed; the lane is
+    # ~15 s per query, so the wider cap costs ~5 min worst-case and
     # closes the gate's blind spot.
-    solo_max = int(os.environ.get("SPARK_GRAFT_SOLO_MAX", "40"))
+    solo_max = int(os.environ.get("SPARK_GRAFT_SOLO_MAX", "60"))
     new_entrant_floor = 2.0
 
     def _excess(name: str) -> float:
