@@ -138,15 +138,19 @@ def ivf_topk(
         F.col(vec_col).alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
+    # Zero-norm guard (ADVICE r13, applied to every centroid-routing
+    # site): a zero probe or all-zero centroid gets the -2.0 sentinel
+    # (below any real cosine) so routing degrades to cell-ascending
+    # order deterministically instead of engine-defined NULL ordering.
+    _route_den = F.col("_qn") * l2_norm(F.col("centroid"))
     routed = (
         p.crossJoin(F.broadcast(cents))
         .withColumn(
             "_csim",
-            F.round(
-                dot(F.col("_qv"), F.col("centroid"))
-                / (F.col("_qn") * l2_norm(F.col("centroid"))),
-                6,
-            ),
+            F.when(
+                _route_den > 0,
+                F.round(dot(F.col("_qv"), F.col("centroid")) / _route_den, 6),
+            ).otherwise(F.lit(-2.0)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

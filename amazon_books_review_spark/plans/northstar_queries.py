@@ -1226,11 +1226,15 @@ WITH {cells_prelude}v AS (
 ), probes AS (
     SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM v WHERE vec_id < {N_PROBES}
 ), routed AS (
+    -- zero-norm guard mirrors the operator (ADVICE r13): cosine only
+    -- when both norms are positive, else the -2.0 sentinel
     SELECT query_id, qv, qn, cell,
            row_number() OVER (
                PARTITION BY query_id
-               ORDER BY round(list_inner_product(qv, centroid)
-                              / (qn * sqrt(list_inner_product(centroid, centroid))), 6) DESC,
+               ORDER BY CASE WHEN qn * sqrt(list_inner_product(centroid, centroid)) > 0
+                             THEN round(list_inner_product(qv, centroid)
+                                        / (qn * sqrt(list_inner_product(centroid, centroid))), 6)
+                             ELSE -2.0 END DESC,
                         cell ASC
            ) AS r
     FROM probes, cent
