@@ -412,7 +412,42 @@ WHERE p.event_type = 'purchase'
 #: hot key's state splits SALTS ways; the replicated side's state (and
 #: arrival volume) multiplies by SALTS — pick the smallest value that
 #: caps the hot partition, not the largest you can afford.
-STREAM_JOIN_SALTS = 4
+def stream_join_salts_for(
+    hot_share: float, partitions: int, cap_ratio: float = 2.0
+) -> int:
+    """Salt count for a TARGET SKEW TOLERANCE — the streaming
+    counterpart of ``mg_capacity`` / ``lsh_planes_for`` / ``km_k_for``
+    (r14: every capacity constant in the catalog derives from its
+    question-level parameter).
+
+    An unsalted stateful join pins a key's entire state and arrival
+    stream to one state-store partition, so a key holding share ``f``
+    of arrivals makes that partition ~``f x partitions`` times the
+    mean.  ``S = ceil(f x partitions / cap_ratio)`` is the smallest
+    salt count that caps the hot partition at ``cap_ratio`` x mean —
+    the operating-guide rule (PERF.md §2), now encoded.  The price is
+    S x state and input on the replicated side, which is why S follows
+    from the DESIGN skew tolerance, never "as big as affordable".
+    """
+    import math
+
+    if not (0.0 < hot_share <= 1.0):
+        raise ValueError(f"hot_share must be in (0, 1], got {hot_share}")
+    if partitions <= 0 or cap_ratio <= 0:
+        raise ValueError(f"bad partitions/cap_ratio {partitions}/{cap_ratio}")
+    return max(1, math.ceil(hot_share * partitions / cap_ratio))
+
+
+#: The catalog entry's design point: hardened against one key holding
+#: up to 25% of arrivals at the test session's 32 state partitions,
+#: hot partition capped at 2x the mean -> 4 salts (the same value the
+#: r6-r13 constant pinned, now derived from the tolerance it buys).
+STREAM_JOIN_HOT_SHARE = 0.25
+STREAM_JOIN_PARTITIONS = 32
+STREAM_JOIN_STATE_CAP = 2.0
+STREAM_JOIN_SALTS = stream_join_salts_for(
+    STREAM_JOIN_HOT_SHARE, STREAM_JOIN_PARTITIONS, STREAM_JOIN_STATE_CAP
+)
 
 
 def streaming_stream_stream_join_salted(

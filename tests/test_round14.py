@@ -110,6 +110,26 @@ def test_km_k_sql_matches_python(n):
     ), n
 
 
+def test_stream_join_salts_for_caps_hot_partition():
+    """S = ceil(f * P / c): the smallest salt count that caps the hot
+    key's partition at c x mean.  The catalog design point (f=0.25,
+    P=32, c=2) must reproduce the historical 4-salt constant."""
+    from amazon_books_review_spark.streaming.queries import (
+        STREAM_JOIN_SALTS,
+        stream_join_salts_for,
+    )
+
+    assert STREAM_JOIN_SALTS == 4
+    assert stream_join_salts_for(0.25, 32, 2.0) == 4
+    assert stream_join_salts_for(1.0, 32, 2.0) == 16   # worst case
+    assert stream_join_salts_for(0.01, 256, 2.0) == 2  # mild skew, wide P
+    assert stream_join_salts_for(0.001, 32, 2.0) == 1  # no salting needed
+    with pytest.raises(ValueError):
+        stream_join_salts_for(0.0, 32)
+    with pytest.raises(ValueError):
+        stream_join_salts_for(0.5, 0)
+
+
 def test_masked_signature_equals_prefix_signature():
     """The oracle computes MAX_PLANES-bit signatures and masks down;
     that only equals the operator's b-plane signature because the
