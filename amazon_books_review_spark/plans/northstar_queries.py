@@ -271,7 +271,6 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
 
 TOPK_K = 5
 N_PROBES = 10
-LSH_PLANES = 6
 LSH_TABLES = 2
 EMB_DIM = 64
 
@@ -955,29 +954,58 @@ def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_arrow(emb, probes, "vec_id", "embedding", k=TOPK_K)
 
 
+#: Self-sizing (r14, same rule as the near-dup tier): planes derived
+#: from the corpus count at a per-table bucket occupancy of 8 —
+#: reproduces the 6-plane config at the 500-vector parity corpora
+#: (8 planes at sf0.1's 2000) and keeps PER-PROBE candidate volume
+#: (n_tables x occupancy) flat as the corpus grows.
+LSH_TOPK_OCC = 8
+LSH_TOPK_MIN_PLANES = 2
+LSH_TOPK_MAX_PLANES = 16
+
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nb = similarity.lsh_planes_for(
+        n, LSH_TOPK_OCC,
+        min_planes=LSH_TOPK_MIN_PLANES, max_planes=LSH_TOPK_MAX_PLANES,
+    )
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return similarity.lsh_bucketed_topk(
         emb, probes, "vec_id", "embedding",
-        k=TOPK_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=EMB_DIM,
+        k=TOPK_K, n_planes=nb, n_tables=LSH_TABLES, dim=EMB_DIM,
     )
 
 
 def _lsh_topk_oracle() -> str:
     """Sign-LSH oracle with the SAME md5-derived hyperplane constants
-    (similarity.deterministic_planes), inlined as SQL arrays."""
+    (similarity.deterministic_planes), inlined as SQL arrays — the
+    MAX_PLANES prefix-stable family masked down to the count-derived
+    plane width (the self-sizing replay, same as the near-dup tier)."""
     table_sigs = []
     for t in range(LSH_TABLES):
-        planes = similarity.deterministic_planes(LSH_PLANES, EMB_DIM, t)
+        planes = similarity.deterministic_planes(
+            LSH_TOPK_MAX_PLANES, EMB_DIM, t
+        )
         bits = " + ".join(
             f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
             for p, plane in enumerate(planes)
         )
-        table_sigs.append(f"SELECT vec_id, e, nrm, {t} AS table_id, ({bits}) AS sig FROM v")
+        table_sigs.append(
+            f"SELECT vec_id, e, nrm, {t} AS table_id,"
+            f" ({bits}) % (SELECT m FROM params) AS sig FROM v"
+        )
     signed = "\n    UNION ALL\n    ".join(table_sigs)
     return f"""
-WITH v AS (
+WITH params AS (
+    SELECT coalesce(
+        min(CASE WHEN (CAST(1 AS BIGINT) << g.b) * {LSH_TOPK_OCC} >= nn.n
+                 THEN (CAST(1 AS BIGINT) << g.b) END),
+        (CAST(1 AS BIGINT) << {LSH_TOPK_MAX_PLANES})) AS m
+    FROM generate_series({LSH_TOPK_MIN_PLANES}, {LSH_TOPK_MAX_PLANES}) AS g(b),
+         (SELECT count(*) AS n FROM embeddings) nn
+), v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
