@@ -676,6 +676,13 @@ WHERE rn % {ALERT_STEP} = 0
 
 
 #: salt fan-out / returned rows per group for the skew-proof top-k.
+#: 8 = stream_join_salts_for(hot_share=0.5, partitions=32, cap=2) —
+#: the same S = ceil(f*P/c) rule as the streaming salted join, at a
+#: 50% hot-key design tolerance: a single event_type holding half the
+#: fact table still caps its largest salt partition at ~2x the mean.
+#: (Phase-2 re-rank cost is TOPK_SALTS x TOPK_PER_GROUP rows per key —
+#: grows linearly in S, which is why S follows the tolerance, not
+#: "as big as affordable".)
 TOPK_SALTS = 8
 TOPK_PER_GROUP = 3
 
