@@ -72,6 +72,9 @@ QUERIES = [
     # corpus grows; probes are a fixed id-range, so wall should be
     # dominated by the linear cell/centroid pass.
     "hard_negative_mining_cells",
+    # r14: self-sized top-k LSH (planes ~ log2(n), occupancy 8): same
+    # flat-per-probe claim as above for the bucketed top-k shape.
+    "similarity_lsh_topk",
     "similarity_ivf_topk",
     "tpch_q9_product_profit",
     "tpch_q18_large_orders",
