@@ -117,15 +117,19 @@ def flag_contaminated_hashed(
     cross-engine-replayable hash.
 
     ``eval_grams`` feeds BOTH stages (the hash-set build and the exact
-    verify join), so it is persisted here — without the pin the full
-    eval shingling runs twice, a second pass over the whole benchmark
-    battery at the 1e8-gram scale this tier exists for (ADVICE r13).
-    The eval side is small by construction, so MEMORY_AND_DISK is a
-    bounded cache, not a corpus-sized one; it stays pinned for the
-    session (catalog queries are one-shot per session — there is no
-    later point that could safely unpersist under lazy evaluation).
+    verify join), so it is materialized once via ``localCheckpoint``
+    — without the pin the full eval shingling runs twice, a second
+    pass over the whole benchmark battery at the 1e8-gram scale this
+    tier exists for (ADVICE r13).  ``localCheckpoint`` (RDD-level
+    storage, MEMORY_AND_DISK) rather than ``persist()``: Dataset
+    ``persist`` registers the subtree in the session-global cache
+    manager, which then substitutes an ``InMemoryRelation`` into ANY
+    other query sharing the analyzed subtree — the exact tier's plan
+    silently changed shape depending on whether this tier had run
+    first (ADVICE r14).  The eval side is small by construction, so
+    the checkpointed copy is bounded, not corpus-sized.
     """
-    eval_grams = eval_ngram_set(eval_df, id_col, text_col, n=n).persist()
+    eval_grams = eval_ngram_set(eval_df, id_col, text_col, n=n).localCheckpoint()
     eval_hashes = eval_grams.select(F.xxhash64("shingle").alias("_h")).distinct()
     train_grams = shingles(train_df, id_col, text_col, n=n)
     cand = (

@@ -21,6 +21,13 @@ QUERIES = all_queries()
 
 
 def plan_of(spark, name: str) -> str:
+    # Budgets measure the CACHE-FREE plan: a Dataset persisted by an
+    # earlier test registers its subtree in the session-global cache
+    # manager, and explain() then substitutes an InMemoryRelation into
+    # any query sharing that subtree — Exchange counts become
+    # order-dependent (ADVICE r14: the decontam hashed tier's persist
+    # leaked into decontam_against_eval's plan, 10 vs budget 8).
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -555,3 +562,25 @@ def test_bench_stdout_line_fits_driver_tail():
     reconstructed = sum(parsed["queries"].values()) + parsed["queries_other_total"]
     assert abs(reconstructed - summary["value"]) < 0.05
     assert parsed["queries_omitted"] == len(timings) - len(parsed["queries"])
+
+
+def test_decontam_budget_order_independent(spark):
+    """Regression (ADVICE r14): materializing the hashed decontam tier
+    must NOT change the exact tier's plan.  The hashed tier used to
+    ``persist()`` its eval-gram set; the Dataset cache manager then
+    substituted an InMemoryRelation into ``decontam_against_eval``'s
+    identical analyzed subtree, and its Exchange count depended on
+    test order (10 vs budget 8 when parity ran first).  The engine now
+    uses ``localCheckpoint`` (RDD storage, no cache-manager entry), so
+    the RAW explain — deliberately without plan_of's clearCache — must
+    stay inside budget right after the hashed tier runs."""
+    QUERIES["decontam_hashed_prefilter"](spark, SF).count()  # materialize
+    df = QUERIES["decontam_against_eval"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryRelation" not in plan, "hashed tier leaked cache state"
+    max_ex, min_bhj, _ = PLAN_BUDGETS["decontam_against_eval"][:3]
+    assert plan.count("Exchange") <= max_ex
+    assert plan.count("BroadcastHashJoin") >= min_bhj
