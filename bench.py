@@ -458,6 +458,29 @@ def _optimize_layout(spark) -> tuple[str, float]:
     return dst, round(time.perf_counter() - t0, 3)
 
 
+def _net_of_floor(
+    timings: dict[str, float],
+    streaming_floor: float,
+    solo_floors: dict[str, float] | None = None,
+) -> dict[str, float]:
+    """Floor-subtracted streaming entries (VERDICT r12 #7 / r14 #7).
+
+    Solo-retimed streaming queries ran in their own fresh session, so
+    their net subtracts the floor measured IN that session
+    (``solo_floors``) rather than the main warm-session figure — a
+    fresh-session floor is materially higher (~1.1 s cold vs ~0.4 s
+    warm, PERF.md) and subtracting the warm one would overstate the
+    operator cost exactly for the entries the gate flagged.  A solo
+    floor of 0.0 (measurement failed) falls back to the session floor.
+    """
+    solo_floors = solo_floors or {}
+    return {
+        n: round(max(0.0, t - (solo_floors.get(n) or streaming_floor)), 3)
+        for n, t in timings.items()
+        if n.startswith("streaming_")
+    }
+
+
 def _measure_streaming_floor(spark) -> float:
     """Warm-session availableNow machinery floor (VERDICT r12 #7).
 
@@ -467,9 +490,11 @@ def _measure_streaming_floor(spark) -> float:
     entry pays in offset-log / file-listing / checkpoint-commit / sink
     bookkeeping before any operator work.  Measured untimed each bench
     run so the detail file can report ``net_of_floor`` per streaming
-    query without solo re-times.  Solo-retimed streaming entries ran
-    in their own fresh sessions, where the FIRST-stream floor (~1.1 s
-    cold, PERF.md) applies instead — their net figure is conservative.
+    query without solo re-times.  Solo-retimed streaming entries run
+    in their own fresh sessions, where this warm-session floor would
+    understate the machinery cost — the solo lane measures the floor
+    IN ITS OWN SESSION per streaming entry (``solo_streaming_floors``)
+    and ``_net_of_floor`` keys on that figure instead (VERDICT r14 #7).
     """
     import shutil
 
@@ -631,6 +656,9 @@ def main() -> None:
     # name -> {"fresh": s, "warm": s} for the min-of-two short-query
     # lane, so the shot min() discards stays auditable (ADVICE r13)
     solo_shots: dict[str, dict[str, float]] = {}
+    # streaming_* entries re-timed solo pay a FRESH-session availableNow
+    # floor; stamp it per solo session so net_of_floor stays honest
+    solo_floors: dict[str, float] = {}
     for name in suspects:
         spark.stop()
         spark = get_session(
@@ -663,6 +691,10 @@ def main() -> None:
             solo[name] = secs
             contended[name] = timings[name]
             timings[name] = secs  # the solo figure IS the record
+            if name.startswith("streaming_"):
+                # the floor this entry actually paid: measured in the
+                # SAME solo session, after the query warmed it
+                solo_floors[name] = _measure_streaming_floor(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -728,11 +760,10 @@ def main() -> None:
             # without solo re-times (floor 0.0 = measurement failed;
             # net equals gross then).
             "streaming_floor_sec": streaming_floor,
-            "net_of_floor": {
-                n: round(max(0.0, t - streaming_floor), 3)
-                for n, t in timings.items()
-                if n.startswith("streaming_")
-            },
+            # per-solo-session floors for solo-retimed streaming
+            # entries (VERDICT r14 #7); _net_of_floor keys on these
+            "solo_streaming_floors": solo_floors,
+            "net_of_floor": _net_of_floor(timings, streaming_floor, solo_floors),
         }
     )
     local_path = Path(_REPO) / f"BENCH_LOCAL_r{_next_round():02d}.json"

@@ -69,6 +69,14 @@ QUERIES = [
 
 ONLY = set(sys.argv[2:])
 if ONLY:
+    # A typo'd name (or queries passed without the out.json first
+    # argument) must not silently shrink the run to a wrong subset
+    # with exit 0 (ADVICE r14).
+    unknown = sorted(ONLY - set(QUERIES))
+    if unknown:
+        sys.exit(
+            f"unknown queries: {unknown}; known: {sorted(QUERIES)}"
+        )
     QUERIES = [q for q in QUERIES if q in ONLY]
 
 
