@@ -470,6 +470,46 @@ def lsh_planes_for(
     return max_planes
 
 
+def n_tables_for(
+    target_recall_pct: int,
+    table_hit_pct: int,
+    t_min: int = 1,
+    t_max: int = 64,
+) -> int:
+    """Table count for a TARGET UNION RECALL — the sizing rule the raw
+    table constant lacked (VERDICT r14 #4): independent LSH tables
+    recall a true pair with union probability ``1 - (1 - p)^T``, so
+    the smallest table count meeting a declared recall target is
+    ``T = ceil(ln(1 - target) / ln(1 - p))``.  The r14 buy-back run
+    measured the curve at sf0.1's derived 6 planes — 42% -> 70% ->
+    87% recall at T = 8 -> 16 -> 24 — tracking the union rule at
+    p ~= 7%/table to within a few points, so ``table_hit_pct`` is an
+    AUDITED constant (re-read it off ``neardup_lsh_recall_audit``
+    after any plane-family change), not folklore.
+
+    Pure integer arithmetic (no log floats): returns the smallest
+    ``T`` in ``[t_min, t_max]`` with
+    ``(100 - p)^T <= (100 - target) * 100^(T-1)`` — exactly the union
+    inequality with both sides scaled by ``100^T``, evaluated in
+    exact bigints — so an external engine (or a reviewer) replays the
+    derivation without float-rounding hazards.  Clamps to ``t_max``:
+    candidate volume (hence cost) grows linearly in T while recall
+    approaches 1 only geometrically, so past the clamp the right
+    lever is more planes-per-table quality, not more tables.
+    """
+    if not (0 < table_hit_pct <= 100):
+        raise ValueError(f"table_hit_pct must be in (0, 100], got {table_hit_pct}")
+    if not (0 <= target_recall_pct <= 100):
+        raise ValueError(f"target_recall_pct must be in [0, 100], got {target_recall_pct}")
+    if not (0 < t_min <= t_max):
+        raise ValueError(f"bad table bounds [{t_min}, {t_max}]")
+    miss, residual = 100 - table_hit_pct, 100 - target_recall_pct
+    for t in range(t_min, t_max + 1):
+        if miss**t <= residual * 100 ** (t - 1):
+            return t
+    return t_max
+
+
 def deterministic_planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Reproducible pseudo-random hyperplanes: component (p, d) is
     ``md5("{table}|{p}|{d}")``'s first 8 hex chars scaled to [-1, 1).

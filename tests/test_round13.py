@@ -343,13 +343,12 @@ def test_bitext_kmeans_recall_no_worse_than_label_cells(spark):
     """The quantizer-quality claim, asserted: routing bitext cells
     over LEARNED k-means clusters (geometry) must recall at least as
     many exact-tier pairs as the label-cell tier (metadata) — and
-    with r14's nprobe=2 source multi-assignment the bound is a hard
-    FLOOR, not just no-worse-than (VERDICT r13 #2): measured 50%
-    recall / 49% precision at sf0.01 vs the single-assignment tier's
-    31/28 and the label tier's 8.  The floor is set below the
-    measured point to absorb fixture regeneration, but far above the
-    single-assignment ceiling so losing the multiprobe silently
-    fails."""
+    with the nprobe=8 source multi-assignment (r15, measured off the
+    2/4/8 curve: 50/74/96% recall at sf0.01) the bound is a hard
+    FLOOR, not just no-worse-than (VERDICT r13 #2 / r14 #6).  The
+    floor sits below the 96/96 measured point to absorb fixture
+    regeneration, but far above the nprobe=2 ceiling (50) so losing
+    probe width -- or the multiprobe entirely -- fails loudly."""
     from amazon_books_review_spark.plans.northstar_queries import (
         bitext_cells_recall_audit,
         bitext_kmeans_recall_audit,
@@ -360,8 +359,8 @@ def test_bitext_kmeans_recall_no_worse_than_label_cells(spark):
     (km_row,) = bitext_kmeans_recall_audit(spark, sf).collect()
     assert km_row["n_exact"] == label_row["n_exact"]
     assert km_row["recall_pct"] >= label_row["recall_pct"]
-    assert km_row["recall_pct"] >= 40, km_row
-    assert km_row["precision_pct"] >= 40, km_row
+    assert km_row["recall_pct"] >= 85, km_row
+    assert km_row["precision_pct"] >= 85, km_row
 
 
 def test_pcm_posw_catches_sample_reversal():

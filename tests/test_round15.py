@@ -100,3 +100,61 @@ def test_bitext_kmeans_parity_corpora_stay_below_route_bound(sf_dir):
         "replays exact brute assignment; shrink the fixture or raise "
         "KM_ROUTE_MIN_K with an oracle widening"
     )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r14 #4: capacity constants derive from declared targets
+# ---------------------------------------------------------------------------
+
+def test_n_tables_for_union_recall_rule():
+    from amazon_books_review_spark.functions.similarity import n_tables_for
+
+    # the shipped near-dup config: 85% target at the audited ~7%/table
+    assert n_tables_for(85, 7) == 27
+    # the union inequality against the r14 measured buy-back points
+    # (42/70/87% at T=8/16/24, sf0.1): the integer rule must agree
+    # with the float formula's predictions to the integer
+    for target, expected in ((40, 8), (68, 16), (82, 24)):
+        assert n_tables_for(target, 7) == expected, (target, expected)
+    # a single perfect table
+    assert n_tables_for(100, 100) == 1
+    # clamp: recall approaches 1 geometrically, T grows without bound
+    assert n_tables_for(99, 1, t_max=64) == 64
+    with pytest.raises(ValueError):
+        n_tables_for(85, 0)
+    with pytest.raises(ValueError):
+        n_tables_for(101, 7)
+    with pytest.raises(ValueError):
+        n_tables_for(85, 7, t_min=5, t_max=4)
+
+
+def test_capacity_constants_match_their_derivations():
+    """The shipped constants ARE their derivations — a drive-by edit
+    to either side (constant or rule) breaks here, keeping the
+    self-sizing story honest."""
+    from amazon_books_review_spark.functions.similarity import n_tables_for
+    from amazon_books_review_spark.plans import northstar_queries as nq
+
+    assert nq.NEARDUP_LSH_TABLES == n_tables_for(
+        nq.NEARDUP_LSH_TARGET_RECALL_PCT, nq.NEARDUP_LSH_TABLE_HIT_PCT
+    ) == 27
+    # top-k tier: candidate-oversampling rule, ceil(3*5/8) = 2 — the
+    # value the 2-table oracle replay inlines
+    assert nq.LSH_TABLES == -(
+        -nq.LSH_TOPK_CAND_FACTOR * nq.TOPK_K // nq.LSH_TOPK_OCC
+    ) == 2
+
+
+def test_neardup_lsh_audit_meets_declared_recall_target(spark):
+    """The derived 27-table config must MEET the declared 85% target
+    on the parity corpus (measured r15: 100/100 at sf0.001-0.01,
+    89/100 at sf0.1) — the audit row is the acceptance test the
+    derivation exists for."""
+    from amazon_books_review_spark.plans.northstar_queries import (
+        NEARDUP_LSH_TARGET_RECALL_PCT,
+        neardup_lsh_recall_audit,
+    )
+
+    (row,) = neardup_lsh_recall_audit(spark, "/root/testdata/sf0.001").collect()
+    assert row["recall_pct"] >= NEARDUP_LSH_TARGET_RECALL_PCT, row
+    assert row["precision_pct"] == 100, row
