@@ -161,24 +161,31 @@ def test_neardup_lsh_audit_meets_declared_recall_target(spark):
 
 
 # ---------------------------------------------------------------------------
-# VERDICT r14 #5: the 16-plane oracle-replay ceiling is an explicit,
-# TESTED contract.  The catalog entries pass max_planes=16 because the
-# DuckDB replay inlines 16 hyperplanes per table and masks down
-# (sig % 2^b); beyond ~2^16 * occupancy vectors the clamp binds and
-# per-bucket occupancy resumes growing linearly.  Production raises
-# max_planes ENGINE-SIDE (the API parameterizes it); these pins prove
-# that path works and that the replay family can later be widened the
-# same way (prefix-stability).
+# VERDICT r14 #5: the oracle-replay plane ceiling is an explicit,
+# TESTED contract — and r15 LIFTED it for the top-k and near-dup
+# families (MAX_PLANES 16 -> 24: the DuckDB replay inlines MAX_PLANES
+# hyperplanes per table and masks down sig % 2^b, so the constant IS
+# the self-sizing ceiling).  The clamp now binds at ~2^24 * occupancy
+# (~537M vectors for near-dup) instead of ~2M; engine behavior below
+# the old ceiling is identical, which is what prefix-stability buys.
 # ---------------------------------------------------------------------------
 
 def test_lsh_planes_engine_ceiling_is_raisable():
     from amazon_books_review_spark.functions.similarity import lsh_planes_for
+    from amazon_books_review_spark.plans import northstar_queries as nq
 
-    # where the catalog's 16-plane ceiling binds (occ 32: ~2.1M rows)...
-    n_beyond = (1 << 16) * 32 * 10
-    assert lsh_planes_for(n_beyond, 32) == 16  # clamped
-    # ...the engine API takes the production setting and keeps sizing
-    assert lsh_planes_for(n_beyond, 32, max_planes=24) == 20
+    # the r15 catalog setting: clamp bound moved past half a billion
+    # vectors at the near-dup occupancy
+    assert nq.NEARDUP_LSH_MAX_PLANES == nq.LSH_TOPK_MAX_PLANES == 24
+    n_beyond_old = (1 << 16) * 32 * 10  # where the r14 ceiling bound
+    assert lsh_planes_for(n_beyond_old, 32, max_planes=24) == 20  # keeps sizing
+    # widening changes nothing below the old ceiling (the derivation
+    # returns the same b — the engine-behavior-identical claim)
+    for n in (500, 2000, 20_000, 200_000):
+        assert lsh_planes_for(n, 32, max_planes=24) == lsh_planes_for(
+            n, 32, max_planes=16
+        )
+    # and the engine API still takes any production setting
     assert lsh_planes_for(10**9, 32, max_planes=32) == 25
 
 
