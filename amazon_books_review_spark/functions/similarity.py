@@ -304,6 +304,59 @@ def cosine_neardup_pairs(
     )
 
 
+def lsh_tables_by_planes(
+    threshold: float,
+    target_recall_pct: int,
+    probe_bits: int = 1,
+    min_planes: int = 2,
+    max_planes: int = 24,
+    max_tables: int = 32,
+) -> dict[int, int]:
+    """Plane-count-aware table derivation: b -> smallest T meeting the
+    recall target, for the WHOLE self-sizing range of b.
+
+    The r15 sf1 measurement exposed why a single derived table count
+    cannot hold a recall target across scales: planes self-size with
+    the corpus (b ~ log2 n), and the per-table hit rate for pairs AT
+    the threshold decays geometrically with b — p1^b where
+    p1 = 1 - acos(threshold)/pi (the hyperplane agreement rate; the
+    audited 7%/table at b=6 matches the closed form's 7.5%).  The
+    T=27 config derived at b=6 read 89% recall at sf0.1 but 35.7% at
+    sf1's derived b=10 (sampled exact arm, scripts/r15_sf1_recall.py).
+
+    With Hamming-1 multiprobe (``probe_bits=1``) each table also
+    probes its b adjacent buckets, so the per-table hit rate becomes
+    P(at most one disagreeing plane) = p1^b + b * p1^(b-1) * (1-p1) —
+    a b-fold recall amplifier that costs CANDIDATE volume only, never
+    a second signature pass (the n log n term the sf1 bench showed
+    dominating).  T(b) then follows the union rule
+    ceil(ln(1-target) / ln(1-hit(b))), clamped to ``max_tables``
+    (past the clamp the target is unreachable at that b — the
+    documented ceiling, hit at b >= 14 for the 0.45/85% config).
+
+    Python floats are fine here: the lookup is computed ONCE from
+    declared constants and INLINED into both the engine call and the
+    SQL oracle (a CASE over b, like the plane arrays) — cross-engine
+    parity never re-derives it.  Pytest pins the shipped values.
+    """
+    import math
+
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    residual = 1.0 - target_recall_pct / 100.0
+    out: dict[int, int] = {}
+    for b in range(min_planes, max_planes + 1):
+        hit = p1**b
+        if probe_bits:
+            hit += b * p1 ** (b - 1) * (1.0 - p1)
+        if hit >= 1.0 - residual:
+            out[b] = 1
+            continue
+        out[b] = min(max_tables, math.ceil(math.log(residual) / math.log(1.0 - hit)))
+    return out
+
+
 def cosine_neardup_lsh_verified(
     corpus: DataFrame,
     id_col: str,
@@ -312,6 +365,7 @@ def cosine_neardup_lsh_verified(
     n_planes: int = 4,
     n_tables: int = 8,
     dim: int = 64,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Two-stage embedding near-dup: sign-LSH bucket candidates ->
     exact cosine verify.  THE scale path for embedding all-pairs —
@@ -327,7 +381,11 @@ def cosine_neardup_lsh_verified(
 
     Approximation contract: a pair at angle theta collides in one
     table with probability (1 - theta/pi)^n_planes; n_tables union
-    their candidates, so recall = 1 - (1 - p)^n_tables.  At the
+    their candidates, so recall = 1 - (1 - p)^n_tables.  With
+    ``probe_bits=1`` (Hamming-1 multiprobe) the per-table rate rises
+    to P(at most one disagreeing plane) = p1^b + b*p1^(b-1)*(1-p1) —
+    see :func:`lsh_tables_by_planes` for the table-count rule that
+    holds a recall target across the self-sizing plane range.  At the
     defaults (4 planes, 8 tables) pairs at cos >= 0.45 are examined
     with probability ~0.79 and true near-dups (cos >= 0.9) with
     ~0.9999.  Deterministic md5-derived hyperplanes => the full
@@ -381,8 +439,33 @@ def cosine_neardup_lsh_verified(
     # recomputes the plane join + groupBy for BOTH sides (measured
     # ~1s slower warm AND colder one-shot).
     sigs = sigs.localCheckpoint()
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    if probe_bits:
+        # Hamming-1 multiprobe: the probe side also visits the
+        # n_planes adjacent buckets (one sign bit flipped).  One-sided
+        # probing suffices — sig_b within Hamming-1 of sig_a is a
+        # symmetric relation and the id_a < id_b filter keeps each
+        # pair once.  This buys a b-fold per-table recall amplifier
+        # for CANDIDATE volume only: the signature pass (the n log n
+        # wall-clock term at sf1) is untouched, where buying the same
+        # recall with tables multiplies it.
+        probe_arr = F.array(
+            F.col("sig"),
+            *[
+                F.expr(f"sig ^ cast(shiftleft(1L, {p}) as long)")
+                for p in range(n_planes)
+            ],
+        )
+        probe_side = sigs.select(
+            F.col("id").alias("id_a"),
+            "table_id",
+            F.explode(probe_arr).alias("sig"),
+        )
+    else:
+        probe_side = sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
     cand = (
-        sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
+        probe_side
         .join(sigs.select(F.col("id").alias("id_b"), "table_id", "sig"),
               ["table_id", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -135,9 +135,29 @@ def test_capacity_constants_match_their_derivations():
     from amazon_books_review_spark.functions.similarity import n_tables_for
     from amazon_books_review_spark.plans import northstar_queries as nq
 
-    assert nq.NEARDUP_LSH_TABLES == n_tables_for(
-        nq.NEARDUP_LSH_TARGET_RECALL_PCT, nq.NEARDUP_LSH_TABLE_HIT_PCT
-    ) == 27
+    # the r14-audited single-table rate (~7% at b=6) reproduces the
+    # pre-multiprobe derivation the measured history is written in
+    assert n_tables_for(nq.NEARDUP_LSH_TARGET_RECALL_PCT, 7) == 27
+    # the shipped per-plane-count lookup (Hamming-1 multiprobe,
+    # derived at floor + model-error margin): parity corpora run
+    # b=4 -> T=3, sf0.1 runs b=6 -> T=7, sf1's b=10 -> T=27; the
+    # clamp binds from b=11 (~65k vectors at occ 32)
+    from amazon_books_review_spark.functions.similarity import (
+        lsh_tables_by_planes,
+    )
+
+    assert nq.NEARDUP_LSH_T_BY_B == lsh_tables_by_planes(
+        nq.COSINE_DUP_THRESHOLD,
+        nq.NEARDUP_LSH_TARGET_RECALL_PCT + nq.NEARDUP_LSH_DERIVATION_MARGIN_PCT,
+        probe_bits=nq.NEARDUP_LSH_PROBE_BITS,
+        min_planes=nq.NEARDUP_LSH_MIN_PLANES,
+        max_planes=nq.NEARDUP_LSH_MAX_PLANES,
+        max_tables=nq.NEARDUP_LSH_MAX_TABLES,
+    )
+    assert nq.NEARDUP_LSH_T_BY_B[4] == 3
+    assert nq.NEARDUP_LSH_T_BY_B[6] == 7
+    assert nq.NEARDUP_LSH_T_BY_B[10] == 27
+    assert nq.NEARDUP_LSH_T_BY_B[11] == nq.NEARDUP_LSH_MAX_TABLES
     # top-k tier: candidate-oversampling rule, ceil(3*5/8) = 2 — the
     # value the 2-table oracle replay inlines
     assert nq.LSH_TABLES == -(
@@ -146,10 +166,11 @@ def test_capacity_constants_match_their_derivations():
 
 
 def test_neardup_lsh_audit_meets_declared_recall_target(spark):
-    """The derived 27-table config must MEET the declared 85% target
-    on the parity corpus (measured r15: 100/100 at sf0.001-0.01,
-    89/100 at sf0.1) — the audit row is the acceptance test the
-    derivation exists for."""
+    """The derived multiprobe config (b-aware T, Hamming-1 probing)
+    must MEET the declared 85% target on the parity corpus (measured
+    r15: 100/100 at sf0.001-0.01, 90/100 at sf0.1, 93.4 sampled at
+    sf1 — vs 35.7 at sf1 for the fixed-T no-probe config) — the
+    audit row is the acceptance test the derivation exists for."""
     from amazon_books_review_spark.plans.northstar_queries import (
         NEARDUP_LSH_TARGET_RECALL_PCT,
         neardup_lsh_recall_audit,
