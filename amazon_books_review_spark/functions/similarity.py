@@ -873,6 +873,118 @@ def margin_bitext_pairs_cells(
     return _margin_from_scored(scored, k, margin_threshold)
 
 
+def margin_bitext_pairs_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    n_planes: int = 6,
+    n_tables: int = 7,
+    dim: int = 64,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Margin bitext mining over SIGN-LSH multiprobe candidates — the
+    r15 decomposition's answer to the kmeans-cells tier's coverage
+    wall (PERF.md r15 finding 8).
+
+    The cells tier's recall loss at scale is ENTIRELY candidate
+    coverage: the target's single k-means cell falls outside the
+    source's probe list for ~75% of exact pairs at sf0.4 and the
+    coverage SATURATES in nprobe (978 -> 1064 of 4329 covered pairs
+    going from 8 to 32 probes), because at pair similarity ~0.5 in 64
+    dimensions distance-to-centroid rankings decorrelate — coarse
+    cells carry almost no co-location signal for moderately-similar
+    pairs.  Sign-LSH buckets do: a pair at angle theta collides per
+    table with probability (1 - theta/pi)^b BY CONSTRUCTION, so
+    coverage is a direct, tunable function of the similarity the
+    miner targets (the same contract the near-dup tier's multiprobe
+    machinery just validated at two decades — 90/93.4% recall at
+    sf0.1/sf1).  The margin tail is reused verbatim: the same
+    decomposition proved it LOSSLESS on covered pairs (every covered
+    exact pair survived rank filter and margin unchanged).
+
+    Plan shape: two signature passes (one per side, T x n rows each,
+    map-side like the near-dup tier), the probe-side Hamming-<=1
+    explode, one cross-side equi-join per (table, sig) — never a
+    cross join, neither corpus broadcast — a pair-distinct, then the
+    two margin windows.  Sizing comes from the same self-sizing rules
+    (`lsh_planes_for` at an occupancy budget, `lsh_tables_by_planes`
+    at the miner's design-point similarity).
+    """
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    spark = src.sparkSession
+    plane_rows = [
+        (t, p, plane)
+        for t in range(n_tables)
+        for p, plane in enumerate(deterministic_planes(n_planes, dim, t))
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "table_id int, plane_idx int, comps array<double>"
+    )
+    proj = F.aggregate(
+        F.zip_with(_as_double(F.col("_v")), F.col("comps"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bit = F.when(
+        proj >= 0, F.expr("cast(shiftleft(1L, plane_idx) as long)")
+    ).otherwise(F.lit(0).cast("long"))
+
+    def _sigs(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+            .join(F.broadcast(planes_df))
+            .select(out_id, "table_id", bit.alias("_bit"))
+            .groupBy(out_id, "table_id")
+            .agg(F.sum("_bit").cast("long").alias("sig"))
+        )
+
+    sigs_s = _sigs(src, "src_id")
+    sigs_t = _sigs(tgt, "tgt_id").localCheckpoint()
+    if probe_bits:
+        probe_arr = F.array(
+            F.col("sig"),
+            *[
+                F.expr(f"sig ^ cast(shiftleft(1L, {p}) as long)")
+                for p in range(n_planes)
+            ],
+        )
+        probes = sigs_s.select(
+            "src_id", "table_id", F.explode(probe_arr).alias("sig")
+        )
+    else:
+        probes = sigs_s
+    cand = (
+        probes.join(sigs_t, ["table_id", "sig"])
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("_sv"),
+        l2_norm(F.col(vec_col)).alias("_sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    cos = dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
+    scored = (
+        cand.join(s, "src_id")
+        .join(t, "tgt_id")
+        .withColumn(
+            "cos_q",
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .select("src_id", "tgt_id", "cos_q")
+    )
+    return _margin_from_scored(scored, k, margin_threshold)
+
+
 def hard_negatives(
     corpus: DataFrame,
     probes: DataFrame,
