@@ -698,8 +698,13 @@ def main() -> None:
             # would manufacture a regression out of two legitimate
             # measurements.  The record is the min; both figures
             # stay in the detail file (solo_retimed/contended).
+            # Pair floor with the measurement that WINS the min (ADVICE
+            # r15): when the warm in-session figure is kept, stamping
+            # the solo-session floor against it would net a floor the
+            # kept measurement never paid.
+            solo_won = secs <= timings[name]
             timings[name] = min(secs, timings[name])
-            if name.startswith("streaming_"):
+            if name.startswith("streaming_") and solo_won:
                 # the floor this entry actually paid: measured in the
                 # SAME solo session, after the query warmed it
                 solo_floors[name] = _measure_streaming_floor(spark)

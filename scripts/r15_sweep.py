@@ -2,7 +2,18 @@
 n_tables curve at the derived-target candidate counts, and top-k LSH
 recall — Spark-side audit rows only (no oracle), feeding the r15
 capacity-derivation choices before any constant changes ship.
+
+SUPERSEDED (ADVICE r15): the near-dup tier no longer reads a
+NEARDUP_LSH_TABLES constant — embedding_neardup_lsh_verified derives
+its table count from NEARDUP_LSH_T_BY_B[b] — so the n_tables loop
+below would silently time IDENTICAL configs.  The recorded
+SWEEP_R15.json numbers were produced against the r15 tree where the
+constant existed; do not re-run.
 """
+import sys
+
+sys.exit("r15_sweep.py is superseded — see module docstring (ADVICE r15)")
+
 import json
 import os
 import sys

@@ -176,7 +176,10 @@ def test_neardup_lsh_audit_meets_declared_recall_target(spark):
         neardup_lsh_recall_audit,
     )
 
-    (row,) = neardup_lsh_recall_audit(spark, "/root/testdata/sf0.001").collect()
+    path = Path("/root/testdata/sf0.001")
+    if not (path / "embeddings.parquet").exists():
+        pytest.skip(f"{path} absent in this environment")
+    (row,) = neardup_lsh_recall_audit(spark, str(path)).collect()
     assert row["recall_pct"] >= NEARDUP_LSH_TARGET_RECALL_PCT, row
     assert row["precision_pct"] == 100, row
 
@@ -246,7 +249,10 @@ def test_bitext_lsh_candidates_hold_recall(spark):
         EMB_DIM,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = Path("/root/testdata/sf0.001/embeddings.parquet")
+    if not path.exists():
+        pytest.skip(f"{path} absent in this environment")
+    emb = spark.read.parquet(str(path))
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     b = similarity.lsh_planes_for(tgt.count(), 32)
