@@ -357,6 +357,100 @@ def lsh_tables_by_planes(
     return out
 
 
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str,
+    out_id: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """One-matmul sign-LSH signature pass -> (out_id, table_id, sig).
+
+    THE signature kernel for every multi-table LSH operator (near-dup,
+    bitext-LSH, hard-negative-LSH, bucketed top-k).  VERDICT r15 #4:
+    the signature pass is the dominant super-linear term of the
+    near-dup tier at sf1 (64 s; planes self-size b ~ log2 n, so the
+    work grows n log n) and the previous physical strategy — broadcast
+    the T x b planes as rows, fan the corpus out to n x T x b rows,
+    evaluate a dim-length fold expression per row, shuffle a
+    groupBy((id, table)) to sum bits back — paid an interpreted
+    per-row fold AND a shuffle for what is one BLAS call.  Here all
+    T x b hyperplanes form ONE (T*b, dim) float64 matrix shipped in
+    the task closure (<=400 KB at the 32x24 ceiling), each Arrow batch
+    computes `vecs @ planes.T` in a single vectorized matmul, packs
+    sign bits per table with a weights dot, and emits the n x T rows
+    directly — map-only, NO shuffle, no plane join.
+
+    Determinism: the hyperplanes are the same md5-derived constants
+    (:func:`deterministic_planes`) and the projection is float64; a
+    sign could differ from the oracle's sequential fold only if
+    |projection| were at float64 rounding scale (~1e-15 for these
+    O(1)-component planes) — the same argument as
+    :func:`cosine_topk_arrow`'s round-6, driver-hash-green for two
+    rounds.  Bit weights are distinct powers of two, so signatures
+    are order-independent by construction.
+    """
+    import numpy as np
+
+    planes = np.asarray(
+        [
+            comp
+            for t in range(n_tables)
+            for comp in deterministic_planes(n_planes, dim, t)
+        ],
+        dtype=np.float64,
+    )  # (T*b, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    table_ids = np.arange(n_tables, dtype=np.int32)
+
+    def _sig(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["_v"].values).astype(np.float64)
+            proj = vecs @ planes.T  # (m, T*b)
+            bits = (proj >= 0).astype(np.int64).reshape(
+                len(pdf), n_tables, n_planes
+            )
+            sigs = bits @ weights  # (m, T)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf["_id"].values, n_tables),
+                    "table_id": np.tile(table_ids, len(pdf)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(_sig, schema=f"{out_id} long, table_id int, sig long")
+
+
+def hamming1_probes(
+    sigs: DataFrame, n_planes: int, sig_col: str = "sig"
+) -> Column | DataFrame:
+    """Hamming-1 multiprobe explode: each (.., table_id, sig) row fans
+    out to 1 + n_planes rows — the original signature plus its
+    ``n_planes`` one-bit flips (``sig ^ (1 << p)``).  One-sided
+    probing suffices for pair mining (Hamming-1 adjacency is
+    symmetric); the b-fold per-table recall amplifier costs CANDIDATE
+    volume only, never a second signature pass (see
+    :func:`lsh_tables_by_planes`)."""
+    probe_arr = F.array(
+        F.col(sig_col),
+        *[
+            F.expr(f"{sig_col} ^ cast(shiftleft(1L, {p}) as long)")
+            for p in range(n_planes)
+        ],
+    )
+    other = [c for c in sigs.columns if c != sig_col]
+    return sigs.select(*other, F.explode(probe_arr).alias(sig_col))
+
+
 def cosine_neardup_lsh_verified(
     corpus: DataFrame,
     id_col: str,
@@ -401,43 +495,17 @@ def cosine_neardup_lsh_verified(
     capacity decision sized to the data, never inherited.  Recall
     lost per table at higher planes is bought back with ``n_tables``.
     """
-    # Signatures via a DATA-DRIVEN plane join, not inlined literal
-    # arrays: n_tables x n_planes literal-heavy fold expressions cost
-    # seconds of whole-stage CODEGEN alone on their first execution
-    # (measured ~2.5s of the one-shot query time at 32 planes).
-    # Instead the planes are 32 broadcast rows, the corpus fans out
-    # against them with ONE small zip_with/aggregate lambda, and a
-    # groupBy((id, table)) sums the sign bits back into signatures.
-    # Bit weights are distinct powers of two, so the sum is
-    # order-independent — deterministic under any partitioning.
-    spark = corpus.sparkSession
-    plane_rows = [
-        (t, p, plane)
-        for t in range(n_tables)
-        for p, plane in enumerate(deterministic_planes(n_planes, dim, t))
-    ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "table_id int, plane_idx int, comps array<double>"
-    )
-    proj = F.aggregate(
-        F.zip_with(_as_double(F.col("_v")), F.col("comps"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bit = F.when(
-        proj >= 0, F.expr("cast(shiftleft(1L, plane_idx) as long)")
-    ).otherwise(F.lit(0).cast("long"))
-    sigs = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-        .join(F.broadcast(planes_df))
-        .select("id", "table_id", bit.alias("_bit"))
-        .groupBy("id", "table_id")
-        .agg(F.sum("_bit").cast("long").alias("sig"))
+    # Signatures via the shared one-matmul Arrow kernel
+    # (:func:`lsh_signatures`, VERDICT r15 #4): map-only, no plane
+    # join, no groupBy shuffle — the n log n signature pass that
+    # dominated the sf1 wall-clock is now one BLAS call per batch.
+    sigs = lsh_signatures(
+        corpus, id_col, "id", vec_col, n_planes, n_tables, dim
     )
     # Materialize the (id, table, sig) table once — it's 3 narrow
     # columns x n_tables*|corpus| rows.  Without this, the self-join
-    # recomputes the plane join + groupBy for BOTH sides (measured
-    # ~1s slower warm AND colder one-shot).
+    # recomputes the signature pass for BOTH sides (measured ~1s
+    # slower warm AND colder one-shot).
     sigs = sigs.localCheckpoint()
     if probe_bits not in (0, 1):
         raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
@@ -450,17 +518,9 @@ def cosine_neardup_lsh_verified(
         # for CANDIDATE volume only: the signature pass (the n log n
         # wall-clock term at sf1) is untouched, where buying the same
         # recall with tables multiplies it.
-        probe_arr = F.array(
-            F.col("sig"),
-            *[
-                F.expr(f"sig ^ cast(shiftleft(1L, {p}) as long)")
-                for p in range(n_planes)
-            ],
-        )
-        probe_side = sigs.select(
-            F.col("id").alias("id_a"),
-            "table_id",
-            F.explode(probe_arr).alias("sig"),
+        probe_side = hamming1_probes(
+            sigs.select(F.col("id").alias("id_a"), "table_id", "sig"),
+            n_planes,
         )
     else:
         probe_side = sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
@@ -550,6 +610,24 @@ def lsh_planes_for(
     for b in range(min_planes, max_planes + 1):
         if (1 << b) * target_occupancy >= n:
             return b
+    # Clamp bound (ADVICE r14, deferred twice — now a SIGNAL, not a
+    # docstring): past 2^max_planes * occupancy rows the occupancy
+    # budget is silently exceeded and grows linearly again — the
+    # operator still runs, but the within-bucket quadratic term the
+    # budget existed to bound is back.  The fix is lifting the
+    # oracle-replay ceiling (widen max_planes; the plane family is
+    # prefix-stable, so widening only changes oracle text).
+    import warnings
+
+    warnings.warn(
+        f"lsh_planes_for: clamped at max_planes={max_planes} — corpus "
+        f"n={n} exceeds 2^{max_planes} * occupancy {target_occupancy} "
+        f"= {(1 << max_planes) * target_occupancy}; expected bucket "
+        f"occupancy {n / (1 << max_planes):.0f} exceeds the budget. "
+        "Widen max_planes (the oracle-replay ceiling) to restore it.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return max_planes
 
 
@@ -625,38 +703,14 @@ def lsh_bucketed_topk(
     :func:`cosine_topk`; recall vs the exact baseline is a test
     property, not a constant.
     """
-    # Signatures via the same DATA-DRIVEN plane join as
-    # cosine_neardup_lsh_verified (similarity.py:332): n_tables x
-    # n_planes x dim literal arrays cost seconds of whole-stage
-    # codegen on first execution and were this query's dominant
-    # variance term; as broadcast plane ROWS the corpus is scanned
-    # once for ALL tables (the per-table union scanned it n_tables
-    # times) with one small fold lambda.
-    spark = corpus.sparkSession
-    plane_rows = [
-        (t, p, plane)
-        for t in range(n_tables)
-        for p, plane in enumerate(deterministic_planes(n_planes, dim, t))
-    ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "table_id int, plane_idx int, comps array<double>"
-    )
-    proj = F.aggregate(
-        F.zip_with(_as_double(F.col("_v")), F.col("comps"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bit = F.when(
-        proj >= 0, F.expr("cast(shiftleft(1L, plane_idx) as long)")
-    ).otherwise(F.lit(0).cast("long"))
-
+    # Signatures via the shared one-matmul Arrow kernel
+    # (:func:`lsh_signatures`, VERDICT r15 #4): one BLAS call per
+    # batch emits all tables' signatures — no plane join, no groupBy
+    # shuffle, no n_tables x n_planes literal codegen (the previous
+    # strategies' measured costs).
     def sigs(df: DataFrame, role: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("_v"))
-            .join(F.broadcast(planes_df))
-            .select(f"{role}_id", "table_id", bit.alias("_bit"))
-            .groupBy(f"{role}_id", "table_id")
-            .agg(F.sum("_bit").cast("long").alias("sig"))
+        return lsh_signatures(
+            df, id_col, f"{role}_id", vec_col, n_planes, n_tables, dim
         )
 
     # Candidate IDs only — the old form ran distinct() over full
@@ -915,48 +969,13 @@ def margin_bitext_pairs_lsh(
     """
     if probe_bits not in (0, 1):
         raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
-    spark = src.sparkSession
-    plane_rows = [
-        (t, p, plane)
-        for t in range(n_tables)
-        for p, plane in enumerate(deterministic_planes(n_planes, dim, t))
-    ]
-    planes_df = spark.createDataFrame(
-        plane_rows, "table_id int, plane_idx int, comps array<double>"
-    )
-    proj = F.aggregate(
-        F.zip_with(_as_double(F.col("_v")), F.col("comps"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bit = F.when(
-        proj >= 0, F.expr("cast(shiftleft(1L, plane_idx) as long)")
-    ).otherwise(F.lit(0).cast("long"))
-
-    def _sigs(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
-            .join(F.broadcast(planes_df))
-            .select(out_id, "table_id", bit.alias("_bit"))
-            .groupBy(out_id, "table_id")
-            .agg(F.sum("_bit").cast("long").alias("sig"))
-        )
-
-    sigs_s = _sigs(src, "src_id")
-    sigs_t = _sigs(tgt, "tgt_id").localCheckpoint()
-    if probe_bits:
-        probe_arr = F.array(
-            F.col("sig"),
-            *[
-                F.expr(f"sig ^ cast(shiftleft(1L, {p}) as long)")
-                for p in range(n_planes)
-            ],
-        )
-        probes = sigs_s.select(
-            "src_id", "table_id", F.explode(probe_arr).alias("sig")
-        )
-    else:
-        probes = sigs_s
+    # Shared one-matmul Arrow signature kernel (VERDICT r15 #4) — one
+    # pass per side, map-only, no plane join or groupBy shuffle.
+    sigs_s = lsh_signatures(src, id_col, "src_id", vec_col, n_planes, n_tables, dim)
+    sigs_t = lsh_signatures(
+        tgt, id_col, "tgt_id", vec_col, n_planes, n_tables, dim
+    ).localCheckpoint()
+    probes = hamming1_probes(sigs_s, n_planes) if probe_bits else sigs_s
     cand = (
         probes.join(sigs_t, ["table_id", "sig"])
         .select("src_id", "tgt_id")
@@ -1161,6 +1180,106 @@ def hard_negatives_cells(
     )
     scored = (
         c.join(probe_cells, "_cell")  # plain shuffle equi-join, no broadcast
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+                sim_decimals,
+            ),
+        )
+        .filter(F.col("sim") < max_sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_ql").alias("query_label"),
+            "neighbor_id",
+            F.col("_cl").alias("neighbor_label"),
+            F.col("rank").cast("long").alias("rank"),
+            "sim",
+        )
+    )
+
+
+def hard_negatives_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    max_sim: float = 0.95,
+    n_planes: int = 5,
+    n_tables: int = 4,
+    probe_bits: int = 1,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Hard-negative mining over sign-LSH MULTIPROBE candidates — the
+    Hamming-1 machinery (VERDICT r15 #3) extended from the near-dup
+    and bitext miners to the hard-negative tier.
+
+    The cell-routed tier (:func:`hard_negatives_cells`) routes probes
+    by CENTROID similarity over single-table sign-LSH cells — an IVF
+    posture whose per-probe coverage is nprobe cells chosen by a
+    geometry the hyperplane partition doesn't actually encode (cell
+    centroids of hyperplane regions are arbitrary, and the routing
+    decorrelates from pair angle exactly like the bitext k-means cells
+    did, PERF.md r15 finding 8).  Here the candidate generator is the
+    validated multi-table multiprobe family instead: per-table hit
+    probability for a pair at angle theta is a DIRECT function of that
+    angle (p1^b with p1 = 1 - theta/pi, amplified b-fold by Hamming-1
+    probing), and the table count derives per plane count from the
+    declared recall target (:func:`lsh_tables_by_planes` at the
+    miner's design-point similarity).
+
+    Plan shape: two :func:`lsh_signatures` passes (map-only, one
+    matmul each; corpus side T x n rows, probe side T x |probes| rows
+    exploded (1 + b)-fold by :func:`hamming1_probes`), one cross-side
+    (table_id, sig) equi-join — neither side broadcast — a pair
+    distinct (multiple tables can surface the same pair, unlike the
+    one-cell-per-vector tier), then the identical exact tail as
+    :func:`hard_negatives`: different-label filter, false-negative
+    cap (``sim < max_sim``), per-probe top-k window.  Determinism:
+    md5-derived planes, float64 matmul signs, round-6 cosines,
+    id-ascending tie-breaks — the full mechanics replay in SQL.
+    """
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    sigs_c = lsh_signatures(
+        corpus, id_col, "neighbor_id", vec_col, n_planes, n_tables, dim
+    )
+    sigs_p = lsh_signatures(
+        probes, id_col, "query_id", vec_col, n_planes, n_tables, dim
+    )
+    probe_side = hamming1_probes(sigs_p, n_planes) if probe_bits else sigs_p
+    cand = (
+        probe_side.join(sigs_c, ["table_id", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(p), "query_id")
         .filter(F.col("_cl") != F.col("_ql"))
         .withColumn(
             "sim",

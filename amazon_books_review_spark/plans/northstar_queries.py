@@ -802,6 +802,257 @@ FROM counts
 """
 
 
+#: --- Bitext mining over sign-LSH multiprobe candidates (r16, the
+#: VERDICT r15 #1 swap) -----------------------------------------------
+#:
+#: The r15 decomposition (SWEEP_R15.json `bitext_decomposition_sf0.4`)
+#: proved the kmeans-cells tier's recall collapse (96/58/22% at
+#: n=500/2k/8k) is 100% CANDIDATE COVERAGE: of 4329 exact pairs only
+#: 978 were candidates at nprobe 8 — and nprobe 32 bought 1064, i.e.
+#: saturation — while every covered pair survived the margin tail
+#: unchanged (978 = 978 = 978 through rank filter and margin).  At
+#: pair similarity ~0.5 in 64 dims, distance-to-centroid rankings
+#: decorrelate: coarse cells carry no co-location signal for
+#: moderately-similar pairs.  Sign-LSH buckets do BY CONSTRUCTION —
+#: a pair at angle theta collides per table with probability
+#: p1^b (p1 = 1 - theta/pi), amplified b-fold by Hamming-1 multiprobe
+#: — so the r16 entry generates candidates with the near-dup tier's
+#: validated machinery and reuses the provably lossless margin tail.
+#: Measured: the r15 in-engine validation read 89/85/87% at
+#: n=500/2k/8k and 84% sampled at 20k (derivation margin 5) — FLAT
+#: across 40x where cells decay, at comparable wall; the shipped
+#: margin-7 config reads 89/90 at sf0.01/sf0.1 (see the margin note
+#: below) with the same flat shape.
+#:
+#: Sizing, all data-derived (the near-dup playbook):
+#: - planes: `lsh_planes_for(n_tgt, OCC)` on the TARGET-side count
+#:   (the indexed side of the probe join), occupancy budget 32;
+#: - tables: `lsh_tables_by_planes` at the miner's DESIGN-POINT pair
+#:   similarity (0.5 — the regime the decomposition showed cells
+#:   cannot cover) and the declared recall target + model-error
+#:   margin, per plane count: 2 at b=3, 5 at b=5, 9 at b=7, 17 at
+#:   b=9 (pytest-pinned).  Margin 7 (vs the near-dup tier's 5): the
+#:   union model's at-threshold assumption overestimates more for a
+#:   miner whose exact pairs SPAN a similarity band than for a
+#:   thresholded pair set — measured at sf0.1, margin 5 (b=5/T=4)
+#:   read 84% against the 85 floor while margin 7 (T=5) reads 90/91
+#:   recall/precision.
+BITEXT_LSH_OCC = 32
+BITEXT_LSH_MIN_PLANES = 2
+BITEXT_LSH_MAX_PLANES = 24
+BITEXT_LSH_DESIGN_SIM = 0.5
+BITEXT_LSH_TARGET_RECALL_PCT = 85
+BITEXT_LSH_DERIVATION_MARGIN_PCT = 7
+BITEXT_LSH_PROBE_BITS = 1
+BITEXT_LSH_MAX_TABLES = 32
+BITEXT_LSH_T_BY_B = similarity.lsh_tables_by_planes(
+    BITEXT_LSH_DESIGN_SIM,
+    BITEXT_LSH_TARGET_RECALL_PCT + BITEXT_LSH_DERIVATION_MARGIN_PCT,
+    probe_bits=BITEXT_LSH_PROBE_BITS,
+    min_planes=BITEXT_LSH_MIN_PLANES,
+    max_planes=BITEXT_LSH_MAX_PLANES,
+    max_tables=BITEXT_LSH_MAX_TABLES,
+)
+
+
+def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin bitext mining over sign-LSH Hamming-1 multiprobe
+    candidates — THE scale path for bitext mining (VERDICT r15 #1;
+    see the constants block above for the decomposition evidence and
+    the measured flat recall curve).  The kmeans-cells entry stays in
+    the catalog as the coarse-quantization audit story; this entry is
+    the miner a 100 TB run should use.
+
+    Candidates via :func:`functions.similarity.margin_bitext_pairs_lsh`:
+    one :func:`lsh_signatures` matmul pass per side (map-only), the
+    source side exploded (1+b)-fold by Hamming-1 probes, one
+    cross-side (table_id, sig) equi-join — neither corpus broadcast —
+    pair distinct, then the decomposition-proven-lossless margin tail
+    (:func:`functions.similarity._margin_from_scored`).  All capacity
+    constants derive from declared budgets + one parquet-footer count;
+    the DuckDB oracle replays plane derivation (mask trick), table
+    derivation (guarded UNION branches + CASE over b) and the probe
+    explode (xor CTE) exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    n_tgt = tgt.count()
+    nb = similarity.lsh_planes_for(
+        n_tgt, BITEXT_LSH_OCC,
+        min_planes=BITEXT_LSH_MIN_PLANES, max_planes=BITEXT_LSH_MAX_PLANES,
+    )
+    return similarity.margin_bitext_pairs_lsh(
+        src, tgt, "vec_id", "embedding",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+        n_planes=nb, n_tables=BITEXT_LSH_T_BY_B[nb], dim=EMB_DIM,
+        probe_bits=BITEXT_LSH_PROBE_BITS,
+    )
+
+
+def _bitext_lsh_oracle() -> str:
+    """Replays the full LSH-candidate bitext pipeline in SQL — the
+    near-dup replay pattern applied to a two-corpus miner:
+
+    - plane count: derived from the TARGET-side ``count(*)`` with the
+      identical integer rule as ``lsh_planes_for``; signatures are the
+      MAX_PLANES prefix-stable family masked ``sig % 2^b``;
+    - table count: MAX_TABLES signature branches, each guarded by
+      ``WHERE {t} < (SELECT t FROM params)`` with t CASE-looked-up
+      from b (branches past the derived count constant-fold empty);
+    - Hamming-1 multiprobe: the source side unions each signature
+      with its b one-bit flips (xor CTE);
+    - margin tail: the BITEXT_MARGIN_ORACLE windows verbatim over the
+      candidate pairs."""
+    table_sigs = []
+    for t in range(BITEXT_LSH_MAX_TABLES):
+        planes = similarity.deterministic_planes(
+            BITEXT_LSH_MAX_PLANES, EMB_DIM, t
+        )
+        bits = " + ".join(
+            f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(planes)
+        )
+        table_sigs.append(
+            f"SELECT vec_id, {t} AS table_id,"
+            f" ({bits}) % (SELECT m FROM params) AS sig FROM v"
+            f" WHERE {t} < (SELECT t FROM params)"
+        )
+    signed = "\n    UNION ALL\n    ".join(table_sigs)
+    t_case = " ".join(
+        f"WHEN pb.b = {b} THEN {t}"
+        for b, t in sorted(BITEXT_LSH_T_BY_B.items())
+    )
+    return f"""
+WITH pb AS (
+    SELECT coalesce(
+        min(CASE WHEN (CAST(1 AS BIGINT) << g.b) * {BITEXT_LSH_OCC} >= nn.n
+                 THEN g.b END),
+        {BITEXT_LSH_MAX_PLANES}) AS b
+    FROM generate_series({BITEXT_LSH_MIN_PLANES}, {BITEXT_LSH_MAX_PLANES}) AS g(b),
+         (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 1) nn
+), params AS (
+    SELECT (CAST(1 AS BIGINT) << pb.b) AS m,
+           pb.b AS b,
+           (CASE {t_case} END) AS t
+    FROM pb
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), signed AS (
+    {signed}
+), sprobe AS (
+    SELECT vec_id, table_id,
+           CASE WHEN g.p < 0 THEN sig
+                ELSE xor(sig, (CAST(1 AS BIGINT) << g.p)) END AS sig
+    FROM signed,
+         generate_series(-1, {BITEXT_LSH_MAX_PLANES - 1}) AS g(p)
+    WHERE vec_id % 2 = 0
+      AND g.p < {BITEXT_LSH_PROBE_BITS} * (SELECT b FROM params)
+), cand AS (
+    SELECT DISTINCT sp.vec_id AS src_id, tg.vec_id AS tgt_id
+    FROM sprobe sp
+    JOIN signed tg ON tg.table_id = sp.table_id AND tg.sig = sp.sig
+    WHERE tg.vec_id % 2 = 1
+), scored AS (
+    SELECT src_id, tgt_id,
+           CAST(floor(list_inner_product(s.e, t.e) / (s.nrm * t.nrm)
+                      * 1000000 + 0.5) AS BIGINT) AS cos_q
+    FROM cand
+    JOIN v s ON s.vec_id = src_id
+    JOIN v t ON t.vec_id = tgt_id
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cos_q DESC, tgt_id ASC) AS rank_x,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY cos_q DESC, src_id ASC) AS rank_y
+    FROM scored
+), sums AS (
+    SELECT *,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY src_id) AS sum_x,
+           sum(CASE WHEN rank_x <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY src_id) AS cnt_x,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN cos_q END)
+               OVER (PARTITION BY tgt_id) AS sum_y,
+           sum(CASE WHEN rank_y <= {BITEXT_K} THEN 1 END)
+               OVER (PARTITION BY tgt_id) AS cnt_y
+    FROM ranked
+), margins AS (
+    SELECT src_id, tgt_id, cos_q,
+           round(2.0 * cos_q
+                 / (sum_x * 1.0 / cnt_x + sum_y * 1.0 / cnt_y), 6) AS margin
+    FROM sums
+    WHERE rank_x <= {BITEXT_K} AND rank_y <= {BITEXT_K}
+)
+SELECT src_id, tgt_id, cos_q, margin
+FROM margins
+WHERE margin > {BITEXT_MARGIN!r}
+"""
+
+
+def bitext_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the LSH-candidate bitext tier vs the exact
+    tier — same schema as bitext_cells_recall_audit and
+    bitext_kmeans_recall_audit so the three tiers compare 1:1 (the
+    r16 acceptance row for the VERDICT r15 #1 swap: >= 85 at sf0.1
+    where the kmeans tier reads 58).  Both tiers deterministic, so
+    DuckDB replays the audit to the integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = similarity.margin_bitext_pairs(
+        src, tgt, "vec_id", "embedding",
+        k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
+    ).select("src_id", "tgt_id")
+    lsh = bitext_margin_mining_lsh(spark, sf_dir).select("src_id", "tgt_id")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = exact.join(lsh, ["src_id", "tgt_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            # empty-tier guard (ADVICE r13): degenerate cases defined
+            # (no exact pairs => recall 100; no mined => precision 100)
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN 100"
+                " ELSE n_hit * 100 div n_exact END"
+            ).cast("long").alias("recall_pct"),
+            F.expr(
+                "CASE WHEN n_lsh = 0 THEN 100"
+                " ELSE n_hit * 100 div n_lsh END"
+            ).cast("long").alias("precision_pct"),
+        )
+    )
+
+
+def _bitext_lsh_recall_oracle() -> str:
+    return f"""
+WITH exact_pairs AS ({BITEXT_MARGIN_ORACLE}),
+lsh_pairs AS ({_bitext_lsh_oracle()}),
+counts AS (
+    SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+           (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+           (SELECT count(*)
+            FROM exact_pairs e JOIN lsh_pairs l
+              ON e.src_id = l.src_id AND e.tgt_id = l.tgt_id) AS n_hit
+)
+SELECT n_exact, n_lsh, n_hit,
+       CAST(CASE WHEN n_exact = 0 THEN 100
+                 ELSE n_hit * 100 // n_exact END AS BIGINT) AS recall_pct,
+       CAST(CASE WHEN n_lsh = 0 THEN 100
+                 ELSE n_hit * 100 // n_lsh END AS BIGINT) AS precision_pct
+FROM counts
+"""
+
+
 HARDNEG_NPROBE = 2
 #: Self-sizing cell count (r14, extending VERDICT r13 #1 to the
 #: hard-negative tier): planes derived from the corpus count at a
@@ -811,7 +1062,15 @@ HARDNEG_NPROBE = 2
 #: parity corpora (5 planes at sf0.1's 2000).
 HARDNEG_CELL_OCC = 64
 HARDNEG_MIN_PLANES = 2
-HARDNEG_MAX_PLANES = 12
+#: 24 (r16, closing VERDICT r15 #3): the same ceiling lift the top-k
+#: and near-dup families got in r15 — the SQL replay inlines
+#: MAX_PLANES hyperplanes and masks sig % 2^b down, so this constant
+#: IS the self-sizing ceiling.  At 12 the clamp bound at ~2^12 x 64
+#: ~= 262k vectors; 24 moves it to ~2^24 x 64 ~= 1.07B.  Engine
+#: behavior below the old ceiling is IDENTICAL (the derivation
+#: returns the same b) — only the oracle text changes; the plane
+#: family's prefix-stability is pytest-pinned.
+HARDNEG_MAX_PLANES = 24
 
 
 def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +1233,196 @@ GROUP BY e.query_id
 """
 
 
+#: --- Hard-negative mining over sign-LSH multiprobe candidates (r16,
+#: VERDICT r15 #3: "extend Hamming-1 multiprobe + per-plane table
+#: derivation to the hardneg tier") ------------------------------------
+#:
+#: The cells tier routes probes by CENTROID similarity over
+#: single-table sign-LSH cells — centroids of hyperplane regions are
+#: arbitrary geometry, the same decorrelation failure mode the bitext
+#: decomposition quantified for k-means cells.  This tier generates
+#: candidates with the validated multi-table Hamming-1 machinery
+#: instead: per-table hit probability is a direct function of pair
+#: angle, tables derive per plane count from the declared target.
+#: Design-point similarity 0.45 — the BOTTOM of the negatives' band:
+#: the k-th different-label negative on these corpora scores
+#: ~0.45-0.55, and deriving T at the band's floor covers the whole
+#: band (higher-sim pairs collide strictly more often).  Measured at
+#: sf0.1 (b=6): design 0.5 gives T=6 and 80% recall; design 0.45
+#: gives T=7 and 88% — the floor holds with one extra table.  Margin
+#: 7 (like the bitext tier): at the parity corpus's b=3 the margin-5
+#: derivation (T=2) read 84% against the 85 floor; margin 7 takes
+#: T(3) to 3 while leaving T(6)=7 unchanged.
+HARDNEG_LSH_OCC = 32
+HARDNEG_LSH_MIN_PLANES = 2
+HARDNEG_LSH_MAX_PLANES = 24
+HARDNEG_LSH_DESIGN_SIM = 0.45
+HARDNEG_LSH_TARGET_RECALL_PCT = 85
+HARDNEG_LSH_DERIVATION_MARGIN_PCT = 7
+HARDNEG_LSH_PROBE_BITS = 1
+HARDNEG_LSH_MAX_TABLES = 32
+HARDNEG_LSH_T_BY_B = similarity.lsh_tables_by_planes(
+    HARDNEG_LSH_DESIGN_SIM,
+    HARDNEG_LSH_TARGET_RECALL_PCT + HARDNEG_LSH_DERIVATION_MARGIN_PCT,
+    probe_bits=HARDNEG_LSH_PROBE_BITS,
+    min_planes=HARDNEG_LSH_MIN_PLANES,
+    max_planes=HARDNEG_LSH_MAX_PLANES,
+    max_tables=HARDNEG_LSH_MAX_TABLES,
+)
+
+
+def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over sign-LSH Hamming-1 multiprobe
+    candidates (:func:`functions.similarity.hard_negatives_lsh`) —
+    the r16 scale tier; see the constants block above for why it
+    supersedes centroid routing.  Plane count self-sizes from the
+    corpus count, table count derives per plane count, and the DuckDB
+    oracle replays all three capacity dimensions (mask trick, guarded
+    UNION branches, xor probe CTE) plus the exact different-label /
+    false-negative-cap / top-k tail."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nb = similarity.lsh_planes_for(
+        n, HARDNEG_LSH_OCC,
+        min_planes=HARDNEG_LSH_MIN_PLANES, max_planes=HARDNEG_LSH_MAX_PLANES,
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return similarity.hard_negatives_lsh(
+        emb, probes, "vec_id", "embedding", "label",
+        dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
+        n_planes=nb, n_tables=HARDNEG_LSH_T_BY_B[nb],
+        probe_bits=HARDNEG_LSH_PROBE_BITS,
+    )
+
+
+def _hardneg_lsh_oracle() -> str:
+    """The near-dup replay pattern applied to hard-negative mining:
+    plane count from ``count(*)`` (mask trick over the prefix-stable
+    MAX_PLANES family), table count via the CASE-over-b lookup with
+    guarded UNION branches, Hamming-1 xor probe CTE on the probe
+    side, then the exact HARD_NEGATIVES_ORACLE tail over the
+    candidate pairs."""
+    table_sigs = []
+    for t in range(HARDNEG_LSH_MAX_TABLES):
+        planes = similarity.deterministic_planes(
+            HARDNEG_LSH_MAX_PLANES, EMB_DIM, t
+        )
+        bits = " + ".join(
+            f"CASE WHEN list_inner_product(e, {plane!r}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+            for p, plane in enumerate(planes)
+        )
+        table_sigs.append(
+            f"SELECT vec_id, {t} AS table_id,"
+            f" ({bits}) % (SELECT m FROM params) AS sig FROM v"
+            f" WHERE {t} < (SELECT t FROM params)"
+        )
+    signed = "\n    UNION ALL\n    ".join(table_sigs)
+    t_case = " ".join(
+        f"WHEN pb.b = {b} THEN {t}"
+        for b, t in sorted(HARDNEG_LSH_T_BY_B.items())
+    )
+    return f"""
+WITH pb AS (
+    SELECT coalesce(
+        min(CASE WHEN (CAST(1 AS BIGINT) << g.b) * {HARDNEG_LSH_OCC} >= nn.n
+                 THEN g.b END),
+        {HARDNEG_LSH_MAX_PLANES}) AS b
+    FROM generate_series({HARDNEG_LSH_MIN_PLANES}, {HARDNEG_LSH_MAX_PLANES}) AS g(b),
+         (SELECT count(*) AS n FROM embeddings) nn
+), params AS (
+    SELECT (CAST(1 AS BIGINT) << pb.b) AS m,
+           pb.b AS b,
+           (CASE {t_case} END) AS t
+    FROM pb
+), v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), signed AS (
+    {signed}
+), qprobe AS (
+    SELECT vec_id, table_id,
+           CASE WHEN g.p < 0 THEN sig
+                ELSE xor(sig, (CAST(1 AS BIGINT) << g.p)) END AS sig
+    FROM signed,
+         generate_series(-1, {HARDNEG_LSH_MAX_PLANES - 1}) AS g(p)
+    WHERE vec_id < {N_PROBES}
+      AND g.p < {HARDNEG_LSH_PROBE_BITS} * (SELECT b FROM params)
+), cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM qprobe q
+    JOIN signed c ON c.table_id = q.table_id AND c.sig = q.sig
+    WHERE c.vec_id <> q.vec_id
+), scored AS (
+    SELECT query_id, p.label AS query_label,
+           neighbor_id, c.label AS neighbor_label,
+           round(list_inner_product(p.e, c.e) / (p.nrm * c.nrm), 6) AS sim
+    FROM cand
+    JOIN v p ON p.vec_id = query_id
+    JOIN v c ON c.vec_id = neighbor_id
+    WHERE c.label <> p.label
+), capped AS (
+    SELECT * FROM scored WHERE sim < {HARDNEG_MAX_SIM!r}
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM capped
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def hardneg_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall of the LSH-multiprobe hard-negative tier vs
+    the exact tier — same schema as hardneg_cells_recall_audit so the
+    two scale tiers compare row-for-row (the r16 acceptance rows for
+    the VERDICT r15 #3 extension).  Deterministic both sides, DuckDB
+    replays to the integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    exact = similarity.hard_negatives(
+        emb, probes, "vec_id", "embedding", "label",
+        k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
+    ).select("query_id", "neighbor_id")
+    lsh = hard_negative_mining_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 100 div n_exact").alias("recall_pct"),
+        )
+    )
+
+
+def _hardneg_lsh_recall_oracle() -> str:
+    return f"""
+WITH exact_neg AS ({HARD_NEGATIVES_ORACLE}),
+lsh_neg AS ({_hardneg_lsh_oracle()})
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+            // count(*) AS BIGINT) AS recall_pct
+FROM exact_neg e
+LEFT JOIN lsh_neg l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 def similarity_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy/Arrow physical strategy for the same logical query —
     shares the exact-cosine oracle (results are value-identical)."""
@@ -1066,6 +1515,59 @@ WITH params AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+def lsh_topk_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-top-k overlap of the sign-LSH top-k tier — the entry's
+    QUALITY CONTRACT made audit-visible (VERDICT r15 #5): this tier's
+    contract is cheap candidate OVERSAMPLING at per-probe cost
+    constant in the corpus size (tables = ceil(FACTOR*k/occupancy),
+    see the LSH_TOPK_CAND_FACTOR block), NOT top-k recall — recall
+    targeting is owned by the IVF tier (learned cells + nprobe,
+    ~90% on ann_recall_audit) and by the derived-table families where
+    union recall is declared (near-dup, bitext-LSH, hardneg-LSH).
+    The r15 sweep measured 2-8% exact-top-5 overlap at sf0.1 on the
+    near-uniform synthetic embeddings; this row records that number
+    in the oracle-checked catalog so the contract can never silently
+    regress into being mistaken for a recall claim.  Deterministic
+    both sides — DuckDB replays to the integer."""
+    exact = similarity_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("n_hit * 100 div n_exact").alias("overlap_pct"),
+        )
+    )
+
+
+def _lsh_topk_overlap_oracle() -> str:
+    return f"""
+WITH exact_topk AS ({COSINE_TOPK_ORACLE}),
+lsh_topk AS ({_lsh_topk_oracle()})
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+            // count(*) AS BIGINT) AS overlap_pct
+FROM exact_topk e
+LEFT JOIN lsh_topk l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
 """
 
 
@@ -2941,6 +3443,21 @@ NORTHSTAR_QUERIES = [
     ("bitext_kmeans_recall_audit", bitext_kmeans_recall_audit,
      _bitext_kmeans_recall_oracle(),
      "learned-quantizer bitext recall vs exact — the re-clustering acceptance test"),
+    ("bitext_margin_mining_lsh", bitext_margin_mining_lsh,
+     _bitext_lsh_oracle(),
+     "bitext mining over sign-LSH Hamming-1 multiprobe candidates — the scale path"),
+    ("bitext_lsh_recall_audit", bitext_lsh_recall_audit,
+     _bitext_lsh_recall_oracle(),
+     "LSH-candidate bitext recall vs exact — flat across scale where cells decay"),
+    ("hard_negative_mining_lsh", hard_negative_mining_lsh,
+     _hardneg_lsh_oracle(),
+     "hard negatives over sign-LSH multiprobe candidates, per-b derived tables"),
+    ("hardneg_lsh_recall_audit", hardneg_lsh_recall_audit,
+     _hardneg_lsh_recall_oracle(),
+     "LSH-multiprobe hard-negative recall vs the exact tier, per probe"),
+    ("lsh_topk_overlap_audit", lsh_topk_overlap_audit,
+     _lsh_topk_overlap_oracle(),
+     "LSH top-k tier exact-overlap — records the oversampling contract, not recall"),
     ("hard_negative_mining", hard_negative_mining, HARD_NEGATIVES_ORACLE,
      "contrastive-training prep: top-k different-label neighbors below the positive cap"),
     ("hard_negative_mining_cells", hard_negative_mining_cells,
