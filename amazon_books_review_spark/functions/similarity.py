@@ -497,8 +497,21 @@ def cosine_neardup_lsh_verified(
     """
     # Signatures via the shared one-matmul Arrow kernel
     # (:func:`lsh_signatures`, VERDICT r15 #4): map-only, no plane
-    # join, no groupBy shuffle — the n log n signature pass that
-    # dominated the sf1 wall-clock is now one BLAS call per batch.
+    # join, no groupBy shuffle.  The r16 stage decomposition at sf1
+    # (20k vectors, b=10, T=27, Hamming-1) re-attributed the tier's
+    # cost: signatures are 2.9 s with this kernel — the real wall was
+    # CANDIDATE MATERIALIZATION: 70M raw -> 56M distinct pairs
+    # shuffled (69 s), re-joined to vectors, then 56M wide rows
+    # through the Arrow boundary for a numpy verify.  So the verify
+    # is now PIPELINED AT THE BUCKET JOIN: vectors+norms attach to
+    # the signature rows BEFORE the (table, sig) join, the cosine is
+    # computed JVM-side inside the same whole-stage-codegen pass as
+    # the join output (never materialized), the threshold filters
+    # 70M candidates down to the true-pair set (~16k at sf1), and
+    # distinct dedups only the SURVIVORS across tables/probes.
+    # Shuffle volume: one (table, sig) exchange of n x T (+probe
+    # fan-out) signature rows with vectors attached — no 56M-row
+    # distinct, no per-pair Arrow transfer, no Python in the verify.
     sigs = lsh_signatures(
         corpus, id_col, "id", vec_col, n_planes, n_tables, dim
     )
@@ -509,70 +522,50 @@ def cosine_neardup_lsh_verified(
     sigs = sigs.localCheckpoint()
     if probe_bits not in (0, 1):
         raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    sigs_v = sigs.join(v, "id")
+    corpus_side = sigs_v.select(
+        F.col("id").alias("id_b"), "table_id", "sig",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    probe_base = sigs_v.select(
+        F.col("id").alias("id_a"), "table_id", "sig",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
     if probe_bits:
         # Hamming-1 multiprobe: the probe side also visits the
         # n_planes adjacent buckets (one sign bit flipped).  One-sided
         # probing suffices — sig_b within Hamming-1 of sig_a is a
         # symmetric relation and the id_a < id_b filter keeps each
         # pair once.  This buys a b-fold per-table recall amplifier
-        # for CANDIDATE volume only: the signature pass (the n log n
-        # wall-clock term at sf1) is untouched, where buying the same
-        # recall with tables multiplies it.
-        probe_side = hamming1_probes(
-            sigs.select(F.col("id").alias("id_a"), "table_id", "sig"),
-            n_planes,
-        )
+        # for CANDIDATE volume only: the signature pass is untouched,
+        # where buying the same recall with tables multiplies it.
+        probe_side = hamming1_probes(probe_base, n_planes)
     else:
-        probe_side = sigs.select(F.col("id").alias("id_a"), "table_id", "sig")
-    cand = (
-        probe_side
-        .join(sigs.select(F.col("id").alias("id_b"), "table_id", "sig"),
-              ["table_id", "sig"])
+        probe_side = probe_base
+    # The fold-based dot (zip_with + aggregate, left-to-right float64
+    # sum — same order as the DuckDB oracle) measured 37 s for the
+    # whole sf1 arm; an unrolled 64-term getItem chain was tried and
+    # REGRESSED to 150 s (the giant expression falls out of
+    # whole-stage codegen), so the fold stays.
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        6,
+    )
+    return (
+        probe_side.join(corpus_side, ["table_id", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        # sim is deterministic per pair (round-6 sequential sum), so
+        # the distinct over survivors keeps each pair exactly once
         .distinct()
     )
-    # (No explicit repartition here: the verify kernel below is a
-    # vectorized numpy batch — AQE's size-based coalescing is fine
-    # for it, and the extra shuffle cost more than it bought.)
-    v = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
-    )
-    va = v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"),
-                  F.col("_n").alias("_na"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
-                  F.col("_n").alias("_nb"))
-    paired = cand.join(va, "id_a").join(vb, "id_b")
-
-    # Verify with an Arrow/numpy batch kernel: the candidate list is
-    # large (LSH at a low threshold passes many moderately-similar
-    # pairs) and an interpreted per-pair fold was the measured
-    # bottleneck; one vectorized (va*vb).sum per batch is memory-
-    # bandwidth-bound.  Same determinism argument as
-    # cosine_topk_arrow: float64 + round-to-6 before the threshold
-    # (driver-hash-green against the sequential-sum oracle).
-    def _verify(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            va_m = np.stack(pdf["_va"].values).astype(np.float64)
-            vb_m = np.stack(pdf["_vb"].values).astype(np.float64)
-            sim = np.round(
-                (va_m * vb_m).sum(axis=1)
-                / (pdf["_na"].values * pdf["_nb"].values),
-                6,
-            )
-            out = pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "sim": sim}
-            )
-            yield out[out["sim"] >= threshold]
-
-    return paired.mapInPandas(_verify, schema="id_a long, id_b long, sim double")
 
 
 def lsh_planes_for(
