@@ -176,9 +176,17 @@ PLAN_BUDGETS: dict[str, tuple] = {
     "asof_join_events_orders": (4, 0, 0),
     "dedup_neardup_lsh_verified": (14, 6, 0),
     "dedup_minhash_lsh": (10, 2, 0),
-    # the candidate->vector joins are SMJ by design: the candidate
-    # pair list is not broadcastable at 100 TB
+    # r16 pipelined verify: vectors attach to signature rows BEFORE
+    # the (table, sig) bucket join, so the SMJs are the sig->vector
+    # attach + bucket join — neither side broadcastable at 100 TB
     "embedding_neardup_lsh_verified": (10, 4, 0, 2),
+    # r16 sign-LSH multiprobe miners (PERF.md r16 #1): signature
+    # passes are map-only (the one-matmul Arrow kernel); exchanges are
+    # the (table, sig) candidate join + the margin tail's two
+    # mutual-rank windows; the BHJs are test-scale (the cross-side
+    # join degrades to SMJ at 100 TB, which is the intended shape)
+    "bitext_margin_mining_lsh": (12, 6, 0),
+    "hard_negative_mining_lsh": (10, 6, 0),
     # the probe cross-join is the intended (bounded) nested loop
     "similarity_cosine_topk": (4, 0, 2),
     "similarity_ivf_topk": (10, 2, 2),
