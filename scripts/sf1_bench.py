@@ -65,6 +65,12 @@ QUERIES = [
     # r14: the self-sized bitext kmeans tier joins the battery — its
     # fixed-k predecessor was the 36.6x-at-10x outlier this round fixed
     "bitext_margin_mining_cells_kmeans",
+    # r16: the sign-LSH multiprobe miners + the entries the shared
+    # one-matmul signature kernel re-touched (PERF.md r16 #1-#3)
+    "bitext_margin_mining_lsh",
+    "hard_negative_mining_lsh",
+    "hard_negative_mining_cells",
+    "similarity_lsh_topk",
 ]
 
 ONLY = set(sys.argv[2:])
