@@ -353,6 +353,7 @@ def _prior_records(
     sf_dir: str | None = None,
     current_hashes: dict[str, str] | None = None,
     verified_hashes: dict[str, str] | None = None,
+    glob: str = "BENCH_LOCAL_r*.json",
 ) -> dict[str, float]:
     """Per-query best (min) committed time at the CURRENT bench sf,
     across every prior round's BENCH_LOCAL_r*.json — both the session
@@ -403,7 +404,7 @@ def _prior_records(
 
     rec: dict[str, float] = {}
     sf_tag = (sf_dir or SF_DIR).rstrip("/").rsplit("sf", 1)[-1]
-    for p in sorted(Path(repo or _REPO).glob("BENCH_LOCAL_r*.json")):
+    for p in sorted(Path(repo or _REPO).glob(glob)):
         try:
             d = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -912,6 +913,19 @@ def appendix_main() -> None:
             secs = min(secs, secs2)
         timings[name] = secs
 
+    # Transparency companion to the headline lane's regression gate
+    # (VERDICT r15 #3 "the gate only guards what it times"): compare
+    # against the best prior APPENDIX record (change-aware via
+    # src_hashes, same machinery) and surface >2x entries in the
+    # detail file.  No solo re-time lane here — appendix entries are
+    # not headline-graded; the report exists so movement is VISIBLE.
+    records = _prior_records(glob="BENCH_APPENDIX_r*.json")
+    over_2x = {
+        n: {"now": t, "best": records[n]}
+        for n, t in timings.items()
+        if n in records and t > 2.0 * records[n]
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -929,6 +943,8 @@ def appendix_main() -> None:
         "warmup_sf0001": warmup,
         "errors": errors,
         "shots": shots,
+        "over_2x_record": over_2x,
+        "n_prior_records": len(records),
         "src_hashes": {n: _entry_hash(n) for n in timings if _entry_hash(n)},
         "note": (
             "non-HEADLINE catalog entries; includes the deliberately "
