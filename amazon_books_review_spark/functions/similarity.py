@@ -953,12 +953,31 @@ def margin_bitext_pairs_lsh(
     exact pair survived rank filter and margin unchanged).
 
     Plan shape: two signature passes (one per side, T x n rows each,
-    map-side like the near-dup tier), the probe-side Hamming-<=1
+    map-side like the near-dup tier), vectors+norms attached to the
+    signature rows BEFORE the bucket join, the probe-side Hamming-<=1
     explode, one cross-side equi-join per (table, sig) — never a
-    cross join, neither corpus broadcast — a pair-distinct, then the
-    two margin windows.  Sizing comes from the same self-sizing rules
-    (`lsh_planes_for` at an occupancy budget, `lsh_tables_by_planes`
-    at the miner's design-point similarity).
+    cross join, neither corpus broadcast — the cosine computed inside
+    the join's codegen pass, then a distinct over the SCORED triples
+    (cos_q is a deterministic function of the pair, so deduping
+    (src_id, tgt_id, cos_q) keeps exactly one row per pair — the same
+    pair set the old candidates-first distinct produced), then the
+    two margin windows.
+
+    The scored-triples-distinct ordering is load-bearing at scale
+    (r16, measured): joining vectors to the DISTINCT CANDIDATE SET
+    instead — the original shape — exceeds the broadcast threshold
+    past ~50k vectors per side, and the resulting sort-merge joins
+    carry the 512-byte vectors through their sorts (the full
+    candidate set x vector width: ~160 GB of spill at 50k/side,
+    which exhausted an 80 GB local disk).  Scoring at the bucket
+    join keeps vectors out of every sort except the one (table, sig)
+    exchange of n x T (+probe fan-out) signature rows, and the only
+    candidate-scale shuffle is the 24-byte scored-triple distinct —
+    the identical trade the near-dup tier's pipelined verify made
+    (PERF.md r16 #3), bought with ~1.5x more fold evaluations (raw
+    candidates score before dedup).  Sizing comes from the same
+    self-sizing rules (`lsh_planes_for` at an occupancy budget,
+    `lsh_tables_by_planes` at the miner's design-point similarity).
     """
     if probe_bits not in (0, 1):
         raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
@@ -968,12 +987,6 @@ def margin_bitext_pairs_lsh(
     sigs_t = lsh_signatures(
         tgt, id_col, "tgt_id", vec_col, n_planes, n_tables, dim
     ).localCheckpoint()
-    probes = hamming1_probes(sigs_s, n_planes) if probe_bits else sigs_s
-    cand = (
-        probes.join(sigs_t, ["table_id", "sig"])
-        .select("src_id", "tgt_id")
-        .distinct()
-    )
     s = src.select(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).alias("_sv"),
@@ -984,15 +997,20 @@ def margin_bitext_pairs_lsh(
         F.col(vec_col).alias("_tv"),
         l2_norm(F.col(vec_col)).alias("_tn"),
     )
+    sigs_s_v = sigs_s.join(s, "src_id")
+    sigs_t_v = sigs_t.join(t, "tgt_id")
+    probe_side = (
+        hamming1_probes(sigs_s_v, n_planes) if probe_bits else sigs_s_v
+    )
     cos = dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
     scored = (
-        cand.join(s, "src_id")
-        .join(t, "tgt_id")
+        probe_side.join(sigs_t_v, ["table_id", "sig"])
         .withColumn(
             "cos_q",
             F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
         )
         .select("src_id", "tgt_id", "cos_q")
+        .distinct()
     )
     return _margin_from_scored(scored, k, margin_threshold)
 

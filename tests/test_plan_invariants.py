@@ -184,8 +184,11 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # passes are map-only (the one-matmul Arrow kernel); exchanges are
     # the (table, sig) candidate join + the margin tail's two
     # mutual-rank windows; the BHJs are test-scale (the cross-side
-    # join degrades to SMJ at 100 TB, which is the intended shape)
-    "bitext_margin_mining_lsh": (12, 6, 0),
+    # join degrades to SMJ at 100 TB, which is the intended shape).
+    # The bitext miner's 2 SMJs are the sig->vector attaches of the
+    # pipelined-scoring shape (PERF.md r16 #8) — vectors never ride
+    # a candidate-scale sort
+    "bitext_margin_mining_lsh": (14, 4, 0, 2),
     "hard_negative_mining_lsh": (10, 6, 0),
     # the probe cross-join is the intended (bounded) nested loop
     "similarity_cosine_topk": (4, 0, 2),
