@@ -357,6 +357,41 @@ def lsh_tables_by_planes(
     return out
 
 
+def lsh_tables_checked(
+    t_by_b: dict[int, int], n_planes: int, max_tables: int = 32
+) -> int:
+    """Look up the derived table count for a RUNTIME-derived plane
+    count, WARNING when the table clamp binds (the tables-side twin
+    of ``lsh_planes_for``'s clamp warning — VERDICT r14/r15 asked for
+    the planes one; the r16 third-decade probe then measured THIS
+    clamp binding silently at 200k vectors, recall 66.6% vs the 85%
+    target, PERF.md r16 #7).
+
+    At ``t_by_b[n_planes] >= max_tables`` the union-rule derivation
+    wanted more tables than the ceiling allows (or met it exactly),
+    so the declared recall target is no longer certified at this
+    corpus size: the tier degrades in audit-visible recall rather
+    than cost, and the audit should be consulted.  The warning is
+    driver-side and plan-build-time — the 100 TB failure mode this
+    guards is a silent sub-target mining run at a corpus size nobody
+    re-audited.
+    """
+    t = t_by_b[n_planes]
+    if t >= max_tables:
+        import warnings
+
+        warnings.warn(
+            f"lsh_tables_checked: table clamp binds at b={n_planes}"
+            f" (T={t} >= max_tables={max_tables}) — the derived recall"
+            " target is not certified at this corpus size; the tier"
+            " degrades in audit-visible recall (run the matching"
+            " *_recall_audit; closed-form prediction in PERF.md r16 #7).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return t
+
+
 def lsh_signatures(
     df: DataFrame,
     id_col: str,

@@ -884,7 +884,11 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.margin_bitext_pairs_lsh(
         src, tgt, "vec_id", "embedding",
         k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
-        n_planes=nb, n_tables=BITEXT_LSH_T_BY_B[nb], dim=EMB_DIM,
+        n_planes=nb,
+        n_tables=similarity.lsh_tables_checked(
+            BITEXT_LSH_T_BY_B, nb, max_tables=BITEXT_LSH_MAX_TABLES
+        ),
+        dim=EMB_DIM,
         probe_bits=BITEXT_LSH_PROBE_BITS,
     )
 
@@ -1290,7 +1294,10 @@ def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives_lsh(
         emb, probes, "vec_id", "embedding", "label",
         dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
-        n_planes=nb, n_tables=HARDNEG_LSH_T_BY_B[nb],
+        n_planes=nb,
+        n_tables=similarity.lsh_tables_checked(
+            HARDNEG_LSH_T_BY_B, nb, max_tables=HARDNEG_LSH_MAX_TABLES
+        ),
         probe_bits=HARDNEG_LSH_PROBE_BITS,
     )
 
@@ -1683,7 +1690,11 @@ def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.cosine_neardup_lsh_verified(
         emb, "vec_id", "embedding",
         threshold=COSINE_DUP_THRESHOLD,
-        n_planes=nb, n_tables=NEARDUP_LSH_T_BY_B[nb], dim=EMB_DIM,
+        n_planes=nb,
+        n_tables=similarity.lsh_tables_checked(
+            NEARDUP_LSH_T_BY_B, nb, max_tables=NEARDUP_LSH_MAX_TABLES
+        ),
+        dim=EMB_DIM,
         probe_bits=NEARDUP_LSH_PROBE_BITS,
     )
 

@@ -146,3 +146,31 @@ def test_lsh_topk_overlap_audit_shape(spark):
     for r in rows:
         assert 0 <= r["n_hit"] <= r["n_exact"] == nq.TOPK_K
         assert r["overlap_pct"] == r["n_hit"] * 100 // r["n_exact"]
+
+
+# ---------------------------------------------------------------------------
+# lsh_tables_checked clamp warning (the tables-side twin, added after
+# the r16 third-decade probe measured the 32-table clamp binding
+# SILENTLY at 200k vectors — recall 66.6% vs the 85% target,
+# SF10_NEARDUP_R16.json / PERF.md r16 #7): a runtime-derived plane
+# count whose table derivation hit the ceiling must SIGNAL that the
+# recall target is no longer certified.
+
+
+def test_lsh_tables_checked_warns_when_clamp_binds():
+    # b=13 is the 200k-vector operating point of the SHIPPED near-dup
+    # config: derived need ~41 > the 32-table ceiling
+    with pytest.warns(RuntimeWarning, match="table clamp binds"):
+        t = similarity.lsh_tables_checked(
+            nq.NEARDUP_LSH_T_BY_B, 13, max_tables=nq.NEARDUP_LSH_MAX_TABLES
+        )
+    assert t == 32
+
+
+def test_lsh_tables_checked_silent_inside_certified_band(recwarn):
+    # b=10 is the sf1 operating point (T=27, measured 93.4% recall)
+    t = similarity.lsh_tables_checked(
+        nq.NEARDUP_LSH_T_BY_B, 10, max_tables=nq.NEARDUP_LSH_MAX_TABLES
+    )
+    assert t == 27
+    assert not [w for w in recwarn if issubclass(w.category, RuntimeWarning)]
