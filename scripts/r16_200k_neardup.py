@@ -60,7 +60,7 @@ if not os.path.exists(path):
             "label": rng.integers(0, 10, N).astype(np.int32),
         }),
         path,
-        row_group_size=N // 32,
+        row_group_size=max(1, N // 32),
     )
 
 spark = session.get_session(
