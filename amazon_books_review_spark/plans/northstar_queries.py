@@ -853,6 +853,24 @@ BITEXT_LSH_T_BY_B = similarity.lsh_tables_by_planes(
     max_planes=BITEXT_LSH_MAX_PLANES,
     max_tables=BITEXT_LSH_MAX_TABLES,
 )
+#: r17 adaptive plan (same escalation as NEARDUP_LSH_PLAN, at the
+#: bitext design point 0.5/92): identical to BITEXT_LSH_T_BY_B
+#: through b=10 — the whole parity/bench range (sf0.01 b=3, sf0.1
+#: b=5, sf1 b=9) keeps its r16 configuration bit-for-bit — then
+#: Hamming-<=2 from b=11 (~65k target vectors), where Hamming-1
+#: would need 33 tables: b=11 -> (10, 2), b=12 -> (13, 2).  The r16
+#: 100k/side wall ran clamped at (b=12, T=32, H1); the adaptive
+#: config is both cheaper (13 tables) and certified.
+#: BITEXT_LSH_T_BY_B stays for r16 scale-script provenance.
+BITEXT_LSH_PLAN = similarity.lsh_adaptive_plan(
+    BITEXT_LSH_DESIGN_SIM,
+    BITEXT_LSH_TARGET_RECALL_PCT + BITEXT_LSH_DERIVATION_MARGIN_PCT,
+    base_probe_bits=BITEXT_LSH_PROBE_BITS,
+    max_probe_bits=2,
+    min_planes=BITEXT_LSH_MIN_PLANES,
+    max_planes=BITEXT_LSH_MAX_PLANES,
+    max_tables=BITEXT_LSH_MAX_TABLES,
+)
 
 
 def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,14 +883,23 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates via :func:`functions.similarity.margin_bitext_pairs_lsh`:
     one :func:`lsh_signatures` matmul pass per side (map-only), the
-    source side exploded (1+b)-fold by Hamming-1 probes, one
-    cross-side (table_id, sig) equi-join — neither corpus broadcast —
-    pair distinct, then the decomposition-proven-lossless margin tail
+    source side exploded (1+b)-fold by Hamming-1 probes (and the
+    target side too when the adaptive plan escalates to Hamming-<=2,
+    b >= 11), vectors+norms attached to the signature rows, then one
+    (table_id, sig) exchange into the per-bucket GEMM scorer
+    (:func:`functions.similarity.lsh_bucket_gemm_scored`, r17 —
+    neither corpus broadcast, candidate pairs never materialized
+    JVM-side), a per-pair max(cos_q) dedupe over the scored triples
+    (cos_q is deterministic per pair up to GEMM ulps; the dedupe
+    keys on the pair, so multiplicity into the windows is exactly 1
+    — the same pair set the r16 bucket-join-then-distinct produced),
+    and the decomposition-proven-lossless margin tail
     (:func:`functions.similarity._margin_from_scored`).  All capacity
     constants derive from declared budgets + one parquet-footer count;
-    the DuckDB oracle replays plane derivation (mask trick), table
-    derivation (guarded UNION branches + CASE over b) and the probe
-    explode (xor CTE) exactly."""
+    the DuckDB oracle replays plane derivation (mask trick), the
+    adaptive (tables, probe level) plan (guarded UNION branches +
+    CASEs over b) and both sides' probe explodes (xor CTEs)
+    exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
@@ -881,15 +908,14 @@ def bitext_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tgt, BITEXT_LSH_OCC,
         min_planes=BITEXT_LSH_MIN_PLANES, max_planes=BITEXT_LSH_MAX_PLANES,
     )
+    nt, npb = similarity.lsh_plan_checked(BITEXT_LSH_PLAN, nb)
     return similarity.margin_bitext_pairs_lsh(
         src, tgt, "vec_id", "embedding",
         k=BITEXT_K, margin_threshold=BITEXT_MARGIN,
         n_planes=nb,
-        n_tables=similarity.lsh_tables_checked(
-            BITEXT_LSH_T_BY_B, nb, max_tables=BITEXT_LSH_MAX_TABLES
-        ),
+        n_tables=nt,
         dim=EMB_DIM,
-        probe_bits=BITEXT_LSH_PROBE_BITS,
+        probe_bits=npb,
     )
 
 
@@ -900,11 +926,14 @@ def _bitext_lsh_oracle() -> str:
     - plane count: derived from the TARGET-side ``count(*)`` with the
       identical integer rule as ``lsh_planes_for``; signatures are the
       MAX_PLANES prefix-stable family masked ``sig % 2^b``;
-    - table count: MAX_TABLES signature branches, each guarded by
-      ``WHERE {t} < (SELECT t FROM params)`` with t CASE-looked-up
-      from b (branches past the derived count constant-fold empty);
-    - Hamming-1 multiprobe: the source side unions each signature
-      with its b one-bit flips (xor CTE);
+    - table count AND probe level: MAX_TABLES signature branches,
+      each guarded by ``WHERE {t} < (SELECT t FROM params)`` with
+      (t, pb) CASE-looked-up from b (branches past the derived count
+      constant-fold empty);
+    - adaptive multiprobe (r17): the source side unions each
+      signature with its b one-bit flips whenever pb >= 1, and the
+      TARGET side does the same whenever pb = 2 — the symmetric
+      radius-1 split covering Hamming-<=2 sig pairs;
     - margin tail: the BITEXT_MARGIN_ORACLE windows verbatim over the
       candidate pairs."""
     table_sigs = []
@@ -924,7 +953,11 @@ def _bitext_lsh_oracle() -> str:
     signed = "\n    UNION ALL\n    ".join(table_sigs)
     t_case = " ".join(
         f"WHEN pb.b = {b} THEN {t}"
-        for b, t in sorted(BITEXT_LSH_T_BY_B.items())
+        for b, (t, _pbits, _clamped) in sorted(BITEXT_LSH_PLAN.by_b.items())
+    )
+    pb_case = " ".join(
+        f"WHEN pb.b = {b} THEN {pbits}"
+        for b, (_t, pbits, _clamped) in sorted(BITEXT_LSH_PLAN.by_b.items())
     )
     return f"""
 WITH pb AS (
@@ -937,7 +970,8 @@ WITH pb AS (
 ), params AS (
     SELECT (CAST(1 AS BIGINT) << pb.b) AS m,
            pb.b AS b,
-           (CASE {t_case} END) AS t
+           (CASE {t_case} END) AS t,
+           (CASE {pb_case} END) AS pbits
     FROM pb
 ), v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -952,12 +986,19 @@ WITH pb AS (
     FROM signed,
          generate_series(-1, {BITEXT_LSH_MAX_PLANES - 1}) AS g(p)
     WHERE vec_id % 2 = 0
-      AND g.p < {BITEXT_LSH_PROBE_BITS} * (SELECT b FROM params)
+      AND g.p < (SELECT CASE WHEN pbits >= 1 THEN b ELSE 0 END FROM params)
+), tprobe AS (
+    SELECT vec_id, table_id,
+           CASE WHEN g.p < 0 THEN sig
+                ELSE xor(sig, (CAST(1 AS BIGINT) << g.p)) END AS sig
+    FROM signed,
+         generate_series(-1, {BITEXT_LSH_MAX_PLANES - 1}) AS g(p)
+    WHERE vec_id % 2 = 1
+      AND g.p < (SELECT CASE WHEN pbits = 2 THEN b ELSE 0 END FROM params)
 ), cand AS (
     SELECT DISTINCT sp.vec_id AS src_id, tg.vec_id AS tgt_id
     FROM sprobe sp
-    JOIN signed tg ON tg.table_id = sp.table_id AND tg.sig = sp.sig
-    WHERE tg.vec_id % 2 = 1
+    JOIN tprobe tg ON tg.table_id = sp.table_id AND tg.sig = sp.sig
 ), scored AS (
     SELECT src_id, tgt_id,
            CAST(floor(list_inner_product(s.e, t.e) / (s.nrm * t.nrm)
@@ -1662,6 +1703,42 @@ NEARDUP_LSH_T_BY_B = similarity.lsh_tables_by_planes(
     max_planes=NEARDUP_LSH_MAX_PLANES,
     max_tables=NEARDUP_LSH_MAX_TABLES,
 )
+#: r17 (VERDICT r16 #1): the ADAPTIVE (tables, probe_bits) plan — the
+#: shipped derivation.  Identical to NEARDUP_LSH_T_BY_B through b=10
+#: (probe_bits stays at the Hamming-1 base wherever its union-rule
+#: table count fits the clamp), then ESCALATES to Hamming-<=2 coverage
+#: exactly where Hamming-1 would clamp: b=11 needs 38 tables at H1 but
+#: 11 at H<=2; b=13 — the r16 third-decade probe that measured 66.6%
+#: recall against the 85 floor (SF10_NEARDUP_R16.json) — needs 79 vs
+#: 20.  The certified region extends from b<=10 (~65k vectors at
+#: occupancy 32) to b<=14 (~524k); only b>=15 carries clamped=True,
+#: where lsh_plan_checked's warning is a TRUE positive by construction
+#: (ADVICE r16 #1/#2: exact-fit silent, ceiling bundled with the
+#: plan).  NEARDUP_LSH_T_BY_B stays for the r15/r16 scale-script
+#: provenance; new derivations read the plan.
+NEARDUP_LSH_PLAN = similarity.lsh_adaptive_plan(
+    COSINE_DUP_THRESHOLD,
+    NEARDUP_LSH_TARGET_RECALL_PCT + NEARDUP_LSH_DERIVATION_MARGIN_PCT,
+    base_probe_bits=NEARDUP_LSH_PROBE_BITS,
+    max_probe_bits=2,
+    min_planes=NEARDUP_LSH_MIN_PLANES,
+    max_planes=NEARDUP_LSH_MAX_PLANES,
+    max_tables=NEARDUP_LSH_MAX_TABLES,
+)
+#: Forced-Hamming-<=2 plan for the probe2 parity entry: base=2 makes
+#: every plane count derive its tables at radius-2 coverage, so the
+#: symmetric-explode + per-bucket-GEMM code path (which the adaptive
+#: plan only engages past ~65k vectors) is exercised — and DuckDB
+#: oracle-checked — at driver parity scale every round.
+NEARDUP_LSH_PROBE2_PLAN = similarity.lsh_adaptive_plan(
+    COSINE_DUP_THRESHOLD,
+    NEARDUP_LSH_TARGET_RECALL_PCT + NEARDUP_LSH_DERIVATION_MARGIN_PCT,
+    base_probe_bits=2,
+    max_probe_bits=2,
+    min_planes=NEARDUP_LSH_MIN_PLANES,
+    max_planes=NEARDUP_LSH_MAX_PLANES,
+    max_tables=NEARDUP_LSH_MAX_TABLES,
+)
 
 
 def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,26 +1757,63 @@ def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFram
     DuckDB oracle replays it exactly: it inlines MAX_PLANES planes per
     table and masks each signature down to the SQL-derived plane
     count (``sig % 2^b`` == the b-plane signature, bit weights being
-    distinct powers of two)."""
+    distinct powers of two).
+
+    Tables AND probe level come from the adaptive plan (r17, VERDICT
+    r16 #1): ``NEARDUP_LSH_PLAN`` escalates to Hamming-<=2 coverage
+    exactly where the Hamming-1 table need exceeds the 32-table clamp
+    (b >= 11, ~65k vectors), holding the certified 85% recall floor
+    to ~524k vectors instead of ~65k; the oracle replays the
+    escalation via a probe-level CASE over the derived b that gates a
+    symmetric one-bit-flip explode on BOTH join arms."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nb = similarity.lsh_planes_for(
         n, NEARDUP_LSH_OCC,
         min_planes=NEARDUP_LSH_MIN_PLANES, max_planes=NEARDUP_LSH_MAX_PLANES,
     )
+    nt, npb = similarity.lsh_plan_checked(NEARDUP_LSH_PLAN, nb)
     return similarity.cosine_neardup_lsh_verified(
         emb, "vec_id", "embedding",
         threshold=COSINE_DUP_THRESHOLD,
         n_planes=nb,
-        n_tables=similarity.lsh_tables_checked(
-            NEARDUP_LSH_T_BY_B, nb, max_tables=NEARDUP_LSH_MAX_TABLES
-        ),
+        n_tables=nt,
         dim=EMB_DIM,
-        probe_bits=NEARDUP_LSH_PROBE_BITS,
+        probe_bits=npb,
     )
 
 
-def _neardup_lsh_oracle() -> str:
+def embedding_neardup_lsh_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FORCED Hamming-<=2 variant of the near-dup LSH tier — the
+    radius-2 machinery (symmetric one-bit-flip explode on both arms +
+    per-bucket GEMM verify, :func:`functions.similarity.
+    lsh_bucket_gemm_scored`) pinned to driver parity scale.  The
+    adaptive plan only engages this path past ~65k vectors, which no
+    sf0.01 parity corpus reaches, so without this entry the scale
+    path that rescues recall past the table clamp (VERDICT r16 #1:
+    66.6% measured vs the 85 floor at 200k vectors under Hamming-1)
+    would never meet the DuckDB oracle.  Tables derive from the same
+    union rule AT radius-2 hit rates (``NEARDUP_LSH_PROBE2_PLAN``),
+    so this is the miner exactly as a >65k-vector corpus runs it,
+    not a test double."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nb = similarity.lsh_planes_for(
+        n, NEARDUP_LSH_OCC,
+        min_planes=NEARDUP_LSH_MIN_PLANES, max_planes=NEARDUP_LSH_MAX_PLANES,
+    )
+    nt, npb = similarity.lsh_plan_checked(NEARDUP_LSH_PROBE2_PLAN, nb)
+    return similarity.cosine_neardup_lsh_verified(
+        emb, "vec_id", "embedding",
+        threshold=COSINE_DUP_THRESHOLD,
+        n_planes=nb,
+        n_tables=nt,
+        dim=EMB_DIM,
+        probe_bits=npb,
+    )
+
+
+def _neardup_lsh_oracle(plan=None) -> str:
     """Mirrors the two-stage operator with the SAME md5-derived
     hyperplane constants inlined as SQL arrays, so the LSH candidate
     mechanics (not just the verify filter) are oracle-checked.
@@ -1711,13 +1825,18 @@ def _neardup_lsh_oracle() -> str:
       IDENTICAL integer rule as ``lsh_planes_for`` and masks
       ``sig % 2^b`` — the hyperplane family is prefix-stable, so the
       masked MAX-plane signature IS the b-plane signature;
-    - table count: MAX_TABLES branches are inlined, each guarded by
-      ``WHERE {{t}} < (SELECT t FROM params)`` with t looked up from
-      b via the inlined ``NEARDUP_LSH_T_BY_B`` CASE — branches past
-      the derived count constant-fold to empty;
-    - Hamming-1 multiprobe: the probe side unions the original
-      signature with its b one-bit flips (``xor(sig, 1 << p)`` for
-      ``p < b``) — exactly the engine's explode."""
+    - table count AND probe level: MAX_TABLES branches are inlined,
+      each guarded by ``WHERE {{t}} < (SELECT t FROM params)`` with
+      (t, pb) looked up from b via the inlined adaptive-plan CASEs —
+      branches past the derived count constant-fold to empty;
+    - adaptive multiprobe (r17): the probe side unions the original
+      signature with its b one-bit flips whenever pb >= 1, and the
+      BUILD side does the same whenever pb = 2 — the symmetric
+      radius-1 split covering Hamming-<=2 sig pairs through the
+      bucket where each side flipped one differing bit, exactly the
+      engine's physical strategy."""
+    if plan is None:
+        plan = NEARDUP_LSH_PLAN
     table_sigs = []
     for t in range(NEARDUP_LSH_MAX_TABLES):
         planes = similarity.deterministic_planes(
@@ -1735,7 +1854,11 @@ def _neardup_lsh_oracle() -> str:
     signed = "\n    UNION ALL\n    ".join(table_sigs)
     t_case = " ".join(
         f"WHEN pb.b = {b} THEN {t}"
-        for b, t in sorted(NEARDUP_LSH_T_BY_B.items())
+        for b, (t, _pbits, _clamped) in sorted(plan.by_b.items())
+    )
+    pb_case = " ".join(
+        f"WHEN pb.b = {b} THEN {pbits}"
+        for b, (_t, pbits, _clamped) in sorted(plan.by_b.items())
     )
     return f"""
 WITH pb AS (
@@ -1748,7 +1871,8 @@ WITH pb AS (
 ), params AS (
     SELECT (CAST(1 AS BIGINT) << pb.b) AS m,
            pb.b AS b,
-           (CASE {t_case} END) AS t
+           (CASE {t_case} END) AS t,
+           (CASE {pb_case} END) AS pbits
     FROM pb
 ), v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -1756,17 +1880,24 @@ WITH pb AS (
     FROM embeddings
 ), signed AS (
     {signed}
-), probes AS (
+), aprobe AS (
     SELECT vec_id, table_id,
            CASE WHEN g.p < 0 THEN sig
                 ELSE xor(sig, (CAST(1 AS BIGINT) << g.p)) END AS sig
     FROM signed,
          generate_series(-1, {NEARDUP_LSH_MAX_PLANES - 1}) AS g(p)
-    WHERE g.p < {NEARDUP_LSH_PROBE_BITS} * (SELECT b FROM params)
+    WHERE g.p < (SELECT CASE WHEN pbits >= 1 THEN b ELSE 0 END FROM params)
+), bprobe AS (
+    SELECT vec_id, table_id,
+           CASE WHEN g.p < 0 THEN sig
+                ELSE xor(sig, (CAST(1 AS BIGINT) << g.p)) END AS sig
+    FROM signed,
+         generate_series(-1, {NEARDUP_LSH_MAX_PLANES - 1}) AS g(p)
+    WHERE g.p < (SELECT CASE WHEN pbits = 2 THEN b ELSE 0 END FROM params)
 ), cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM probes a
-    JOIN signed b ON a.table_id = b.table_id AND a.sig = b.sig
+    FROM aprobe a
+    JOIN bprobe b ON a.table_id = b.table_id AND a.sig = b.sig
     WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b,
@@ -3393,7 +3524,12 @@ NORTHSTAR_QUERIES = [
     ("embedding_neardup_lsh_verified", embedding_neardup_lsh_verified,
      _neardup_lsh_oracle(),
      "two-stage embedding near-dup: sign-LSH candidates + exact cosine "
-     "verify (scale path, self-sized planes)"),
+     "verify (scale path, self-sized planes, adaptive probe level)"),
+    ("embedding_neardup_lsh_probe2", embedding_neardup_lsh_probe2,
+     _neardup_lsh_oracle(NEARDUP_LSH_PROBE2_PLAN),
+     "near-dup LSH at FORCED Hamming-<=2 coverage: symmetric radius-1 "
+     "explode + per-bucket GEMM verify, the past-the-clamp scale path "
+     "pinned to parity scale"),
     ("neardup_lsh_recall_audit", neardup_lsh_recall_audit,
      _neardup_lsh_recall_oracle(),
      "LSH near-dup recall/precision vs the exact tier — the n_tables "

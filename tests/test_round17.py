@@ -1,0 +1,276 @@
+"""Round-17 pins: adaptive probe escalation past the table clamp
+(VERDICT r16 #1), the per-bucket GEMM scorer (VERDICT r16 #4), and
+the non-replay properties COVERAGE.md now mandates per approximate
+miner (VERDICT r16 #6) — every equivalence below is computed by an
+INDEPENDENT numpy replica or by degenerate-setting identity, never by
+the DuckDB oracle's algorithm replay."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+
+from amazon_books_review_spark.functions import similarity
+from amazon_books_review_spark.plans import northstar_queries as nq
+
+
+# ---------------------------------------------------------------------------
+# Derivation pins: the adaptive plan IS its derivation, and its values
+# at the measured operating points are frozen here (a drive-by edit
+# that moves an operating point fails this, not a driver round).
+
+
+def test_neardup_adaptive_plan_matches_derivation():
+    plan = similarity.lsh_adaptive_plan(
+        nq.COSINE_DUP_THRESHOLD,
+        nq.NEARDUP_LSH_TARGET_RECALL_PCT + nq.NEARDUP_LSH_DERIVATION_MARGIN_PCT,
+        base_probe_bits=nq.NEARDUP_LSH_PROBE_BITS,
+        max_probe_bits=2,
+        min_planes=nq.NEARDUP_LSH_MIN_PLANES,
+        max_planes=nq.NEARDUP_LSH_MAX_PLANES,
+        max_tables=nq.NEARDUP_LSH_MAX_TABLES,
+    )
+    assert nq.NEARDUP_LSH_PLAN.by_b == plan.by_b
+    assert nq.NEARDUP_LSH_PLAN.max_tables == nq.NEARDUP_LSH_MAX_TABLES
+
+
+def test_neardup_adaptive_plan_operating_points():
+    by_b = nq.NEARDUP_LSH_PLAN.by_b
+    # Hamming-1 region: identical to the r16 derivation (parity and
+    # bench scales keep their configuration bit-for-bit)
+    for b in range(nq.NEARDUP_LSH_MIN_PLANES, 11):
+        assert by_b[b] == (nq.NEARDUP_LSH_T_BY_B[b], 1, False)
+    # escalation region: Hamming-<=2 where H1 would clamp (b >= 11)
+    assert by_b[11] == (11, 2, False)
+    assert by_b[12] == (15, 2, False)
+    # the r16 third-decade probe's operating point (200k vectors):
+    # was (32, 1, clamped) reading 66.6% recall — now certified
+    assert by_b[13] == (20, 2, False)
+    # the r17 500k decade point
+    assert by_b[14] == (27, 2, False)
+    # true clamp only past ~524k vectors
+    assert by_b[15] == (32, 2, True)
+    assert by_b[nq.NEARDUP_LSH_MAX_PLANES] == (32, 2, True)
+
+
+def test_bitext_adaptive_plan_operating_points():
+    by_b = nq.BITEXT_LSH_PLAN.by_b
+    for b in range(nq.BITEXT_LSH_MIN_PLANES, 11):
+        assert by_b[b] == (nq.BITEXT_LSH_T_BY_B[b], 1, False)
+    assert by_b[11] == (10, 2, False)
+    # the r16 100k/side wall's operating point: was (32, 1, clamped)
+    # — the adaptive config is both cheaper and certified
+    assert by_b[12] == (13, 2, False)
+
+
+def test_probe_hit_rate_closed_forms():
+    # pb=0/1 reproduce lsh_tables_by_planes' closed forms; pb=2 adds
+    # exactly the C(b,2) term
+    import math
+
+    th, b = 0.45, 9
+    p1 = 1.0 - math.acos(th) / math.pi
+    h0 = similarity.lsh_probe_hit_rate(th, b, 0)
+    h1 = similarity.lsh_probe_hit_rate(th, b, 1)
+    h2 = similarity.lsh_probe_hit_rate(th, b, 2)
+    assert h0 == pytest.approx(p1**b)
+    assert h1 == pytest.approx(p1**b + b * p1 ** (b - 1) * (1 - p1))
+    assert h2 - h1 == pytest.approx(
+        math.comb(b, 2) * p1 ** (b - 2) * (1 - p1) ** 2
+    )
+
+
+def test_plan_checked_warns_only_on_true_clamp():
+    # exact fit (need == max_tables, not clamped) stays SILENT — the
+    # ADVICE r16 false positive fixed by construction
+    exact_fit = similarity.LshProbePlan(0.45, 90, 32, {5: (32, 1, False)})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert similarity.lsh_plan_checked(exact_fit, 5) == (32, 1)
+    clamped = similarity.LshProbePlan(0.45, 90, 32, {5: (32, 2, True)})
+    with pytest.warns(RuntimeWarning, match="clamp binds"):
+        assert similarity.lsh_plan_checked(clamped, 5) == (32, 2)
+    # the shipped plan: certified band silent, past-clamp warns
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity.lsh_plan_checked(nq.NEARDUP_LSH_PLAN, 14)
+    with pytest.warns(RuntimeWarning, match="clamp binds"):
+        similarity.lsh_plan_checked(nq.NEARDUP_LSH_PLAN, 15)
+
+
+# ---------------------------------------------------------------------------
+# Non-replay properties (VERDICT r16 #6): an independent numpy replica
+# of the Hamming-<=2 coverage contract, and degenerate-setting /
+# physical-split identities.  None of these share code or algorithm
+# shape with the DuckDB oracle.
+
+
+def _fixture(n=240, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+def _numpy_cover_d2(v, n_planes, n_tables):
+    """Independent replica: per-table signatures via numpy, coverage =
+    pairs within Hamming distance <= 2 in at least one table."""
+    n = len(v)
+    cov = set()
+    for t in range(n_tables):
+        p = np.asarray(similarity.deterministic_planes(n_planes, v.shape[1], t))
+        sigs = ((v @ p.T) >= 0).astype(np.int64) @ (1 << np.arange(n_planes))
+        for a in range(n):
+            x = sigs ^ sigs[a]
+            hits = np.flatnonzero(
+                np.array([bin(int(d)).count("1") for d in x]) <= 2
+            )
+            for b in hits:
+                if a < b:
+                    cov.add((a, int(b)))
+    return cov
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    v = _fixture()
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(len(v))]
+    return v, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_probe2_self_matches_independent_coverage(spark, emb_df):
+    v, df = emb_df
+    th, b, t = 0.45, 4, 2
+    sims = np.round(v @ v.T, 6)
+    exact = {
+        (a, c)
+        for a in range(len(v))
+        for c in range(a + 1, len(v))
+        if sims[a, c] >= th
+    }
+    want = exact & _numpy_cover_d2(v, b, t)
+    got = similarity.cosine_neardup_lsh_verified(
+        df, "vec_id", "embedding", threshold=th,
+        n_planes=b, n_tables=t, dim=v.shape[1], probe_bits=2,
+    )
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs == want
+
+
+def test_probes_form_equals_self_form(spark, emb_df):
+    # degenerate-setting identity: the one-sided radius-2 physical
+    # split with probes=corpus must produce EXACTLY the symmetric
+    # radius-1 self form's pairs (same logical candidate set)
+    v, df = emb_df
+    kw = dict(threshold=0.45, n_planes=4, n_tables=2, dim=v.shape[1], probe_bits=2)
+    self_pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_lsh_verified(
+            df, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    probe_pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_lsh_verified(
+            df, "vec_id", "embedding", probes=df, **kw
+        ).collect()
+    }
+    assert probe_pairs == self_pairs
+
+
+def test_probe2_candidates_contain_probe1(spark, emb_df):
+    v, df = emb_df
+    kw = dict(threshold=0.45, n_planes=4, n_tables=2, dim=v.shape[1])
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_lsh_verified(
+            df, "vec_id", "embedding", probe_bits=1, **kw
+        ).collect()
+    }
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_lsh_verified(
+            df, "vec_id", "embedding", probe_bits=2, **kw
+        ).collect()
+    }
+    assert p1 <= p2
+
+
+def test_gemm_triples_match_numpy_exact(spark, emb_df):
+    # the GEMM scorer's floorq quantization, checked per candidate
+    # against a direct numpy dot (not a GEMM) — summation-order ulps
+    # must stay below the 1e-6 quantizer step on this fixture
+    from pyspark.sql import functions as F
+
+    v, df = emb_df
+    src = df.filter(F.col("vec_id") % 2 == 0)
+    tgt = df.filter(F.col("vec_id") % 2 == 1)
+    mined = similarity.margin_bitext_pairs_lsh(
+        src, tgt, "vec_id", "embedding", k=4, margin_threshold=1.05,
+        n_planes=4, n_tables=2, dim=v.shape[1], probe_bits=1,
+    ).collect()
+    assert mined  # fixture yields pairs
+    for r in mined:
+        cos = float(np.dot(v[r.src_id], v[r.tgt_id]))
+        assert r.cos_q == int(np.floor(cos * 1e6 + 0.5))
+
+
+def test_gemm_groups_spanning_arrow_batches(spark, emb_df):
+    # the carry buffer: force 7-row Arrow batches so nearly every
+    # (table, sig) group spans a batch boundary, and require the
+    # result to be IDENTICAL to the default-batch run
+    v, df = emb_df
+    kw = dict(threshold=0.45, n_planes=3, n_tables=2, dim=v.shape[1], probe_bits=2)
+    base = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_neardup_lsh_verified(
+            df, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = {
+            (r.id_a, r.id_b, r.sim)
+            for r in similarity.cosine_neardup_lsh_verified(
+                df, "vec_id", "embedding", **kw
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == base
+
+
+def test_bitext_probe2_runs_and_covers_more(spark, emb_df):
+    from pyspark.sql import functions as F
+
+    v, df = emb_df
+    src = df.filter(F.col("vec_id") % 2 == 0)
+    tgt = df.filter(F.col("vec_id") % 2 == 1)
+
+    def mined(pb):
+        return similarity.margin_bitext_pairs_lsh(
+            src, tgt, "vec_id", "embedding", k=4, margin_threshold=1.05,
+            n_planes=4, n_tables=2, dim=v.shape[1], probe_bits=pb,
+        )
+
+    # candidate coverage grows monotonically with the probe radius:
+    # compare the scored-pair CANDIDATE sets via the margin input's
+    # k-NN mean denominators being computed over supersets — asserted
+    # indirectly through recall vs the exact miner
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in similarity.margin_bitext_pairs(
+            src, tgt, "vec_id", "embedding", k=4, margin_threshold=1.05
+        ).collect()
+    }
+    hit1 = {(r.src_id, r.tgt_id) for r in mined(1).collect()} & exact
+    hit2 = {(r.src_id, r.tgt_id) for r in mined(2).collect()} & exact
+    assert exact
+    assert len(hit2) >= len(hit1)
