@@ -675,17 +675,22 @@ def lsh_bucket_gemm_scored(
     candidate-core; one GEMM scores the same block at memory
     bandwidth).
 
-    Arms arrive as (``_id`` long, ``table_id``, ``sig``, ``_v``
-    array<double>, ``_n`` double) — signature rows with vectors and
-    norms attached, already exploded to their probe radius.  Physical
-    plan: tag sides, union, ONE hash exchange on (table_id, sig), a
-    within-partition sort, then mapInPandas walks each partition in
-    key order buffering rows until a (table_id, sig) group completes
-    (groups span Arrow batch boundaries; the carry dataframe bridges
-    them), splits the group by side, and scores the m_l x m_r block
-    in row chunks.  Vectors cross exactly ONE exchange and one Arrow
-    boundary; candidate pairs are never materialized JVM-side — only
-    survivors (or, in emit-all mode, the scored triples) come back.
+    Arms arrive as (``_id`` long, ``table_id``, ``sig``, ``_v``) —
+    signature rows with the vector attached AT ITS STORAGE TYPE,
+    already exploded to their probe radius.  Keeping float32 columns
+    float32 through the exchange halves the dominant byte term (the
+    fan-out x vector width shuffle); the kernel upcasts to float64
+    before the GEMM, which is value-identical to casting JVM-side
+    first (float32 -> float64 is exact), and computes norms in
+    float64 from the same values.  Physical plan: tag sides, union,
+    ONE hash exchange on (table_id, sig), a within-partition sort,
+    then mapInPandas walks each partition in key order buffering rows
+    until a (table_id, sig) group completes (groups span Arrow batch
+    boundaries; the carry dataframe bridges them), splits the group
+    by side, and scores the m_l x m_r block in row chunks.  Vectors
+    cross exactly ONE exchange and one Arrow boundary; candidate
+    pairs are never materialized JVM-side — only survivors (or, in
+    emit-all mode, the scored triples) come back.
 
     ``right=None`` is the self-join form (near-dup): the single arm's
     groups score their strict upper triangle (rows sorted by id, so
@@ -733,7 +738,7 @@ def lsh_bucket_gemm_scored(
             order = np.argsort(g["_id"].to_numpy(), kind="stable")
             ids = g["_id"].to_numpy()[order]
             V = np.stack(g["_v"].to_numpy()[order]).astype(np.float64)
-            nn = g["_n"].to_numpy()[order].astype(np.float64)
+            nn = np.sqrt(np.einsum("ij,ij->i", V, V))
             la, lb, ls = [], [], []
             block = max(1, _GEMM_BLOCK_ELEMS // m)
             for i0 in range(0, m - 1, block):
@@ -775,8 +780,8 @@ def lsh_bucket_gemm_scored(
         rids = gr["_id"].to_numpy()
         L = np.stack(gl["_v"].to_numpy()).astype(np.float64)
         R = np.stack(gr["_v"].to_numpy()).astype(np.float64)
-        ln = gl["_n"].to_numpy().astype(np.float64)
-        rn = gr["_n"].to_numpy().astype(np.float64)
+        ln = np.sqrt(np.einsum("ij,ij->i", L, L))
+        rn = np.sqrt(np.einsum("ij,ij->i", R, R))
         mr = len(rids)
         la, lb, ls = [], [], []
         block = max(1, _GEMM_BLOCK_ELEMS // mr)
@@ -926,10 +931,10 @@ def cosine_neardup_lsh_verified(
         sigs = lsh_signatures(
             corpus, id_col, "id", vec_col, n_planes, n_tables, dim
         )
+        # vectors ride the exchange AT STORAGE TYPE (float32 halves
+        # the fan-out byte term); the GEMM kernel upcasts — exact
         v = corpus.select(
-            F.col(id_col).alias("id"),
-            _as_double(F.col(vec_col)).alias("_v"),
-            l2_norm(F.col(vec_col)).alias("_n"),
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
         )
         corpus_arm = sigs.join(v, "id").withColumnRenamed("id", "_id")
         if probes is None:
@@ -943,9 +948,7 @@ def cosine_neardup_lsh_verified(
                 probes, id_col, "pid", vec_col, n_planes, n_tables, dim
             )
             pv = probes.select(
-                F.col(id_col).alias("pid"),
-                _as_double(F.col(vec_col)).alias("_v"),
-                l2_norm(F.col(vec_col)).alias("_n"),
+                F.col(id_col).alias("pid"), F.col(vec_col).alias("_v")
             )
             probe_arm = hamming2_probes(
                 psigs.join(pv, "pid").withColumnRenamed("pid", "_id"),
@@ -1471,15 +1474,13 @@ def margin_bitext_pairs_lsh(
     # pass per side, map-only, no plane join or groupBy shuffle.
     sigs_s = lsh_signatures(src, id_col, "src_id", vec_col, n_planes, n_tables, dim)
     sigs_t = lsh_signatures(tgt, id_col, "tgt_id", vec_col, n_planes, n_tables, dim)
+    # vectors ride the exchange AT STORAGE TYPE (float32 halves the
+    # fan-out byte term); the GEMM kernel upcasts — exact
     s = src.select(
-        F.col(id_col).alias("src_id"),
-        _as_double(F.col(vec_col)).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("_v")
     )
     t = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        _as_double(F.col(vec_col)).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_v")
     )
     src_arm = sigs_s.join(s, "src_id").withColumnRenamed("src_id", "_id")
     tgt_arm = sigs_t.join(t, "tgt_id").withColumnRenamed("tgt_id", "_id")
