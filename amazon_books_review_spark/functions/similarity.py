@@ -486,6 +486,45 @@ def hamming1_probes(
     return sigs.select(*other, F.explode(probe_arr).alias(sig_col))
 
 
+def hamming1_probes_tagged(
+    sigs: DataFrame, n_planes: int, sig_col: str = "sig"
+) -> DataFrame:
+    """Radius-1 explode carrying a FLIP-ORIGIN tag ``_r`` (0 = the
+    original signature, p+1 = bit p flipped) — the bookkeeping the
+    per-bucket GEMM kernel needs to emit each candidate pair exactly
+    once per table under symmetric radius-1 probing.
+
+    Why: with both arms exploded, a pair whose signatures agree on a
+    table (Hamming 0) meets in ALL 1+b probed buckets of that table
+    — and same-bucket pairs are precisely the dominant candidate
+    mass, so naive emission multiplies the post-kernel shuffle by up
+    to (1+b).  Enumerating the co-bucket combinations by flip tags
+    (a = left row's tag, c = right row's tag): distance-0 pairs meet
+    at (0,0) and every (k,k); distance-1 at (0,i) and (i,0);
+    distance-2 at (i,j) and (j,i).  The canonical rule
+    ``a < c OR a = c = 0`` selects exactly one combination per pair
+    per table — the kernel masks emission with it, leaving
+    multiplicity = number of tables at distance <= 2, identical to
+    the one-sided shapes."""
+    structs = [F.struct(F.col(sig_col).alias("s"), F.lit(0).alias("r"))]
+    for p in range(n_planes):
+        structs.append(
+            F.struct(
+                F.expr(
+                    f"{sig_col} ^ cast(shiftleft(1L, {p}) as long)"
+                ).alias("s"),
+                F.lit(p + 1).alias("r"),
+            )
+        )
+    other = [c for c in sigs.columns if c != sig_col]
+    exploded = sigs.select(*other, F.explode(F.array(*structs)).alias("_p"))
+    return exploded.select(
+        *other,
+        F.col("_p.s").alias(sig_col),
+        F.col("_p.r").alias("_r"),
+    )
+
+
 def hamming2_probes(
     sigs: DataFrame, n_planes: int, sig_col: str = "sig"
 ) -> DataFrame:
@@ -716,6 +755,11 @@ def lsh_bucket_gemm_scored(
     if self_mode:
         tagged = left
     else:
+        if ("_r" in left.columns) != ("_r" in right.columns):
+            raise ValueError(
+                "flip-origin tags (_r) must be on BOTH arms or neither"
+                " — a half-tagged canonical rule drops candidates"
+            )
         tagged = left.withColumn("_side", F.lit(0)).unionByName(
             right.withColumn("_side", F.lit(1))
         )
@@ -731,6 +775,7 @@ def lsh_bucket_gemm_scored(
     def _score_group(g):
         import pandas as pd
 
+        tagged_arms = "_r" in g.columns
         if self_mode:
             m = len(g)
             if m < 2:
@@ -739,14 +784,20 @@ def lsh_bucket_gemm_scored(
             ids = g["_id"].to_numpy()[order]
             V = np.stack(g["_v"].to_numpy()[order]).astype(np.float64)
             nn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            tags = g["_r"].to_numpy()[order] if tagged_arms else None
             la, lb, ls = [], [], []
             block = max(1, _GEMM_BLOCK_ELEMS // m)
             for i0 in range(0, m - 1, block):
                 i1 = min(i0 + block, m)
                 raw = (V[i0:i1] @ V.T) / np.outer(nn[i0:i1], nn)
-                rows, cols = np.nonzero(
-                    np.arange(m)[None, :] > np.arange(i0, i1)[:, None]
-                )
+                tri = np.arange(m)[None, :] > np.arange(i0, i1)[:, None]
+                if tagged_arms:
+                    # canonical once-per-table emission: a < c or
+                    # a == c == 0, a = lower-id row's flip tag
+                    ta = tags[i0:i1][:, None]
+                    tc = tags[None, :]
+                    tri &= (ta < tc) | ((ta == 0) & (tc == 0))
+                rows, cols = np.nonzero(tri)
                 ida, idb = ids[rows + i0], ids[cols]
                 vals = raw[rows, cols]
                 if quantize == "round6":
@@ -782,6 +833,8 @@ def lsh_bucket_gemm_scored(
         R = np.stack(gr["_v"].to_numpy()).astype(np.float64)
         ln = np.sqrt(np.einsum("ij,ij->i", L, L))
         rn = np.sqrt(np.einsum("ij,ij->i", R, R))
+        ltags = gl["_r"].to_numpy() if tagged_arms else None
+        rtags = gr["_r"].to_numpy() if tagged_arms else None
         mr = len(rids)
         la, lb, ls = [], [], []
         block = max(1, _GEMM_BLOCK_ELEMS // mr)
@@ -791,16 +844,21 @@ def lsh_bucket_gemm_scored(
             ida = np.repeat(lids[i0:i1], mr)
             idb = np.tile(rids, i1 - i0)
             vals = raw.reshape(-1)
+            keep = np.ones(len(ida), dtype=bool)
+            if tagged_arms:
+                ta = np.repeat(ltags[i0:i1], mr)
+                tc = np.tile(rtags, i1 - i0)
+                keep &= (ta < tc) | ((ta == 0) & (tc == 0))
             if quantize == "round6":
                 vals = np.round(vals, 6)
-                keep = vals >= threshold
+                keep &= vals >= threshold
                 if require_lt:
                     keep &= ida < idb
                 ida, idb, vals = ida[keep], idb[keep], vals[keep]
             else:
                 if require_lt:
-                    keep = ida < idb
-                    ida, idb, vals = ida[keep], idb[keep], vals[keep]
+                    keep &= ida < idb
+                ida, idb, vals = ida[keep], idb[keep], vals[keep]
                 vals = np.floor(vals * 1e6 + 0.5).astype(np.int64)
             la.append(ida)
             lb.append(idb)
@@ -938,7 +996,10 @@ def cosine_neardup_lsh_verified(
         )
         corpus_arm = sigs.join(v, "id").withColumnRenamed("id", "_id")
         if probes is None:
-            arm = hamming1_probes(corpus_arm, n_planes)
+            # flip-origin tags => each surviving pair emits once per
+            # table, not once per shared probe bucket (up to 1+b for
+            # the dominant same-bucket mass)
+            arm = hamming1_probes_tagged(corpus_arm, n_planes)
             pairs = lsh_bucket_gemm_scored(
                 arm, None, "id_a", "id_b",
                 quantize="round6", threshold=threshold, require_lt=True,
@@ -1484,10 +1545,16 @@ def margin_bitext_pairs_lsh(
     )
     src_arm = sigs_s.join(s, "src_id").withColumnRenamed("src_id", "_id")
     tgt_arm = sigs_t.join(t, "tgt_id").withColumnRenamed("tgt_id", "_id")
-    if probe_bits >= 1:
-        src_arm = hamming1_probes(src_arm, n_planes)
     if probe_bits == 2:
-        tgt_arm = hamming1_probes(tgt_arm, n_planes)
+        # symmetric radius-1 with flip-origin tags: the canonical
+        # (a, c) rule in the GEMM kernel emits each candidate pair
+        # once per table — without it, same-bucket pairs (the
+        # dominant mass) would emit into the margin dedupe once per
+        # shared probe bucket, up to (1+b) times
+        src_arm = hamming1_probes_tagged(src_arm, n_planes)
+        tgt_arm = hamming1_probes_tagged(tgt_arm, n_planes)
+    elif probe_bits == 1:
+        src_arm = hamming1_probes(src_arm, n_planes)
     # Dedupe BY PAIR (max cos_q), not distinct triples: GEMM summation
     # order varies with bucket block shape, so a cross-bucket
     # duplicate can differ in its last ulp; if that ever crossed a

@@ -318,6 +318,10 @@ HEADLINE += [
     # audits above.
     "bitext_margin_mining_lsh",
     "hard_negative_mining_lsh",
+    # round-17: the forced Hamming-<=2 tier (symmetric radius-1
+    # explode + per-bucket GEMM) — the past-the-clamp scale path
+    # pinned to parity scale (VERDICT r16 #1).
+    "embedding_neardup_lsh_probe2",
 ]
 
 

@@ -180,15 +180,20 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # the (table, sig) bucket join, so the SMJs are the sig->vector
     # attach + bucket join — neither side broadcastable at 100 TB
     "embedding_neardup_lsh_verified": (10, 4, 0, 2),
-    # r16 sign-LSH multiprobe miners (PERF.md r16 #1): signature
-    # passes are map-only (the one-matmul Arrow kernel); exchanges are
-    # the (table, sig) candidate join + the margin tail's two
-    # mutual-rank windows; the BHJs are test-scale (the cross-side
-    # join degrades to SMJ at 100 TB, which is the intended shape).
-    # The bitext miner's 2 SMJs are the sig->vector attaches of the
-    # pipelined-scoring shape (PERF.md r16 #8) — vectors never ride
-    # a candidate-scale sort
-    "bitext_margin_mining_lsh": (14, 4, 0, 2),
+    # r17 GEMM-scored bitext miner (VERDICT r16 #4): signature passes
+    # are map-only (the one-matmul Arrow kernel); the bucket join is
+    # now the per-bucket GEMM kernel — one (table, sig) repartition
+    # exchange + within-partition sort + MapInPandas, NO join operator
+    # at candidate scale (pairs are generated and scored in numpy, so
+    # the former bucket-join SMJs are gone).  Exchanges: 2 sig->vector
+    # attaches (BHJ at test scale, SMJ at 100 TB), the (table, sig)
+    # repartition, the per-pair max(cos_q) dedupe, and the margin
+    # tail's two mutual-rank windows.
+    "bitext_margin_mining_lsh": (12, 4, 0, 2),
+    # r17 forced Hamming-<=2 near-dup (VERDICT r16 #1): single
+    # exploded arm -> (table, sig) repartition -> GEMM -> per-pair
+    # max(sim) dedupe; the BHJ is the sig->vector attach
+    "embedding_neardup_lsh_probe2": (6, 2, 0, 2),
     "hard_negative_mining_lsh": (10, 6, 0),
     # the probe cross-join is the intended (bounded) nested loop
     "similarity_cosine_topk": (4, 0, 2),

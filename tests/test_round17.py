@@ -247,6 +247,31 @@ def test_gemm_groups_spanning_arrow_batches(spark, emb_df):
     assert tiny == base
 
 
+def test_symmetric_probe_emission_bounded_by_tables(spark, emb_df):
+    # the flip-origin canonical rule: raw kernel emission per pair is
+    # at most n_tables (once per table), never the (1+b)-fold
+    # shared-probe-bucket inflation the untagged symmetric explode
+    # would produce on same-bucket pairs
+    from pyspark.sql import functions as F
+
+    v, df = emb_df
+    B, T = 4, 3
+    sigs = similarity.lsh_signatures(df, "vec_id", "id", "embedding", B, T, v.shape[1])
+    arm = similarity.hamming1_probes_tagged(
+        sigs.join(
+            df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("_v")),
+            "id",
+        ).withColumnRenamed("id", "_id"),
+        B,
+    )
+    raw = similarity.lsh_bucket_gemm_scored(
+        arm, None, "id_a", "id_b",
+        quantize="round6", threshold=-1.0, require_lt=True,
+    )
+    mx = raw.groupBy("id_a", "id_b").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= T
+
+
 def test_bitext_probe2_runs_and_covers_more(spark, emb_df):
     from pyspark.sql import functions as F
 
