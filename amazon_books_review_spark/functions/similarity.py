@@ -705,6 +705,7 @@ def lsh_bucket_gemm_scored(
     quantize: str,
     threshold: float | None = None,
     require_lt: bool = False,
+    topk: int | None = None,
 ) -> DataFrame:
     """Score every within-bucket candidate pair with a per-bucket
     numpy GEMM — the scoring half of the LSH bucket join, moved from
@@ -744,11 +745,26 @@ def lsh_bucket_gemm_scored(
     scored output exactly as before.  GEMM summation order differs
     from the sequential fold only in the last ulps (~1e-16 on unit
     vectors), below both quantizers' step — the cosine_topk_arrow
-    determinism argument, two rounds driver-green."""
+    determinism argument, two rounds driver-green.
+
+    ``topk`` (floorq two-sided only) enables MAP-SIDE PARTIAL TOP-K:
+    each scored block emits only its row-wise and column-wise top-k
+    instead of every candidate.  A pair in a side's global top-k is,
+    in every block where it appears, beaten by fewer than k
+    candidates, so the union of block top-ks is a superset of both
+    sides' true top-k sets and the mutual-k-NN margin tail downstream
+    is EXACTLY preserved — while the emitted volume drops from
+    candidate-quadratic (at Hamming-<=2 coverage, ~18% of the cross
+    product PER TABLE at b=12) to (rows x k).  This is what keeps the
+    margin shuffle off the floor at full-corpus scale: the r17
+    adaptive bitext wall at 100k/side exhausted an 80 GB local disk
+    in emit-all mode before this reduction existed."""
     if quantize not in ("round6", "floorq"):
         raise ValueError(f"quantize must be round6|floorq, got {quantize!r}")
     if quantize == "floorq" and threshold is not None:
         raise ValueError("floorq mode emits all candidates; threshold must be None")
+    if topk is not None and (quantize != "floorq" or right is None):
+        raise ValueError("topk reduction is defined for floorq two-sided mode only")
     import numpy as np
 
     self_mode = right is None
@@ -827,42 +843,84 @@ def lsh_bucket_gemm_scored(
         gl, gr = g[lmask], g[~lmask]
         if not len(gl) or not len(gr):
             return None
-        lids = gl["_id"].to_numpy()
-        rids = gr["_id"].to_numpy()
-        L = np.stack(gl["_v"].to_numpy()).astype(np.float64)
-        R = np.stack(gr["_v"].to_numpy()).astype(np.float64)
+        # sort both sides by id so stable argsorts break score ties
+        # on ascending id — the margin/top-k ranking's tie rule
+        lorder = np.argsort(gl["_id"].to_numpy(), kind="stable")
+        rorder = np.argsort(gr["_id"].to_numpy(), kind="stable")
+        lids = gl["_id"].to_numpy()[lorder]
+        rids = gr["_id"].to_numpy()[rorder]
+        L = np.stack(gl["_v"].to_numpy()[lorder]).astype(np.float64)
+        R = np.stack(gr["_v"].to_numpy()[rorder]).astype(np.float64)
         ln = np.sqrt(np.einsum("ij,ij->i", L, L))
         rn = np.sqrt(np.einsum("ij,ij->i", R, R))
-        ltags = gl["_r"].to_numpy() if tagged_arms else None
-        rtags = gr["_r"].to_numpy() if tagged_arms else None
+        ltags = gl["_r"].to_numpy()[lorder] if tagged_arms else None
+        rtags = gr["_r"].to_numpy()[rorder] if tagged_arms else None
         mr = len(rids)
+        # sentinel for masked cells: far below any cos_q (|q| <= 1e6)
+        # and NEGATION-SAFE — np.iinfo(int64).min wraps to itself
+        # under negation, which would sort masked cells FIRST in the
+        # argsort(-q) top-k and crowd out real candidates
+        imin = -(1 << 62)
         la, lb, ls = [], [], []
         block = max(1, _GEMM_BLOCK_ELEMS // mr)
         for i0 in range(0, len(lids), block):
             i1 = min(i0 + block, len(lids))
             raw = (L[i0:i1] @ R.T) / np.outer(ln[i0:i1], rn)
-            ida = np.repeat(lids[i0:i1], mr)
-            idb = np.tile(rids, i1 - i0)
-            vals = raw.reshape(-1)
-            keep = np.ones(len(ida), dtype=bool)
-            if tagged_arms:
-                ta = np.repeat(ltags[i0:i1], mr)
-                tc = np.tile(rtags, i1 - i0)
-                keep &= (ta < tc) | ((ta == 0) & (tc == 0))
             if quantize == "round6":
-                vals = np.round(vals, 6)
-                keep &= vals >= threshold
+                ida = np.repeat(lids[i0:i1], mr)
+                idb = np.tile(rids, i1 - i0)
+                vals = np.round(raw.reshape(-1), 6)
+                keep = vals >= threshold
+                if tagged_arms:
+                    ta = np.repeat(ltags[i0:i1], mr)
+                    tc = np.tile(rtags, i1 - i0)
+                    keep &= (ta < tc) | ((ta == 0) & (tc == 0))
                 if require_lt:
                     keep &= ida < idb
-                ida, idb, vals = ida[keep], idb[keep], vals[keep]
-            else:
-                if require_lt:
-                    keep &= ida < idb
-                ida, idb, vals = ida[keep], idb[keep], vals[keep]
-                vals = np.floor(vals * 1e6 + 0.5).astype(np.int64)
-            la.append(ida)
-            lb.append(idb)
-            ls.append(vals)
+                la.append(ida[keep])
+                lb.append(idb[keep])
+                ls.append(vals[keep])
+                continue
+            q = np.floor(raw * 1e6 + 0.5).astype(np.int64)
+            if tagged_arms:
+                ta = ltags[i0:i1][:, None]
+                tc = rtags[None, :]
+                q[~((ta < tc) | ((ta == 0) & (tc == 0)))] = imin
+            if require_lt:
+                q[~(lids[i0:i1][:, None] < rids[None, :])] = imin
+            if topk is None:
+                rows, cols = np.nonzero(q != imin)
+                la.append(lids[rows + i0])
+                lb.append(rids[cols])
+                ls.append(q[rows, cols])
+                continue
+            # map-side partial top-k (the cosine_topk_arrow pattern,
+            # applied per bucket): the margin tail only ever consumes
+            # each side's global top-k, and a pair in a side's global
+            # top-k is in that side's top-k of EVERY block where it
+            # appears (fewer than k candidates beat it anywhere), so
+            # emitting per-block row-wise + column-wise top-k unions
+            # is a superset of both true top-k sets — margin output
+            # is exactly preserved while emitted volume drops from
+            # candidate-quadratic to rows x k.  Columns/rows are
+            # id-sorted, so the stable argsort on -q breaks score
+            # ties on ascending id, matching the rank windows.
+            kk = min(topk, q.shape[1])
+            ridx = np.argsort(-q, axis=1, kind="stable")[:, :kk]
+            rrow = np.repeat(np.arange(q.shape[0]), kk)
+            rcol = ridx.reshape(-1)
+            rkeep = q[rrow, rcol] != imin
+            la.append(lids[rrow[rkeep] + i0])
+            lb.append(rids[rcol[rkeep]])
+            ls.append(q[rrow[rkeep], rcol[rkeep]])
+            kk = min(topk, q.shape[0])
+            cidx = np.argsort(-q, axis=0, kind="stable")[:kk, :]
+            ccol = np.tile(np.arange(q.shape[1]), kk)
+            crow = cidx.reshape(-1)
+            ckeep = q[crow, ccol] != imin
+            la.append(lids[crow[ckeep] + i0])
+            lb.append(rids[ccol[ckeep]])
+            ls.append(q[crow[ckeep], ccol[ckeep]])
         ida = np.concatenate(la) if la else np.array([], dtype=np.int64)
         if not len(ida):
             return None
@@ -1560,8 +1618,12 @@ def margin_bitext_pairs_lsh(
     # duplicate can differ in its last ulp; if that ever crossed a
     # floor(1e6) boundary a triple-distinct would feed the pair TWICE
     # into the margin windows.  max() pins multiplicity to 1.
+    # topk=k engages the kernel's map-side partial top-k: the margin
+    # windows only consume each side's top-k, so per-block top-k
+    # unions preserve the output exactly while the margin shuffle
+    # stays (rows x k) instead of candidate-sized.
     scored = lsh_bucket_gemm_scored(
-        src_arm, tgt_arm, "src_id", "tgt_id", quantize="floorq"
+        src_arm, tgt_arm, "src_id", "tgt_id", quantize="floorq", topk=k
     ).groupBy("src_id", "tgt_id").agg(F.max("cos_q").alias("cos_q"))
     return _margin_from_scored(scored, k, margin_threshold)
 

@@ -272,6 +272,49 @@ def test_symmetric_probe_emission_bounded_by_tables(spark, emb_df):
     assert mx <= T
 
 
+def test_topk_reduction_preserves_margin_output_exactly(spark, emb_df):
+    # the map-side partial top-k is an OPTIMIZATION with a proof
+    # obligation: margin output must be bit-identical to the emit-all
+    # shape.  Rebuild the miner's pipeline both ways on the fixture
+    # and compare full rows (pb=2 exercises mask + topk together).
+    from pyspark.sql import functions as F
+    from amazon_books_review_spark.functions.similarity import (
+        _margin_from_scored,
+        hamming1_probes_tagged,
+        lsh_bucket_gemm_scored,
+        lsh_signatures,
+    )
+
+    v, df = emb_df
+    src = df.filter(F.col("vec_id") % 2 == 0)
+    tgt = df.filter(F.col("vec_id") % 2 == 1)
+    B, T, K = 4, 2, 4
+    sigs_s = lsh_signatures(src, "vec_id", "src_id", "embedding", B, T, v.shape[1])
+    sigs_t = lsh_signatures(tgt, "vec_id", "tgt_id", "embedding", B, T, v.shape[1])
+    s = src.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("_v"))
+    t = tgt.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("_v"))
+    sa = hamming1_probes_tagged(
+        sigs_s.join(s, "src_id").withColumnRenamed("src_id", "_id"), B
+    )
+    ta = hamming1_probes_tagged(
+        sigs_t.join(t, "tgt_id").withColumnRenamed("tgt_id", "_id"), B
+    )
+
+    def margin(topk):
+        scored = lsh_bucket_gemm_scored(
+            sa, ta, "src_id", "tgt_id", quantize="floorq", topk=topk
+        ).groupBy("src_id", "tgt_id").agg(F.max("cos_q").alias("cos_q"))
+        return {
+            (r.src_id, r.tgt_id, r.cos_q, r.margin)
+            for r in _margin_from_scored(scored, K, 1.05).collect()
+        }
+
+    full = margin(None)
+    reduced = margin(K)
+    assert full  # fixture yields pairs
+    assert reduced == full
+
+
 def test_bitext_probe2_runs_and_covers_more(spark, emb_df):
     from pyspark.sql import functions as F
 
