@@ -79,6 +79,16 @@ WALL_ENVELOPES_SEC = {
     "SF10_NEARDUP_WALL_R17.json": 130,
     # measured 23.1s lsh arm at 92.9% recall — sampled audit, 200k
     "SF10_NEARDUP_R17.json": 50,
+    # measured 316.8s / 9.8M pairs — adaptive config, 500k vectors
+    # (the float32-exchange decade; emit-all or double-shipped
+    # vectors would not fit the local disk here)
+    "SF25_NEARDUP_WALL_R17.json": 650,
+    # measured 33.6s lsh arm at 92.4% recall — sampled audit, 500k
+    "SF25_NEARDUP_R17.json": 70,
+    # measured 104.3s byte-identical pinned-scheme bitext (r16: 1047s)
+    "SF10_BITEXT_WALL_R17B.json": 220,
+    # measured 70.0s adaptive certified bitext at 100k/side
+    "SF10_BITEXT_ADAPTIVE_R17.json": 150,
 }
 
 
