@@ -52,6 +52,25 @@ def test_adaptive_neardup_recall_holds_floor_and_model(name):
     assert d["probe_bits"] == 2  # these decades escalate by design
 
 
+def test_past_clamp_decade_validates_degradation_model():
+    """The 1M-vector point sits PAST the adaptive plan's true clamp
+    (b=15: Hamming-<=2 already at its ceiling and the union rule
+    wants 37 > 32 tables), so this artifact validates the capacity
+    model in its NEW degradation zone — the r16 #5 ask, one decade
+    further out.  The clamp must bind (the warning is a true
+    positive there) and measured recall must track the closed-form
+    prediction within the model budget."""
+    d = _load("SF50_NEARDUP_R17.json")
+    if d is None:
+        pytest.skip("SF50_NEARDUP_R17.json not generated yet")
+    assert d["table_clamp_binds"] is True
+    assert d["probe_bits"] == 2 and d["n_tables"] == 32
+    err = abs(d["recall_pct"] - d["predicted_recall_pct"])
+    assert err < MODEL_ERROR_BUDGET_PTS, (
+        f"past-clamp model error {err} exceeds {MODEL_ERROR_BUDGET_PTS} pts"
+    )
+
+
 def test_bitext_gemm_rerun_mined_byte_identical_pairs():
     """VERDICT r16 #4 acceptance: the pinned-scheme (b=12, T=32,
     Hamming-1) bitext wall re-run must mine the exact pair count the
@@ -89,6 +108,11 @@ WALL_ENVELOPES_SEC = {
     "SF10_BITEXT_WALL_R17B.json": 220,
     # measured 70.0s adaptive certified bitext at 100k/side
     "SF10_BITEXT_ADAPTIVE_R17.json": 150,
+    # sf1 lane (VERDICT r16 #7): lsh arms at the gen-sf1 fixture —
+    # measured 12.4s (near-dup, byte-identical r16 counts) and 9.2s
+    # (bitext, byte-identical r16 pair sets at 3.7x less wall)
+    "SF1_NEARDUP_R17.json": 30,
+    "SF1_BITEXT_R17.json": 25,
 }
 
 
