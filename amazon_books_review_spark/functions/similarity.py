@@ -1873,16 +1873,30 @@ def hard_negatives_lsh(
     cap (``sim < max_sim``), per-probe top-k window.  Determinism:
     md5-derived planes, float64 matmul signs, round-6 cosines,
     id-ascending tie-breaks — the full mechanics replay in SQL.
+
+    ``probe_bits=2`` (r17, via :func:`lsh_adaptive_plan`) widens
+    coverage to Hamming-<=2 where the Hamming-1 table need exceeds
+    the clamp (b >= 11 at the 0.45/92 design point).  Probes are
+    small by contract (the exact tail broadcasts them), so the
+    physical split is the ONE-SIDED radius-2 explode
+    (:func:`hamming2_probes`) — per-table multiplicity is already 1
+    against the unexploded corpus arm, no flip tags needed, and the
+    candidate distinct stays probe-bounded.
     """
-    if probe_bits not in (0, 1):
-        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    if probe_bits not in (0, 1, 2):
+        raise ValueError(f"probe_bits must be 0, 1 or 2, got {probe_bits}")
     sigs_c = lsh_signatures(
         corpus, id_col, "neighbor_id", vec_col, n_planes, n_tables, dim
     )
     sigs_p = lsh_signatures(
         probes, id_col, "query_id", vec_col, n_planes, n_tables, dim
     )
-    probe_side = hamming1_probes(sigs_p, n_planes) if probe_bits else sigs_p
+    if probe_bits == 2:
+        probe_side = hamming2_probes(sigs_p, n_planes)
+    elif probe_bits == 1:
+        probe_side = hamming1_probes(sigs_p, n_planes)
+    else:
+        probe_side = sigs_p
     cand = (
         probe_side.join(sigs_c, ["table_id", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -1314,6 +1314,22 @@ HARDNEG_LSH_T_BY_B = similarity.lsh_tables_by_planes(
     max_planes=HARDNEG_LSH_MAX_PLANES,
     max_tables=HARDNEG_LSH_MAX_TABLES,
 )
+#: r17 adaptive plan (the same escalation as NEARDUP/BITEXT_LSH_PLAN,
+#: at the hardneg design point 0.45/92): identical to
+#: HARDNEG_LSH_T_BY_B through b=10 — every parity/bench scale keeps
+#: its r16 configuration bit-for-bit — then Hamming-<=2 from b=11
+#: (~65k vectors), where Hamming-1 would need 42 tables.  Probes are
+#: small by contract, so the engine realizes radius 2 as the
+#: one-sided hamming2_probes explode (no flip tags needed).
+HARDNEG_LSH_PLAN = similarity.lsh_adaptive_plan(
+    HARDNEG_LSH_DESIGN_SIM,
+    HARDNEG_LSH_TARGET_RECALL_PCT + HARDNEG_LSH_DERIVATION_MARGIN_PCT,
+    base_probe_bits=HARDNEG_LSH_PROBE_BITS,
+    max_probe_bits=2,
+    min_planes=HARDNEG_LSH_MIN_PLANES,
+    max_planes=HARDNEG_LSH_MAX_PLANES,
+    max_tables=HARDNEG_LSH_MAX_TABLES,
+)
 
 
 def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,35 +1337,37 @@ def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (:func:`functions.similarity.hard_negatives_lsh`) —
     the r16 scale tier; see the constants block above for why it
     supersedes centroid routing.  Plane count self-sizes from the
-    corpus count, table count derives per plane count, and the DuckDB
-    oracle replays all three capacity dimensions (mask trick, guarded
-    UNION branches, xor probe CTE) plus the exact different-label /
-    false-negative-cap / top-k tail."""
+    corpus count, (table count, probe level) derive per plane count
+    from the adaptive plan (r17 — Hamming-<=2 engages exactly where
+    Hamming-1's table need would clamp), and the DuckDB oracle
+    replays all four capacity dimensions (mask trick, guarded UNION
+    branches, xor probe CTEs for both radii) plus the exact
+    different-label / false-negative-cap / top-k tail."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nb = similarity.lsh_planes_for(
         n, HARDNEG_LSH_OCC,
         min_planes=HARDNEG_LSH_MIN_PLANES, max_planes=HARDNEG_LSH_MAX_PLANES,
     )
+    nt, npb = similarity.lsh_plan_checked(HARDNEG_LSH_PLAN, nb)
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return similarity.hard_negatives_lsh(
         emb, probes, "vec_id", "embedding", "label",
         dim=EMB_DIM, k=TOPK_K, max_sim=HARDNEG_MAX_SIM,
         n_planes=nb,
-        n_tables=similarity.lsh_tables_checked(
-            HARDNEG_LSH_T_BY_B, nb, max_tables=HARDNEG_LSH_MAX_TABLES
-        ),
-        probe_bits=HARDNEG_LSH_PROBE_BITS,
+        n_tables=nt,
+        probe_bits=npb,
     )
 
 
 def _hardneg_lsh_oracle() -> str:
     """The near-dup replay pattern applied to hard-negative mining:
     plane count from ``count(*)`` (mask trick over the prefix-stable
-    MAX_PLANES family), table count via the CASE-over-b lookup with
-    guarded UNION branches, Hamming-1 xor probe CTE on the probe
-    side, then the exact HARD_NEGATIVES_ORACLE tail over the
-    candidate pairs."""
+    MAX_PLANES family), (table count, probe level) via CASE-over-b
+    lookups with guarded UNION branches, xor probe CTEs on the probe
+    side — one-bit flips whenever pb >= 1 plus two-bit flips whenever
+    pb = 2 (the engine's one-sided radius-2 split) — then the exact
+    HARD_NEGATIVES_ORACLE tail over the candidate pairs."""
     table_sigs = []
     for t in range(HARDNEG_LSH_MAX_TABLES):
         planes = similarity.deterministic_planes(
@@ -1367,7 +1385,11 @@ def _hardneg_lsh_oracle() -> str:
     signed = "\n    UNION ALL\n    ".join(table_sigs)
     t_case = " ".join(
         f"WHEN pb.b = {b} THEN {t}"
-        for b, t in sorted(HARDNEG_LSH_T_BY_B.items())
+        for b, (t, _pbits, _clamped) in sorted(HARDNEG_LSH_PLAN.by_b.items())
+    )
+    pb_case = " ".join(
+        f"WHEN pb.b = {b} THEN {pbits}"
+        for b, (_t, pbits, _clamped) in sorted(HARDNEG_LSH_PLAN.by_b.items())
     )
     return f"""
 WITH pb AS (
@@ -1380,7 +1402,8 @@ WITH pb AS (
 ), params AS (
     SELECT (CAST(1 AS BIGINT) << pb.b) AS m,
            pb.b AS b,
-           (CASE {t_case} END) AS t
+           (CASE {t_case} END) AS t,
+           (CASE {pb_case} END) AS pbits
     FROM pb
 ), v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS e,
@@ -1395,10 +1418,20 @@ WITH pb AS (
     FROM signed,
          generate_series(-1, {HARDNEG_LSH_MAX_PLANES - 1}) AS g(p)
     WHERE vec_id < {N_PROBES}
-      AND g.p < {HARDNEG_LSH_PROBE_BITS} * (SELECT b FROM params)
+      AND g.p < (SELECT CASE WHEN pbits >= 1 THEN b ELSE 0 END FROM params)
+), qprobe2 AS (
+    SELECT vec_id, table_id,
+           xor(sig, xor(CAST(1 AS BIGINT) << g.p,
+                        CAST(1 AS BIGINT) << h.q)) AS sig
+    FROM signed,
+         generate_series(0, {HARDNEG_LSH_MAX_PLANES - 1}) AS g(p),
+         generate_series(0, {HARDNEG_LSH_MAX_PLANES - 1}) AS h(q)
+    WHERE vec_id < {N_PROBES}
+      AND g.p < h.q
+      AND h.q < (SELECT CASE WHEN pbits = 2 THEN b ELSE 0 END FROM params)
 ), cand AS (
     SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-    FROM qprobe q
+    FROM (SELECT * FROM qprobe UNION ALL SELECT * FROM qprobe2) q
     JOIN signed c ON c.table_id = q.table_id AND c.sig = q.sig
     WHERE c.vec_id <> q.vec_id
 ), scored AS (

@@ -65,6 +65,45 @@ def test_bitext_adaptive_plan_operating_points():
     assert by_b[12] == (13, 2, False)
 
 
+def test_hardneg_adaptive_plan_operating_points():
+    by_b = nq.HARDNEG_LSH_PLAN.by_b
+    for b in range(nq.HARDNEG_LSH_MIN_PLANES, 11):
+        assert by_b[b] == (nq.HARDNEG_LSH_T_BY_B[b], 1, False)
+    assert by_b[11] == (12, 2, False)
+    assert by_b[14] == (30, 2, False)
+    assert by_b[15] == (32, 2, True)
+
+
+def test_hardneg_probe2_recall_contains_probe1(spark, emb_df):
+    # one-sided radius-2 on the probe side: coverage (hence recall vs
+    # the exact tier) must be monotone in the probe radius
+    from pyspark.sql import functions as F
+
+    v, df = emb_df
+    probes = df.filter(F.col("vec_id") < 20)
+    labels = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    plabels = probes.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.hard_negatives(
+            labels, plabels, "vec_id", "embedding", "label", k=5
+        ).collect()
+    }
+
+    def hits(pb):
+        mined = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.hard_negatives_lsh(
+                labels, plabels, "vec_id", "embedding", "label",
+                dim=v.shape[1], k=5, n_planes=4, n_tables=2, probe_bits=pb,
+            ).collect()
+        }
+        return mined & exact
+
+    assert exact
+    assert len(hits(2)) >= len(hits(1))
+
+
 def test_probe_hit_rate_closed_forms():
     # pb=0/1 reproduce lsh_tables_by_planes' closed forms; pb=2 adds
     # exactly the C(b,2) term
