@@ -121,6 +121,10 @@ WALL_ENVELOPES_SEC = {
     # (bitext, byte-identical r16 pair sets at 3.7x less wall)
     "SF1_NEARDUP_R17.json": 30,
     "SF1_BITEXT_R17.json": 25,
+    # bitext adaptive decade walls: 31.4s / 230.0s at 50k / 200k per
+    # side (the r16 clamped shape: 522s / unreachable)
+    "SF5_BITEXT_ADAPTIVE_R17.json": 70,
+    "SF20_BITEXT_ADAPTIVE_R17.json": 470,
 }
 
 
