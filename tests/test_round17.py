@@ -121,6 +121,21 @@ def test_probe_hit_rate_closed_forms():
     )
 
 
+def test_lifting_max_tables_recertifies_past_the_local_clamp():
+    # the 100 TB posture (PERF r17): the 32-table ceiling is a LOCAL
+    # policy — at a cluster's ceiling the same derivation certifies
+    # the decades the local clamp marks degraded (b=15 needs 37,
+    # b=16 needs 52 tables at Hamming-<=2)
+    lifted = similarity.lsh_adaptive_plan(
+        nq.COSINE_DUP_THRESHOLD,
+        nq.NEARDUP_LSH_TARGET_RECALL_PCT + nq.NEARDUP_LSH_DERIVATION_MARGIN_PCT,
+        base_probe_bits=1, max_probe_bits=2,
+        min_planes=2, max_planes=24, max_tables=64,
+    )
+    assert lifted.by_b[15] == (37, 2, False)
+    assert lifted.by_b[16] == (52, 2, False)
+
+
 def test_plan_checked_warns_only_on_true_clamp():
     # exact fit (need == max_tables, not clamped) stays SILENT — the
     # ADVICE r16 false positive fixed by construction
