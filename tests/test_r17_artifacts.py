@@ -79,6 +79,29 @@ def test_past_clamp_decade_validates_degradation_model(name):
     )
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["SF5_BITEXT_COVERAGE_R17.json", "SF20_BITEXT_COVERAGE_R17.json"],
+)
+def test_bitext_wall_decade_coverage_holds_floor(name):
+    """Past sf1 the bitext exact margin arm is infeasible by design,
+    so wall-decade recall is certified via the r15 decomposition
+    (margin tail lossless on covered pairs => tier recall ==
+    candidate coverage) plus a MEASURED coverage audit of the exact
+    top-k pairs.  The certified floor must hold where the full
+    recall replay cannot run — measured 91.2% / 92.1% at 50k / 200k
+    per side against the 85 floor (derivation target 92)."""
+    d = _load(name)
+    if d is None:
+        pytest.skip(f"{name} not generated yet")
+    assert d["probe_bits"] == 2  # wall decades escalate by design
+    assert d["coverage_pct"] >= DECLARED_FLOOR_PCT, (
+        f"{name}: measured top-k candidate coverage {d['coverage_pct']}"
+        f" fell below the {DECLARED_FLOOR_PCT}% floor the derivation"
+        " certifies"
+    )
+
+
 def test_bitext_gemm_rerun_mined_byte_identical_pairs():
     """VERDICT r16 #4 acceptance: the pinned-scheme (b=12, T=32,
     Hamming-1) bitext wall re-run must mine the exact pair count the
