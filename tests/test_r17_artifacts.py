@@ -102,6 +102,24 @@ def test_bitext_wall_decade_coverage_holds_floor(name):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["SF10_HARDNEG_R17.json", "SF50_HARDNEG_R17.json"]
+)
+def test_hardneg_wall_decade_recall_holds_floor(name):
+    """Hardneg's exact arm is probe-bounded, so the FULL per-probe
+    recall audit runs at any corpus size: measured 96.6% at 200k
+    (certified config) and 96.5% at 1M (clamp binds at b=15, warning
+    fires — but mined negatives sit above the 0.45 design floor, so
+    the at-floor derivation is conservative and the audit shows the
+    floor holding with a wide margin: the exact division of labor
+    between clamp warning and recall audit)."""
+    d = _load(name)
+    if d is None:
+        pytest.skip(f"{name} not generated yet")
+    assert d["probe_bits"] == 2
+    assert d["recall_pct"] >= DECLARED_FLOOR_PCT
+
+
 def test_bitext_gemm_rerun_mined_byte_identical_pairs():
     """VERDICT r16 #4 acceptance: the pinned-scheme (b=12, T=32,
     Hamming-1) bitext wall re-run must mine the exact pair count the
