@@ -647,6 +647,13 @@ def lsh_adaptive_plan(
             f"need 0 <= base_probe_bits <= max_probe_bits <= 2, got"
             f" ({base_probe_bits}, {max_probe_bits})"
         )
+    if not (0 <= target_recall_pct < 100):
+        raise ValueError(
+            f"target_recall_pct must be in [0, 100), got"
+            f" {target_recall_pct} — a 100% union-recall target needs"
+            " unbounded tables (ln(0) in the union rule); certify"
+            " exactness with the exact tier, not an LSH plan"
+        )
     residual = 1.0 - target_recall_pct / 100.0
     by_b: dict[int, tuple[int, int, bool]] = {}
     for b in range(min_planes, max_planes + 1):
@@ -673,8 +680,25 @@ def lsh_plan_checked(plan: LshProbePlan, n_planes: int) -> tuple[int, int]:
     ADVICE-r16 fix of :func:`lsh_tables_checked`: an exact-fit
     T == max_tables meets the recall target and stays silent; the
     ceiling is read from the plan itself so check and derivation
-    cannot drift)."""
-    n_tables, probe_bits, clamped = plan.by_b[n_planes]
+    cannot drift).
+
+    Out-of-band plane counts raise a DESCRIPTIVE error (ADVICE r17):
+    the plan's band comes from the (min_planes, max_planes) pair its
+    builder was called with, and correctness relies on every caller
+    passing the SAME bounds to both :func:`lsh_planes_for` and
+    :func:`lsh_adaptive_plan` — an unchecked coupling a bare KeyError
+    would surface as line noise at the lookup site."""
+    try:
+        n_tables, probe_bits, clamped = plan.by_b[n_planes]
+    except KeyError:
+        lo, hi = min(plan.by_b), max(plan.by_b)
+        raise ValueError(
+            f"lsh_plan_checked: n_planes={n_planes} is outside the"
+            f" plan's derived band [{lo}, {hi}] — lsh_planes_for and"
+            " lsh_adaptive_plan were called with different"
+            " (min_planes, max_planes) bounds; derive both from the"
+            " same declared constants"
+        ) from None
     if clamped:
         import warnings
 
@@ -696,6 +720,40 @@ def lsh_plan_checked(plan: LshProbePlan, n_planes: int) -> tuple[int, int]:
 #: <= ~4M doubles (~32 MB) regardless of bucket skew.
 _GEMM_BLOCK_ELEMS = 1 << 22
 
+#: Group-size guard (ADVICE r17): _GEMM_BLOCK_ELEMS bounds only the
+#: SCORED block — the per-(table_id, sig) group itself (the stacked V
+#: matrix + the carry buffer's object rows) is materialized whole in
+#: the Arrow worker, so a degenerate bucket (a large exact-duplicate
+#: cluster, amplified (1+b)-fold by the tagged explode) grows
+#: unbounded where the prior JVM fold streamed.  Past this row count
+#: (~64 MB of stacked float64 at dim 64, several x that in pandas
+#: object rows) the kernel warns instead of silently OOMing: the fix
+#: is capacity, not code — raise n_planes (lsh_planes_for's occupancy
+#: budget bounds E[bucket] but not a duplicate cluster's bucket) or
+#: pre-dedupe exact duplicates before the miner.
+_GEMM_GROUP_WARN_ROWS = 1 << 17
+
+
+def _warn_oversized_gemm_group(n_rows: int) -> None:
+    """The group-size guard's warning, module-level so pytest can pin
+    the threshold logic directly (the closure it guards runs in the
+    Arrow worker process, where a warning is observable only in the
+    executor log)."""
+    if n_rows <= _GEMM_GROUP_WARN_ROWS:
+        return
+    import warnings
+
+    warnings.warn(
+        f"lsh_bucket_gemm_scored: one (table_id, sig) bucket holds"
+        f" {n_rows} rows (> {_GEMM_GROUP_WARN_ROWS}) — a degenerate"
+        " bucket (exact-duplicate cluster, or n_planes too low for"
+        " the corpus) materializes whole in the Python worker; raise"
+        " n_planes via lsh_planes_for's occupancy budget or"
+        " pre-dedupe exact duplicates upstream.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
 
 def lsh_bucket_gemm_scored(
     left: DataFrame,
@@ -706,6 +764,7 @@ def lsh_bucket_gemm_scored(
     threshold: float | None = None,
     require_lt: bool = False,
     topk: int | None = None,
+    exclude_eq: bool = False,
 ) -> DataFrame:
     """Score every within-bucket candidate pair with a per-bucket
     numpy GEMM — the scoring half of the LSH bucket join, moved from
@@ -747,7 +806,7 @@ def lsh_bucket_gemm_scored(
     vectors), below both quantizers' step — the cosine_topk_arrow
     determinism argument, two rounds driver-green.
 
-    ``topk`` (floorq two-sided only) enables MAP-SIDE PARTIAL TOP-K:
+    ``topk`` (two-sided modes only) enables MAP-SIDE PARTIAL TOP-K:
     each scored block emits only its row-wise and column-wise top-k
     instead of every candidate.  A pair in a side's global top-k is,
     in every block where it appears, beaten by fewer than k
@@ -758,13 +817,43 @@ def lsh_bucket_gemm_scored(
     product PER TABLE at b=12) to (rows x k).  This is what keeps the
     margin shuffle off the floor at full-corpus scale: the r17
     adaptive bitext wall at 100k/side exhausted an 80 GB local disk
-    in emit-all mode before this reduction existed."""
+    in emit-all mode before this reduction existed.
+
+    The two top-k shapes differ by their consumer's contract (r18):
+    ``floorq`` + ``topk`` emits each block's ROW-wise AND COLUMN-wise
+    top-k (the mutual-k-NN margin tail consumes both directions);
+    ``round6`` + ``topk`` emits the ROW-wise top-k only — the ANN
+    serving contract, where the left arm is the probe side and only
+    per-query rankings exist downstream (:func:`lsh_bucketed_topk`).
+    In round6+topk mode ``threshold`` may be None (rank-everything);
+    masked cells use a -inf sentinel, and the stable argsort over
+    id-ascending columns breaks rounded-score ties on ascending
+    right-id — the same (sim DESC, id ASC) rule as the downstream
+    rank window, which is what makes the per-block top-k union a
+    SUPERSET of the true per-query top-k (see lsh_bucketed_topk's
+    derivation).
+
+    ``exclude_eq`` (two-sided only) masks ``left_id == right_id``
+    cells BEFORE the top-k selection — the self-pair exclusion an ANN
+    probe-subset-of-corpus caller needs; filtering after the fact
+    would let a self pair (cos = 1) crowd a real candidate out of the
+    per-block top-k."""
     if quantize not in ("round6", "floorq"):
         raise ValueError(f"quantize must be round6|floorq, got {quantize!r}")
     if quantize == "floorq" and threshold is not None:
         raise ValueError("floorq mode emits all candidates; threshold must be None")
-    if topk is not None and (quantize != "floorq" or right is None):
-        raise ValueError("topk reduction is defined for floorq two-sided mode only")
+    if topk is not None and right is None:
+        raise ValueError("topk reduction is defined for two-sided modes only")
+    if quantize == "round6" and threshold is None and topk is None:
+        raise ValueError(
+            "round6 without topk emits the full candidate product;"
+            " pass a threshold (verify mode) or topk (serving mode)"
+        )
+    if exclude_eq and right is None:
+        raise ValueError(
+            "exclude_eq is a two-sided rule; self mode already emits"
+            " only the strict upper triangle"
+        )
     import numpy as np
 
     self_mode = right is None
@@ -791,6 +880,7 @@ def lsh_bucket_gemm_scored(
     def _score_group(g):
         import pandas as pd
 
+        _warn_oversized_gemm_group(len(g))
         tagged_arms = "_r" in g.columns
         if self_mode:
             m = len(g)
@@ -867,19 +957,40 @@ def lsh_bucket_gemm_scored(
             i1 = min(i0 + block, len(lids))
             raw = (L[i0:i1] @ R.T) / np.outer(ln[i0:i1], rn)
             if quantize == "round6":
-                ida = np.repeat(lids[i0:i1], mr)
-                idb = np.tile(rids, i1 - i0)
-                vals = np.round(raw.reshape(-1), 6)
-                keep = vals >= threshold
+                vals = np.round(raw, 6)
+                mask = np.ones(raw.shape, dtype=bool)
                 if tagged_arms:
-                    ta = np.repeat(ltags[i0:i1], mr)
-                    tc = np.tile(rtags, i1 - i0)
-                    keep &= (ta < tc) | ((ta == 0) & (tc == 0))
+                    ta = ltags[i0:i1][:, None]
+                    tc = rtags[None, :]
+                    mask &= (ta < tc) | ((ta == 0) & (tc == 0))
                 if require_lt:
-                    keep &= ida < idb
-                la.append(ida[keep])
-                lb.append(idb[keep])
-                ls.append(vals[keep])
+                    mask &= lids[i0:i1][:, None] < rids[None, :]
+                if exclude_eq:
+                    mask &= lids[i0:i1][:, None] != rids[None, :]
+                if threshold is not None:
+                    mask &= vals >= threshold
+                if topk is None:
+                    rows, cols = np.nonzero(mask)
+                    la.append(lids[rows + i0])
+                    lb.append(rids[cols])
+                    ls.append(vals[rows, cols])
+                    continue
+                # round6 ROW-wise partial top-k (the ANN serving
+                # shape): rows are the probe arm; columns are
+                # id-sorted, so the stable argsort on -vals breaks
+                # rounded-score ties on ascending neighbor id —
+                # matching the downstream rank window's tie rule,
+                # which is what makes each block's row top-k contain
+                # every global-top-k member present in the block.
+                vals = np.where(mask, vals, -np.inf)
+                kk = min(topk, vals.shape[1])
+                ridx = np.argsort(-vals, axis=1, kind="stable")[:, :kk]
+                rrow = np.repeat(np.arange(vals.shape[0]), kk)
+                rcol = ridx.reshape(-1)
+                rkeep = np.isfinite(vals[rrow, rcol])
+                la.append(lids[rrow[rkeep] + i0])
+                lb.append(rids[rcol[rkeep]])
+                ls.append(vals[rrow[rkeep], rcol[rkeep]])
                 continue
             q = np.floor(raw * 1e6 + 0.5).astype(np.int64)
             if tagged_arms:
@@ -1040,6 +1151,19 @@ def cosine_neardup_lsh_verified(
     ``probes`` requires ``probe_bits=2`` — at lower radii the output
     already restricts by a pushed-down filter, no dedicated arm
     needed.
+
+    PRECONDITION on the probes form (ADVICE r17): pairs emit with the
+    probe arm on the LEFT under ``require_lt``, so a pair (c, p) with
+    c < p where c is in the corpus but NOT in the probe set is
+    dropped from both orientations.  The form is therefore correct
+    only for PREFIX-style probe subsets (every corpus id below
+    max(probe ids) is itself a probe — e.g. ``vec_id < N``) or for
+    probes == corpus; both current callers
+    (scripts/r17_neardup_scale.py's per-decade audits and the
+    probes-form-equals-self-form pytest) satisfy it.  An arbitrary
+    probe subset needs both orientations emitted and canonicalized —
+    extend the kernel call before reusing this form for general
+    targeted mining.
     """
     if probes is not None and probe_bits != 2:
         raise ValueError("probes subset form requires probe_bits=2")
@@ -1278,6 +1402,7 @@ def lsh_bucketed_topk(
     n_planes: int = 6,
     n_tables: int = 2,
     dim: int = 64,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Approximate cosine top-k: sign-LSH bucket join + exact re-rank.
 
@@ -1286,7 +1411,51 @@ def lsh_bucketed_topk(
     corpus size, no cross join anywhere.  Output contract matches
     :func:`cosine_topk`; recall vs the exact baseline is a test
     property, not a constant.
+
+    TWO physical strategies, output-identical (modulo the accepted
+    cosine_topk_arrow round-6 ulp class), each optimal in its regime
+    — measured, r18, not guessed: the naive "GEMM everywhere" port
+    regressed the 10-probe serving entry 1.7x at sf0.1 because it
+    moved the whole vector-carrying corpus arm through an exchange to
+    score a probe-bounded candidate set:
+
+    - ``strategy="broadcast"`` (default — the SERVING regime, probe
+      count << corpus): probe signatures broadcast against the
+      corpus's signature stream, candidate IDs collapse via distinct,
+      vectors re-attach through two broadcast joins, and the JVM fold
+      scores |candidates| ~= |probes| x T x occupancy dots.  The
+      corpus NEVER shuffles; per-query cost is constant in corpus
+      size.  The fold is never the wall here because candidates are
+      probe-bounded by construction.
+    - ``strategy="gemm"`` (the BATCH regime, probe count ~ corpus —
+      k-NN graph builds, all-corpus re-ranking): at batch scale the
+      probe signature set no longer broadcasts and the per-candidate
+      fold becomes the measured CPU wall (the r16 bitext numbers:
+      ~10 us per candidate-core).  Vectors ride the single
+      (table, sig) hash exchange AT STORAGE TYPE attached to the
+      signature rows, each bucket's block is one numpy matmul
+      (:func:`lsh_bucket_gemm_scored`), and only each block's
+      per-query ROW-wise top-k survives the Arrow boundary — emitted
+      volume (probe-bucket-rows x k), never candidate-quadratic.
+
+    Output preservation of the gemm strategy (the broadcast shape is
+    what the DuckDB oracle replays): a neighbor in a query's TRUE
+    global top-k — ordered by (round6 sim DESC, neighbor_id ASC) over
+    the distinct candidate union — is beaten by fewer than k
+    candidates globally, hence by fewer than k inside any single
+    bucket block where the pair appears (a bucket's candidates are
+    distinct neighbors; blocks span full bucket columns), so with the
+    kernel's matching tie-break it survives every block's row top-k
+    and the union is a SUPERSET of the true top-k set; the final rank
+    window reproduces the exact ranking over that superset.
+    Cross-bucket duplicates dedupe BY PAIR with max(sim) before
+    ranking (the near-dup miner's ulp-boundary guard), and self pairs
+    are masked IN-KERNEL (``exclude_eq`` — a post-hoc filter would
+    let the cos=1 self pair crowd a real candidate out of a block
+    top-k where the broadcast shape excludes it before scoring).
     """
+    if strategy not in ("broadcast", "gemm"):
+        raise ValueError(f"strategy must be broadcast|gemm, got {strategy!r}")
     # Signatures via the shared one-matmul Arrow kernel
     # (:func:`lsh_signatures`, VERDICT r15 #4): one BLAS call per
     # batch emits all tables' signatures — no plane join, no groupBy
@@ -1297,43 +1466,69 @@ def lsh_bucketed_topk(
             df, id_col, f"{role}_id", vec_col, n_planes, n_tables, dim
         )
 
-    # Candidate IDs only — the old form ran distinct() over full
-    # vector payloads, shuffling and comparing every candidate's two
-    # 64-dim arrays; id pairs shuffle 16 bytes and the vectors are
-    # re-attached after dedup.
-    cand = (
-        sigs(corpus, "neighbor")
-        .join(F.broadcast(sigs(probes, "query")), ["table_id", "sig"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    # Candidates are bounded by |probes| x bucket occupancy — small by
-    # the probe-side contract (same argument as cosine_topk's probe
-    # collect at similarity.py:214) — so they broadcast against the
-    # corpus: vector re-attachment costs one corpus scan, no shuffle.
-    qv = probes.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_queryv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
-    )
-    nv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_neighborv"),
-        l2_norm(F.col(vec_col)).alias("_nn"),
-    )
-    scored = (
-        nv.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn(
-            "sim",
-            F.round(
-                dot(F.col("_queryv"), F.col("_neighborv"))
-                / (F.col("_qn") * F.col("_nn")),
-                6,
-            ),
+    if strategy == "gemm":
+        def arm(df: DataFrame, role: str) -> DataFrame:
+            # vectors ride the exchange at storage type (float32
+            # halves the byte term); the GEMM kernel upcasts — exact
+            v = df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias("_v"),
+            )
+            return sigs(df, role).join(v, f"{role}_id").withColumnRenamed(
+                f"{role}_id", "_id"
+            )
+
+        pairs = lsh_bucket_gemm_scored(
+            arm(probes, "query"),
+            arm(corpus, "neighbor"),
+            "query_id",
+            "neighbor_id",
+            quantize="round6",
+            topk=k,
+            exclude_eq=True,
         )
-    )
+        scored = pairs.groupBy("query_id", "neighbor_id").agg(
+            F.max("sim").alias("sim")
+        )
+    else:
+        # Candidate IDs only — scoring the join output directly would
+        # shuffle and compare every candidate's two 64-dim arrays; id
+        # pairs shuffle 16 bytes and the vectors are re-attached
+        # after dedup.
+        cand = (
+            sigs(corpus, "neighbor")
+            .join(F.broadcast(sigs(probes, "query")), ["table_id", "sig"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        # Candidates are bounded by |probes| x bucket occupancy —
+        # small by the probe-side contract (same argument as
+        # cosine_topk's probe collect at similarity.py:214) — so they
+        # broadcast against the corpus: vector re-attachment costs
+        # one corpus scan, no shuffle.
+        qv = probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_queryv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        )
+        nv = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_neighborv"),
+            l2_norm(F.col(vec_col)).alias("_nn"),
+        )
+        scored = (
+            nv.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn(
+                "sim",
+                F.round(
+                    dot(F.col("_queryv"), F.col("_neighborv"))
+                    / (F.col("_qn") * F.col("_nn")),
+                    6,
+                ),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

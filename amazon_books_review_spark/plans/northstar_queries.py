@@ -1532,6 +1532,14 @@ LSH_TOPK_MAX_PLANES = 24
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING tier: sign-LSH buckets + exact re-rank at a small
+    probe count — stays on lsh_bucketed_topk's "broadcast" strategy
+    (probe sigs broadcast, corpus never shuffles, candidates
+    probe-bounded).  r18 measured the naive GEMM port of this entry
+    1.7x SLOWER at sf0.1: with 10 probes the fold was never the wall,
+    and the batch exchange moved the whole vector-carrying corpus arm
+    to score a probe-bounded candidate set.  The GEMM strategy serves
+    the BATCH regime instead (`similarity_lsh_knngraph`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nb = similarity.lsh_planes_for(
@@ -1545,11 +1553,44 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_topk_oracle() -> str:
+def similarity_lsh_knngraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: the approximate k-NN GRAPH — every corpus vector
+    probes (the training-data regime: graph-based dedup, connectivity
+    features, diversity sampling).  This is the regime the r18 GEMM
+    port of lsh_bucketed_topk exists for (VERDICT r17 #1): at
+    probes ~ corpus the probe signature set no longer broadcasts and
+    the per-candidate JVM fold is the measured CPU wall (the r16
+    bitext numbers), so strategy="gemm" routes vectors through ONE
+    (table, sig) hash exchange at storage type, scores each bucket's
+    block with a numpy matmul, and emits only per-block row-wise
+    top-k (kernel superset proof in lsh_bucketed_topk's docstring).
+    Same self-sizing constants as the serving tier; same
+    candidate-OVERSAMPLING quality contract (recall targeting is the
+    miners' job — lsh_topk_overlap_audit records the serving tier's
+    overlap so the contract can't silently drift)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nb = similarity.lsh_planes_for(
+        n, LSH_TOPK_OCC,
+        min_planes=LSH_TOPK_MIN_PLANES, max_planes=LSH_TOPK_MAX_PLANES,
+    )
+    return similarity.lsh_bucketed_topk(
+        emb, emb, "vec_id", "embedding",
+        k=TOPK_K, n_planes=nb, n_tables=LSH_TABLES, dim=EMB_DIM,
+        strategy="gemm",
+    )
+
+
+def _lsh_topk_oracle(
+    probe_pred: str = f"p.vec_id < {N_PROBES} AND ",
+) -> str:
     """Sign-LSH oracle with the SAME md5-derived hyperplane constants
     (similarity.deterministic_planes), inlined as SQL arrays — the
     MAX_PLANES prefix-stable family masked down to the count-derived
-    plane width (the self-sizing replay, same as the near-dup tier)."""
+    plane width (the self-sizing replay, same as the near-dup tier).
+    ``probe_pred`` selects the probe side: the serving default limits
+    probes to the first N_PROBES ids; the empty string is the batch
+    k-NN-graph form (every vector probes)."""
     table_sigs = []
     for t in range(LSH_TABLES):
         planes = similarity.deterministic_planes(
@@ -1582,7 +1623,7 @@ WITH params AS (
     SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
     FROM signed p
     JOIN signed c ON p.table_id = c.table_id AND p.sig = c.sig
-    WHERE p.vec_id < {N_PROBES} AND c.vec_id <> p.vec_id
+    WHERE {probe_pred}c.vec_id <> p.vec_id
 ), scored AS (
     SELECT query_id, neighbor_id,
            round(list_inner_product(pq.e, cv.e) / (pq.nrm * cv.nrm), 6) AS sim
@@ -3541,6 +3582,9 @@ NORTHSTAR_QUERIES = [
      "same query, numpy/Arrow mapInPandas strategy (per-task partial top-k)"),
     ("similarity_lsh_topk", similarity_lsh_topk, _lsh_topk_oracle(),
      "sign-LSH bucketed ANN top-5 (md5-derived hyperplanes)"),
+    ("similarity_lsh_knngraph", similarity_lsh_knngraph, _lsh_topk_oracle(""),
+     "batch ANN k-NN graph: every vector probes; per-bucket GEMM + "
+     "row-wise partial top-k (the batch-regime strategy)"),
     ("gopher_repetition_rules", gopher_repetition_rules, GOPHER_REPETITION_ORACLE,
      "Gopher repetition filters: top/dup n-gram char mass + dup lines, one gram shuffle"),
     ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,

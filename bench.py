@@ -322,6 +322,11 @@ HEADLINE += [
     # explode + per-bucket GEMM) — the past-the-clamp scale path
     # pinned to parity scale (VERDICT r16 #1).
     "embedding_neardup_lsh_probe2",
+    # round-18: batch ANN k-NN graph — the GEMM strategy of
+    # lsh_bucketed_topk (VERDICT r17 #1); the serving entry
+    # (similarity_lsh_topk) stays on the broadcast strategy it
+    # benches above.
+    "similarity_lsh_knngraph",
 ]
 
 

@@ -229,9 +229,15 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # eval-gram probe + hits re-join are broadcast; corpus never shuffles
     "decontam_against_eval": (8, 4, 0),
     "training_shard_manifest": (2, 0, 0),
-    # the 2 BNLJs are the intended broadcast plane fan-outs (corpus +
-    # probes signature stages)
-    "similarity_lsh_topk": (18, 6, 4),
+    # serving (broadcast) strategy: probe sigs + candidates + vector
+    # re-attachments are all BHJs, corpus never shuffles; the old
+    # 18-Exchange/2-BNLJ budget predates the r15 signature kernel
+    "similarity_lsh_topk": (10, 6, 0),
+    # r18 batch (gemm) strategy: vectors attach to both arms (2 BHJ
+    # pairs), ONE (table, sig) hash exchange feeds the mapInPandas
+    # kernel, then the pair-dedupe agg + rank window — no BNLJ, no
+    # candidate re-attachment joins
+    "similarity_lsh_knngraph": (10, 4, 0),
     "jsonl_corpus_roundtrip": (0, 0, 0),
     "orc_lineitem_roundtrip": (2, 0, 0),
     "multimodal_decode_meta": (0, 0, 0),

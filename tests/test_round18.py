@@ -1,0 +1,228 @@
+"""Round-18 pins: the GEMM port of the ANN top-k tier (VERDICT r17
+#1) — strategy dichotomy equivalence, the round6 row-wise partial
+top-k kernel mode, and the ADVICE-r17 hardening (plan-band errors,
+recall-target validation, the degenerate-bucket guard).  Equivalences
+are computed by degenerate-setting identity or an independent numpy
+replica, never by the DuckDB oracle's algorithm replay."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+
+from amazon_books_review_spark.functions import similarity
+
+
+def _fixture(n=160, dim=16, seed=181):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    # plant near-duplicate clusters so top-k has real structure
+    for base in range(0, n, 20):
+        for j in range(1, 4):
+            if base + j < n:
+                v[base + j] = v[base] + rng.normal(scale=0.05, size=dim)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    v = _fixture()
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(len(v))]
+    return v, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strategy dichotomy: broadcast (serving) and gemm (batch) are two
+# physical plans for ONE logical query — rows must match exactly.
+
+
+def _topk_rows(df):
+    return {
+        (r.query_id, r.neighbor_id, r.rank, r.sim) for r in df.collect()
+    }
+
+
+def test_topk_strategies_identical_small_probes(spark, emb_df):
+    v, df = emb_df
+    probes = df.filter("vec_id < 12")
+    kw = dict(k=4, n_planes=4, n_tables=3, dim=v.shape[1])
+    bc = similarity.lsh_bucketed_topk(
+        df, probes, "vec_id", "embedding", strategy="broadcast", **kw
+    )
+    gm = similarity.lsh_bucketed_topk(
+        df, probes, "vec_id", "embedding", strategy="gemm", **kw
+    )
+    assert _topk_rows(bc) == _topk_rows(gm)
+
+
+def test_topk_strategies_identical_batch(spark, emb_df):
+    # probes == corpus: the k-NN-graph regime the gemm strategy
+    # exists for — full-batch identity against the broadcast shape
+    v, df = emb_df
+    kw = dict(k=3, n_planes=4, n_tables=2, dim=v.shape[1])
+    bc = similarity.lsh_bucketed_topk(
+        df, df, "vec_id", "embedding", strategy="broadcast", **kw
+    )
+    gm = similarity.lsh_bucketed_topk(
+        df, df, "vec_id", "embedding", strategy="gemm", **kw
+    )
+    assert _topk_rows(bc) == _topk_rows(gm)
+
+
+def test_topk_gemm_matches_numpy_replica(spark, emb_df):
+    # independent replica: same md5 planes, numpy bucket join + rank
+    v, df = emb_df
+    k, b, t = 4, 4, 2
+    n = len(v)
+    cand = set()
+    for table in range(t):
+        planes = np.array(similarity.deterministic_planes(b, v.shape[1], table))
+        sigs = ((v @ planes.T) >= 0) @ (1 << np.arange(b))
+        for s in np.unique(sigs):
+            members = np.flatnonzero(sigs == s)
+            for q in members:
+                for c in members:
+                    if q != c:
+                        cand.add((int(q), int(c)))
+    sims = np.round(v @ v.T, 6)
+    want = set()
+    for q in range(n):
+        neigh = sorted(
+            (c for (qq, c) in cand if qq == q),
+            key=lambda c: (-sims[q, c], c),
+        )[:k]
+        want |= {
+            (q, c, r + 1, sims[q, c]) for r, c in enumerate(neigh)
+        }
+    got = similarity.lsh_bucketed_topk(
+        df, df, "vec_id", "embedding",
+        k=k, n_planes=b, n_tables=t, dim=v.shape[1], strategy="gemm",
+    )
+    assert _topk_rows(got) == want
+
+
+def test_topk_strategy_validation(spark, emb_df):
+    v, df = emb_df
+    with pytest.raises(ValueError, match="broadcast|gemm"):
+        similarity.lsh_bucketed_topk(
+            df, df, "vec_id", "embedding", strategy="bogus"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-mode pins: round6 row-wise top-k
+
+
+def test_kernel_round6_topk_mode_validation(spark, emb_df):
+    v, df = emb_df
+    arm = df.selectExpr(
+        "vec_id AS _id", "0 AS table_id", "0 AS sig", "embedding AS _v"
+    )
+    # round6 with neither threshold nor topk: quadratic emit refused
+    with pytest.raises(ValueError, match="threshold.*topk|topk.*threshold"):
+        similarity.lsh_bucket_gemm_scored(
+            arm, arm, "a", "b", quantize="round6"
+        )
+    # topk is two-sided only
+    with pytest.raises(ValueError, match="two-sided"):
+        similarity.lsh_bucket_gemm_scored(
+            arm, None, "a", "b", quantize="round6", threshold=0.0, topk=3
+        )
+    # exclude_eq is two-sided only
+    with pytest.raises(ValueError, match="two-sided|upper triangle"):
+        similarity.lsh_bucket_gemm_scored(
+            arm, None, "a", "b", quantize="round6", threshold=0.0,
+            exclude_eq=True,
+        )
+
+
+def test_kernel_round6_topk_equals_threshold_emit_ranked(spark, emb_df):
+    # degenerate identity: row-wise top-k over one shared bucket must
+    # equal post-hoc per-row ranking of the emit-all (threshold=-1)
+    # output with the same (sim DESC, id ASC) tie rule
+    v, df = emb_df
+    sub = df.filter("vec_id < 40")
+    arm = sub.selectExpr(
+        "vec_id AS _id", "0 AS table_id", "0 AS sig", "embedding AS _v"
+    )
+    k = 3
+    full = similarity.lsh_bucket_gemm_scored(
+        arm, arm, "qa", "qb", quantize="round6", threshold=-1.0,
+        exclude_eq=True,
+    ).collect()
+    by_q = {}
+    for r in full:
+        by_q.setdefault(r.qa, []).append((r.qb, r.sim))
+    want = set()
+    for q, cands in by_q.items():
+        cands.sort(key=lambda cs: (-cs[1], cs[0]))
+        want |= {(q, c, s) for c, s in cands[:k]}
+    got = {
+        (r.qa, r.qb, r.sim)
+        for r in similarity.lsh_bucket_gemm_scored(
+            arm, arm, "qa", "qb", quantize="round6", topk=k,
+            exclude_eq=True,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kernel_round6_threshold_with_topk_composes(spark, emb_df):
+    # threshold + topk: top-k drawn only from at-or-above-threshold
+    # cells (the mask applies before selection)
+    v, df = emb_df
+    sub = df.filter("vec_id < 40")
+    arm = sub.selectExpr(
+        "vec_id AS _id", "0 AS table_id", "0 AS sig", "embedding AS _v"
+    )
+    th, k = 0.2, 2
+    got = similarity.lsh_bucket_gemm_scored(
+        arm, arm, "qa", "qb", quantize="round6", threshold=th, topk=k,
+        exclude_eq=True,
+    ).collect()
+    per_q = {}
+    for r in got:
+        assert r.sim >= th
+        assert r.qa != r.qb
+        per_q[r.qa] = per_q.get(r.qa, 0) + 1
+    assert per_q and max(per_q.values()) <= k
+
+
+# ---------------------------------------------------------------------------
+# ADVICE-r17 hardening
+
+
+def test_adaptive_plan_rejects_recall_100():
+    with pytest.raises(ValueError, match=r"\[0, 100\)"):
+        similarity.lsh_adaptive_plan(0.45, 100)
+
+
+def test_adaptive_plan_accepts_recall_0():
+    plan = similarity.lsh_adaptive_plan(0.45, 0, min_planes=2, max_planes=4)
+    assert all(t == 1 for t, _pb, _cl in plan.by_b.values())
+
+
+def test_plan_checked_out_of_band_is_descriptive():
+    plan = similarity.lsh_adaptive_plan(
+        0.45, 90, min_planes=4, max_planes=8
+    )
+    with pytest.raises(ValueError, match=r"\[4, 8\]"):
+        similarity.lsh_plan_checked(plan, 12)
+    with pytest.raises(ValueError, match="bounds"):
+        similarity.lsh_plan_checked(plan, 3)
+
+
+def test_gemm_group_guard_warns_only_past_threshold():
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity._warn_oversized_gemm_group(
+            similarity._GEMM_GROUP_WARN_ROWS
+        )
+    with pytest.warns(RuntimeWarning, match="degenerate bucket"):
+        similarity._warn_oversized_gemm_group(
+            similarity._GEMM_GROUP_WARN_ROWS + 1
+        )
