@@ -734,6 +734,37 @@ _GEMM_BLOCK_ELEMS = 1 << 22
 _GEMM_GROUP_WARN_ROWS = 1 << 17
 
 
+def lsh_local_probe_split(
+    n_planes: int,
+    n_tables: int,
+    parallelism: int,
+    min_keys_factor: int = 2,
+) -> int:
+    """Derive ``local_probe_bits`` (f) for the partition-local
+    multiprobe transport: keep the f LOW sig bits partition-local
+    (zero exchange fan-out for their flips) while leaving enough
+    DISTINCT partition keys — ``n_tables * 2^(b - f)`` — to feed the
+    cluster, i.e. at least ``min_keys_factor * parallelism``.  The
+    result is the LARGEST such f (smallest exchange), clamped to
+    [0, b].  Pure integer arithmetic; like ``lsh_planes_for`` this is
+    a capacity decision derived from declared budgets, never
+    inherited from a smaller run — f only changes WHERE probe rows
+    are expanded, never which buckets exist, so any f is
+    output-identical (kernel contract)."""
+    if n_planes < 1 or n_tables < 1 or parallelism < 1:
+        raise ValueError(
+            f"need positive sizes, got (b={n_planes}, T={n_tables},"
+            f" P={parallelism})"
+        )
+    g = 0
+    while (
+        g < n_planes
+        and n_tables * (1 << g) < min_keys_factor * parallelism
+    ):
+        g += 1
+    return n_planes - g
+
+
 def _warn_oversized_gemm_group(n_rows: int) -> None:
     """The group-size guard's warning, module-level so pytest can pin
     the threshold logic directly (the closure it guards runs in the
@@ -765,6 +796,8 @@ def lsh_bucket_gemm_scored(
     require_lt: bool = False,
     topk: int | None = None,
     exclude_eq: bool = False,
+    symmetric_probe_planes: int | None = None,
+    local_probe_bits: int = 0,
 ) -> DataFrame:
     """Score every within-bucket candidate pair with a per-bucket
     numpy GEMM — the scoring half of the LSH bucket join, moved from
@@ -837,7 +870,30 @@ def lsh_bucket_gemm_scored(
     cells BEFORE the top-k selection — the self-pair exclusion an ANN
     probe-subset-of-corpus caller needs; filtering after the fact
     would let a self pair (cos = 1) crowd a real candidate out of the
-    per-block top-k."""
+    per-block top-k.
+
+    PARTITION-LOCAL MULTIPROBE (r18 — the wall VERDICT r17 #7 named):
+    with ``symmetric_probe_planes=b`` the arms arrive UNEXPLODED and
+    the kernel performs the tagged radius-1 explode itself, split at
+    ``local_probe_bits=f``: a flip of one of the f LOW sig bits keeps
+    the partition key ``(table_id, sig >> f)`` unchanged, so those
+    probe rows are expanded INSIDE the Python worker after the
+    exchange — only the base row plus its (b - f) HIGH-bit flips ship
+    (fan-out 1 + b - f instead of 1 + b), and the vector crosses the
+    exchange up to (1 + b - f) times instead of (1 + b).  The JVM
+    sort of exploded rows disappears too: the worker accumulates its
+    partition, expands, lexsorts the NARROW (table, sig, tag, row)
+    arrays (vectors stay one un-duplicated matrix), and walks bucket
+    groups in key order feeding the SAME _score_group — the per-bucket
+    probe-row multiset is identical for every f, so outputs are
+    byte-identical across the split (pytest-pinned), and f is a pure
+    capacity knob: r17's emit shape is f=0; f=b partitions by table
+    alone.  At 500k/side bitext (b=14, T=23) the exploded exchange
+    was headed for ~100 GB of vector-carrying shuffle — past the
+    local disk; f=11 ships 3 copies, not 15.  Memory contract: one
+    partition's base rows live in the worker at once (~(1+b-f) *
+    2n*T/(T*2^(b-f)) rows) — derive f from a row budget via
+    :func:`lsh_local_probe_split`."""
     if quantize not in ("round6", "floorq"):
         raise ValueError(f"quantize must be round6|floorq, got {quantize!r}")
     if quantize == "floorq" and threshold is not None:
@@ -854,6 +910,28 @@ def lsh_bucket_gemm_scored(
             "exclude_eq is a two-sided rule; self mode already emits"
             " only the strict upper triangle"
         )
+    if symmetric_probe_planes is not None:
+        if symmetric_probe_planes < 1:
+            raise ValueError(
+                f"symmetric_probe_planes must be >= 1, got"
+                f" {symmetric_probe_planes}"
+            )
+        if not (0 <= local_probe_bits <= symmetric_probe_planes):
+            raise ValueError(
+                f"local_probe_bits must be in [0, {symmetric_probe_planes}],"
+                f" got {local_probe_bits}"
+            )
+        if "_r" in left.columns or (
+            right is not None and "_r" in right.columns
+        ):
+            raise ValueError(
+                "symmetric_probe_planes explodes in-kernel; pass"
+                " UNEXPLODED arms (no _r column)"
+            )
+    elif local_probe_bits:
+        raise ValueError(
+            "local_probe_bits requires symmetric_probe_planes"
+        )
     import numpy as np
 
     self_mode = right is None
@@ -868,9 +946,29 @@ def lsh_bucket_gemm_scored(
         tagged = left.withColumn("_side", F.lit(0)).unionByName(
             right.withColumn("_side", F.lit(1))
         )
-    tagged = tagged.repartition("table_id", "sig").sortWithinPartitions(
-        "table_id", "sig"
-    )
+    if symmetric_probe_planes is None:
+        tagged = tagged.repartition("table_id", "sig").sortWithinPartitions(
+            "table_id", "sig"
+        )
+    else:
+        # partition-local multiprobe transport: ship the base row and
+        # its HIGH-bit flips only; every target bucket of a shipped
+        # copy shares the (table_id, sig >> f) partition key, so the
+        # f LOW-bit flips expand after the exchange, in the worker
+        b, f = symmetric_probe_planes, local_probe_bits
+        tagged = tagged.withColumn(
+            "_hf",
+            F.explode(
+                F.array(F.lit(-1), *[F.lit(p) for p in range(f, b)])
+            ),
+        ).withColumn(
+            "_m",
+            F.expr(
+                "shiftrightunsigned(CASE WHEN _hf < 0 THEN sig"
+                f" ELSE sig ^ cast(shiftleft(1L, _hf) as long) END, {f})"
+            ),
+        )
+        tagged = tagged.repartition("table_id", "_m")
     score_col = "sim" if quantize == "round6" else "cos_q"
     out_schema = (
         f"{out_left} long, {out_right} long, "
@@ -1079,7 +1177,68 @@ def lsh_bucket_gemm_scored(
             if out is not None:
                 yield out
 
-    return tagged.mapInPandas(_score, schema=out_schema)
+    if symmetric_probe_planes is None:
+        return tagged.mapInPandas(_score, schema=out_schema)
+
+    f = local_probe_bits
+
+    def _score_local(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        sig = pdf["sig"].to_numpy()
+        tid = pdf["table_id"].to_numpy()
+        hfv = pdf["_hf"].to_numpy().astype(np.int64)
+        base = np.flatnonzero(hfv < 0)
+        high = np.flatnonzero(hfv >= 0)
+        # expand: base copy -> tag 0 + the f partition-local flips;
+        # high-flip copy p -> tag p+1 only.  Same probe-row multiset
+        # per bucket as hamming1_probes_tagged for every f.
+        idxs = [base]
+        sigs_ = [sig[base]]
+        tags = [np.zeros(len(base), np.int64)]
+        for p in range(f):
+            idxs.append(base)
+            sigs_.append(sig[base] ^ np.int64(1 << p))
+            tags.append(np.full(len(base), p + 1, np.int64))
+        if len(high):
+            idxs.append(high)
+            sigs_.append(sig[high] ^ (np.int64(1) << hfv[high]))
+            tags.append(hfv[high] + 1)
+        ridx = np.concatenate(idxs)
+        esig = np.concatenate(sigs_)
+        etag = np.concatenate(tags)
+        etid = tid[ridx]
+        order = np.lexsort((esig, etid))
+        ridx, esig, etag, etid = (
+            ridx[order], esig[order], etag[order], etid[order],
+        )
+        bounds = np.flatnonzero(
+            (etid[1:] != etid[:-1]) | (esig[1:] != esig[:-1])
+        ) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ridx)]])
+        ids = pdf["_id"].to_numpy()
+        vs = pdf["_v"].to_numpy()
+        sides = pdf["_side"].to_numpy() if "_side" in pdf.columns else None
+        for s, e in zip(starts, ends):
+            sel = ridx[s:e]
+            g = pd.DataFrame({"_id": ids[sel], "_v": vs[sel]})
+            g["_r"] = etag[s:e]
+            if sides is not None:
+                g["_side"] = sides[sel]
+            out = _score_group(g)
+            if out is not None:
+                yield out
+
+    return tagged.mapInPandas(_score_local, schema=out_schema)
 
 
 def cosine_neardup_lsh_verified(
@@ -1178,13 +1337,20 @@ def cosine_neardup_lsh_verified(
         )
         corpus_arm = sigs.join(v, "id").withColumnRenamed("id", "_id")
         if probes is None:
-            # flip-origin tags => each surviving pair emits once per
-            # table, not once per shared probe bucket (up to 1+b for
-            # the dominant same-bucket mass)
-            arm = hamming1_probes_tagged(corpus_arm, n_planes)
+            # symmetric radius-1 with flip-origin tags, exploded
+            # IN-KERNEL via the partition-local multiprobe transport
+            # (r18): only the high-bit flips ship through the
+            # (table, sig >> f) exchange; the canonical tag rule still
+            # emits each surviving pair once per table
+            f = lsh_local_probe_split(
+                n_planes,
+                n_tables,
+                corpus.sparkSession.sparkContext.defaultParallelism,
+            )
             pairs = lsh_bucket_gemm_scored(
-                arm, None, "id_a", "id_b",
+                corpus_arm, None, "id_a", "id_b",
                 quantize="round6", threshold=threshold, require_lt=True,
+                symmetric_probe_planes=n_planes, local_probe_bits=f,
             )
         else:
             psigs = lsh_signatures(
@@ -1798,14 +1964,23 @@ def margin_bitext_pairs_lsh(
     )
     src_arm = sigs_s.join(s, "src_id").withColumnRenamed("src_id", "_id")
     tgt_arm = sigs_t.join(t, "tgt_id").withColumnRenamed("tgt_id", "_id")
+    sym_planes, local_bits = None, 0
     if probe_bits == 2:
-        # symmetric radius-1 with flip-origin tags: the canonical
-        # (a, c) rule in the GEMM kernel emits each candidate pair
-        # once per table — without it, same-bucket pairs (the
-        # dominant mass) would emit into the margin dedupe once per
-        # shared probe bucket, up to (1+b) times
-        src_arm = hamming1_probes_tagged(src_arm, n_planes)
-        tgt_arm = hamming1_probes_tagged(tgt_arm, n_planes)
+        # symmetric radius-1 with flip-origin tags, exploded
+        # IN-KERNEL via the partition-local multiprobe transport
+        # (r18, the VERDICT r17 #7 wall): at 500k/side the JVM-side
+        # (1+b)-fold tagged explode was headed for ~100 GB of
+        # vector-carrying exchange — past the local disk; with the
+        # split, only the base row and its (b-f) high-bit flips ship
+        # and the f low-bit flips expand in the worker.  The
+        # canonical (a, c) tag rule is unchanged: each candidate
+        # pair still emits once per table.
+        sym_planes = n_planes
+        local_bits = lsh_local_probe_split(
+            n_planes,
+            n_tables,
+            src.sparkSession.sparkContext.defaultParallelism,
+        )
     elif probe_bits == 1:
         src_arm = hamming1_probes(src_arm, n_planes)
     # Dedupe BY PAIR (max cos_q), not distinct triples: GEMM summation
@@ -1818,7 +1993,8 @@ def margin_bitext_pairs_lsh(
     # unions preserve the output exactly while the margin shuffle
     # stays (rows x k) instead of candidate-sized.
     scored = lsh_bucket_gemm_scored(
-        src_arm, tgt_arm, "src_id", "tgt_id", quantize="floorq", topk=k
+        src_arm, tgt_arm, "src_id", "tgt_id", quantize="floorq", topk=k,
+        symmetric_probe_planes=sym_planes, local_probe_bits=local_bits,
     ).groupBy("src_id", "tgt_id").agg(F.max("cos_q").alias("cos_q"))
     return _margin_from_scored(scored, k, margin_threshold)
 

@@ -117,7 +117,11 @@ def test_hardneg_wall_decade_recall_holds_floor(name):
     if d is None:
         pytest.skip(f"{name} not generated yet")
     assert d["probe_bits"] == 2
-    assert d["recall_pct"] >= DECLARED_FLOOR_PCT
+    # VERDICT r17 #5: gate at the MEASURED claim (96.6 / 96.5,
+    # flat past the clamp), not just the design floor — a regression
+    # to 86% would still clear 85 while silently breaking the
+    # "hardneg recall is flat at scale" finding
+    assert d["recall_pct"] >= 95
 
 
 def test_bitext_gemm_rerun_mined_byte_identical_pairs():

@@ -216,6 +216,115 @@ def test_plan_checked_out_of_band_is_descriptive():
         similarity.lsh_plan_checked(plan, 3)
 
 
+# ---------------------------------------------------------------------------
+# Partition-local multiprobe: f is a pure transport knob — outputs
+# must be byte-identical across the split, in both kernel modes.
+
+
+def _sig_arm(df, b, t, dim, out):
+    from amazon_books_review_spark.functions.similarity import lsh_signatures
+    from pyspark.sql import functions as F
+
+    sigs = lsh_signatures(df, "vec_id", out, "embedding", b, t, dim)
+    v = df.select(F.col("vec_id").alias(out), F.col("embedding").alias("_v"))
+    return sigs.join(v, out).withColumnRenamed(out, "_id")
+
+
+@pytest.mark.parametrize("f", [0, 2, 4])
+def test_local_probe_split_identical_self_round6(spark, emb_df, f):
+    v, df = emb_df
+    b, t = 4, 3
+    arm = _sig_arm(df, b, t, v.shape[1], "id")
+    got = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.lsh_bucket_gemm_scored(
+            arm, None, "id_a", "id_b",
+            quantize="round6", threshold=0.45, require_lt=True,
+            symmetric_probe_planes=b, local_probe_bits=f,
+        ).groupBy("id_a", "id_b").agg({"sim": "max"})
+        .withColumnRenamed("max(sim)", "sim").collect()
+    }
+    # reference: the r17 JVM-side tagged explode (f is transport only)
+    from amazon_books_review_spark.functions.similarity import (
+        hamming1_probes_tagged,
+    )
+
+    want = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.lsh_bucket_gemm_scored(
+            hamming1_probes_tagged(arm, b), None, "id_a", "id_b",
+            quantize="round6", threshold=0.45, require_lt=True,
+        ).groupBy("id_a", "id_b").agg({"sim": "max"})
+        .withColumnRenamed("max(sim)", "sim").collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("f", [0, 2, 4])
+def test_local_probe_split_identical_twosided_floorq_topk(spark, emb_df, f):
+    v, df = emb_df
+    b, t, k = 4, 2, 3
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    sa = _sig_arm(src, b, t, v.shape[1], "src_id")
+    ta = _sig_arm(tgt, b, t, v.shape[1], "tgt_id")
+    def dedup(pairs):
+        return {
+            (r.src_id, r.tgt_id, r.cos_q)
+            for r in pairs.groupBy("src_id", "tgt_id")
+            .agg({"cos_q": "max"})
+            .withColumnRenamed("max(cos_q)", "cos_q").collect()
+        }
+    got = dedup(similarity.lsh_bucket_gemm_scored(
+        sa, ta, "src_id", "tgt_id", quantize="floorq", topk=k,
+        symmetric_probe_planes=b, local_probe_bits=f,
+    ))
+    from amazon_books_review_spark.functions.similarity import (
+        hamming1_probes_tagged,
+    )
+    want = dedup(similarity.lsh_bucket_gemm_scored(
+        hamming1_probes_tagged(sa, b), hamming1_probes_tagged(ta, b),
+        "src_id", "tgt_id", quantize="floorq", topk=k,
+    ))
+    assert got == want
+
+
+def test_local_probe_split_validation(spark, emb_df):
+    v, df = emb_df
+    arm = _sig_arm(df, 4, 2, v.shape[1], "id")
+    with pytest.raises(ValueError, match="local_probe_bits"):
+        similarity.lsh_bucket_gemm_scored(
+            arm, None, "a", "b", quantize="round6", threshold=0.4,
+            symmetric_probe_planes=4, local_probe_bits=5,
+        )
+    with pytest.raises(ValueError, match="requires symmetric_probe_planes"):
+        similarity.lsh_bucket_gemm_scored(
+            arm, None, "a", "b", quantize="round6", threshold=0.4,
+            local_probe_bits=2,
+        )
+    from amazon_books_review_spark.functions.similarity import (
+        hamming1_probes_tagged,
+    )
+    with pytest.raises(ValueError, match="UNEXPLODED"):
+        similarity.lsh_bucket_gemm_scored(
+            hamming1_probes_tagged(arm, 4), None, "a", "b",
+            quantize="round6", threshold=0.4,
+            symmetric_probe_planes=4,
+        )
+
+
+def test_lsh_local_probe_split_rule():
+    # largest f leaving >= min_keys_factor * parallelism keys
+    # T=23, P=32: need >= 64 keys; 23*2^2 = 92 -> g=2 -> f=b-2
+    assert similarity.lsh_local_probe_split(14, 23, 32) == 12
+    # tiny T at high parallelism: g grows until keys suffice
+    assert similarity.lsh_local_probe_split(4, 2, 32) == 0
+    # plenty of tables: partition by table alone (f = b)
+    assert similarity.lsh_local_probe_split(10, 64, 32) == 10
+    with pytest.raises(ValueError):
+        similarity.lsh_local_probe_split(0, 8, 32)
+
+
 def test_gemm_group_guard_warns_only_past_threshold():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
