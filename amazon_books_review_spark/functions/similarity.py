@@ -738,7 +738,7 @@ def lsh_local_probe_split(
     n_planes: int,
     n_tables: int,
     parallelism: int,
-    min_keys_factor: int = 2,
+    min_keys_factor: int = 8,
 ) -> int:
     """Derive ``local_probe_bits`` (f) for the partition-local
     multiprobe transport: keep the f LOW sig bits partition-local
@@ -750,7 +750,16 @@ def lsh_local_probe_split(
     a capacity decision derived from declared budgets, never
     inherited from a smaller run — f only changes WHERE probe rows
     are expanded, never which buckets exist, so any f is
-    output-identical (kernel contract)."""
+    output-identical (kernel contract).
+
+    ``min_keys_factor=8`` is MEASURED, not folklore (r18, 100k/side
+    bitext scored segment, P=32/64 shuffle partitions): keys ~= 2x
+    parallelism (f=9, 104 keys) lost 40% to balls-in-bins imbalance
+    of the coarse keys (77s vs the JVM explode's 72s); keys ~= 8-13x
+    (f=7, 416 keys) ran 54.9s — ahead of the JVM shape at half its
+    exchange bytes — and pushing keys to 26x (f=6) gave the fan-out
+    back (67s).  The factor buys hash balance; past ~8x parallelism
+    the extra fan-out costs more than the balance returns."""
     if n_planes < 1 or n_tables < 1 or parallelism < 1:
         raise ValueError(
             f"need positive sizes, got (b={n_planes}, T={n_tables},"

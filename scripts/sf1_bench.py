@@ -71,6 +71,10 @@ QUERIES = [
     "hard_negative_mining_lsh",
     "hard_negative_mining_cells",
     "similarity_lsh_topk",
+    # r18: the forced Hamming-<=2 near-dup tier (partition-local
+    # transport) and the batch ANN k-NN graph (gemm strategy)
+    "embedding_neardup_lsh_probe2",
+    "similarity_lsh_knngraph",
 ]
 
 ONLY = set(sys.argv[2:])

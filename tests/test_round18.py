@@ -315,12 +315,17 @@ def test_local_probe_split_validation(spark, emb_df):
 
 def test_lsh_local_probe_split_rule():
     # largest f leaving >= min_keys_factor * parallelism keys
-    # T=23, P=32: need >= 64 keys; 23*2^2 = 92 -> g=2 -> f=b-2
-    assert similarity.lsh_local_probe_split(14, 23, 32) == 12
-    # tiny T at high parallelism: g grows until keys suffice
+    # (default factor 8 — measured balance point, see docstring)
+    # T=23, P=32: need >= 256 keys; 23*2^4 = 368 -> g=4 -> f=b-4
+    assert similarity.lsh_local_probe_split(14, 23, 32) == 10
+    # the measured sweet-spot config: T=13, b=12 -> f=7 (416 keys)
+    assert similarity.lsh_local_probe_split(12, 13, 32) == 7
+    # tiny T at high parallelism: g grows until keys suffice (or b)
     assert similarity.lsh_local_probe_split(4, 2, 32) == 0
-    # plenty of tables: partition by table alone (f = b)
-    assert similarity.lsh_local_probe_split(10, 64, 32) == 10
+    # plenty of tables: few high bits needed
+    assert similarity.lsh_local_probe_split(10, 64, 32) == 8
+    # explicit factor override still honored
+    assert similarity.lsh_local_probe_split(14, 23, 32, min_keys_factor=2) == 12
     with pytest.raises(ValueError):
         similarity.lsh_local_probe_split(0, 8, 32)
 
