@@ -1581,6 +1581,47 @@ def similarity_lsh_knngraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_lsh_knngraph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN edges over the batch ANN graph — the standard
+    semantic-dedup / diversity-sampling graph primitive (an edge
+    survives iff each endpoint is in the other's top-k; mutuality is
+    the classic false-neighbor filter, same rule the bitext margin
+    tail applies).  Composition, not a new kernel: self-join of the
+    k-NN graph on the reversed pair, canonicalized id_a < id_b with
+    the a->b direction's sim.  Scale shape: the graph is |corpus| x k
+    NARROW rows, so the mutuality join is one pair-keyed equi-join —
+    never touches vectors, never quadratic."""
+    # materialize the graph ONCE (localCheckpoint, the sigs precedent
+    # at similarity.py) — Catalyst does not dedupe a mapInPandas
+    # subtree, so the naive self-join would run the whole GEMM tier
+    # twice (measured plan: 24 Exchanges vs 10 for the graph itself)
+    g = similarity_lsh_knngraph(spark, sf_dir).localCheckpoint()
+    rev = g.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    return (
+        g.select("query_id", "neighbor_id", "sim")
+        .join(rev, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "sim",
+        )
+    )
+
+
+def _lsh_knngraph_mutual_oracle() -> str:
+    return f"""
+WITH knn AS ({_lsh_topk_oracle("")})
+SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.sim
+FROM knn a
+JOIN knn b ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+WHERE a.query_id < a.neighbor_id
+"""
+
+
 def _lsh_topk_oracle(
     probe_pred: str = f"p.vec_id < {N_PROBES} AND ",
 ) -> str:
@@ -3585,6 +3626,10 @@ NORTHSTAR_QUERIES = [
     ("similarity_lsh_knngraph", similarity_lsh_knngraph, _lsh_topk_oracle(""),
      "batch ANN k-NN graph: every vector probes; per-bucket GEMM + "
      "row-wise partial top-k (the batch-regime strategy)"),
+    ("similarity_lsh_knngraph_mutual", similarity_lsh_knngraph_mutual,
+     _lsh_knngraph_mutual_oracle(),
+     "mutual k-NN edges (semantic-dedup / diversity graph): pair-keyed "
+     "self-join of the k-NN graph, id_a < id_b canonical"),
     ("gopher_repetition_rules", gopher_repetition_rules, GOPHER_REPETITION_ORACLE,
      "Gopher repetition filters: top/dup n-gram char mass + dup lines, one gram shuffle"),
     ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,

@@ -325,8 +325,11 @@ HEADLINE += [
     # round-18: batch ANN k-NN graph — the GEMM strategy of
     # lsh_bucketed_topk (VERDICT r17 #1); the serving entry
     # (similarity_lsh_topk) stays on the broadcast strategy it
-    # benches above.
+    # benches above.  The mutual-edge graph (semantic-dedup prep)
+    # composes on top: one checkpointed graph + a pair-keyed
+    # self-join.
     "similarity_lsh_knngraph",
+    "similarity_lsh_knngraph_mutual",
 ]
 
 

@@ -238,6 +238,10 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # kernel, then the pair-dedupe agg + rank window — no BNLJ, no
     # candidate re-attachment joins
     "similarity_lsh_knngraph": (10, 4, 0),
+    # mutual edges: graph materialized ONCE (localCheckpoint — the
+    # plan shows only the pair-keyed self-join: 2 SMJ legs over
+    # narrow checkpoint scans, no vector re-compute)
+    "similarity_lsh_knngraph_mutual": (4, 0, 0, 2),
     "jsonl_corpus_roundtrip": (0, 0, 0),
     "orc_lineitem_roundtrip": (2, 0, 0),
     "multimodal_decode_meta": (0, 0, 0),

@@ -330,6 +330,43 @@ def test_lsh_local_probe_split_rule():
         similarity.lsh_local_probe_split(0, 8, 32)
 
 
+# ---------------------------------------------------------------------------
+# Mutual k-NN graph: containment + symmetry properties (independent
+# of the oracle's SQL replay)
+
+
+def test_mutual_knn_contained_and_symmetric(spark, emb_df):
+    v, df = emb_df
+    k, b, t = 4, 4, 2
+    g = similarity.lsh_bucketed_topk(
+        df, df, "vec_id", "embedding",
+        k=k, n_planes=b, n_tables=t, dim=v.shape[1], strategy="gemm",
+    )
+    edges = {(r.query_id, r.neighbor_id) for r in g.collect()}
+    mutual_want = {
+        (a, c) for (a, c) in edges if (c, a) in edges and a < c
+    }
+    from pyspark.sql import functions as F
+
+    rev = g.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in g.select("query_id", "neighbor_id", "sim")
+        .join(rev, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+        )
+        .collect()
+    }
+    assert got == mutual_want
+    assert got <= {(a, c) for (a, c) in edges if a < c}
+
+
 def test_gemm_group_guard_warns_only_past_threshold():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
