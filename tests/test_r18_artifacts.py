@@ -24,25 +24,39 @@ def _load(name: str) -> dict | None:
     return json.loads(path.read_text())
 
 
-def test_lifted_ceiling_recertifies_at_1m():
+#: r18 artifact -> (expected (T, pb) from the lifted derivation, the
+#: r17 clamped-T=32 artifact whose recall it must beat and whose
+#: exact pair count it must reproduce).  Measured: 1M 92.6% (clamped:
+#: 89.7), 2M 93.0% (clamped: 81.0 — the broken floor, restored).
+LIFTED_POINTS = {
+    "SF50_NEARDUP_T64_R18.json": ((37, 2), "SF50_NEARDUP_R17.json"),
+    "SF100_NEARDUP_T64_R18.json": ((52, 2), "SF100_NEARDUP_R17.json"),
+}
+
+
+@pytest.mark.parametrize("name,spec", sorted(LIFTED_POINTS.items()))
+def test_lifted_ceiling_recertifies_past_the_clamp(name, spec):
     """The measured half of r17's derivation-only claim: at a
     cluster-scale table budget (max_tables=64) the adaptive plan
-    certifies b=15 as (T=37, pb=2, not clamped), and the measured 1M
-    recall must beat both the 90% derivation target and the 89.7%
-    the T=32 clamped run read (r17).  The exact sampled arm is
-    seed-deterministic — its pair count must equal the r17 artifact's
-    to the row, proving the two rounds audited the same ground
-    truth."""
-    d = _load("SF50_NEARDUP_T64_R18.json")
+    certifies b=15 as (T=37, pb=2) and b=16 as (T=52, pb=2), and the
+    measured recall must beat both the 90% derivation target and the
+    T=32 clamped reading (89.7% at 1M; 81.0% at 2M — the broken
+    floor).  The exact sampled arm is seed-deterministic — its pair
+    count must equal the r17 artifact's to the row, proving both
+    rounds audited the same ground truth.  Cost scales ~T (lsh arm
+    60 -> 95 s at 1M, 143 -> 199 s at 2M): recall is bought back with
+    tables, linearly, exactly as the union rule says."""
+    (t_pb, r17_name) = spec
+    d = _load(name)
     if d is None:
-        pytest.skip("SF50_NEARDUP_T64_R18.json not generated yet")
+        pytest.skip(f"{name} not generated yet")
     assert d["max_tables"] == 64
     assert d["table_clamp_binds"] is False
-    assert (d["n_tables"], d["probe_bits"]) == (37, 2)
+    assert (d["n_tables"], d["probe_bits"]) == t_pb
     assert d["recall_pct"] >= 90.0, (
-        "lifted-ceiling run fell below the 90% derivation target"
+        f"{name}: fell below the 90% derivation target"
     )
-    r17 = _load("SF50_NEARDUP_R17.json")
+    r17 = _load(r17_name)
     if r17 is not None:
         assert d["recall_pct"] > r17["recall_pct"], (
             "lifting max_tables must beat the clamped T=32 recall"
