@@ -1622,6 +1622,46 @@ WHERE a.query_id < a.neighbor_id
 """
 
 
+def embedding_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dup clusters (Abbas et al. 2023 shape)
+    over the batch ANN graph: mutual k-NN edges at/above the near-dup
+    cosine threshold -> connected components -> canonical (min) id
+    per clustered vector.  Composition of three existing scale ops —
+    the GEMM k-NN graph, the mutuality join, and the min-label
+    components loop (same machinery as `dedup_clusters`) — so the
+    whole semantic-dedup pipeline never touches vectors after the
+    one bucket exchange."""
+    edges = similarity_lsh_knngraph_mutual(spark, sf_dir).filter(
+        F.col("sim") >= COSINE_DUP_THRESHOLD
+    )
+    return dedup.connected_components(edges).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
+def _semdedup_clusters_oracle() -> str:
+    mutual = _lsh_knngraph_mutual_oracle().strip()
+    return f"""
+WITH RECURSIVE mutual AS (
+{mutual}
+), edges AS (
+    SELECT id_a, id_b FROM mutual WHERE sim >= {COSINE_DUP_THRESHOLD}
+), sym AS (
+    SELECT id_a AS src, id_b AS dst FROM edges
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM edges
+), reach(node, label) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.src, r.label
+    FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
 def _lsh_topk_oracle(
     probe_pred: str = f"p.vec_id < {N_PROBES} AND ",
 ) -> str:
@@ -3630,6 +3670,10 @@ NORTHSTAR_QUERIES = [
      _lsh_knngraph_mutual_oracle(),
      "mutual k-NN edges (semantic-dedup / diversity graph): pair-keyed "
      "self-join of the k-NN graph, id_a < id_b canonical"),
+    ("embedding_semdedup_clusters", embedding_semdedup_clusters,
+     _semdedup_clusters_oracle(),
+     "SemDeDup-style clusters: mutual k-NN edges at the near-dup "
+     "threshold -> min-label connected components"),
     ("gopher_repetition_rules", gopher_repetition_rules, GOPHER_REPETITION_ORACLE,
      "Gopher repetition filters: top/dup n-gram char mass + dup lines, one gram shuffle"),
     ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,

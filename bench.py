@@ -330,6 +330,11 @@ HEADLINE += [
     # self-join.
     "similarity_lsh_knngraph",
     "similarity_lsh_knngraph_mutual",
+    # SemDeDup composition: mutual edges at the near-dup threshold ->
+    # min-label components (iterative driver loop, like
+    # label_propagation_communities — benched for the wall, no static
+    # plan budget)
+    "embedding_semdedup_clusters",
 ]
 
 
