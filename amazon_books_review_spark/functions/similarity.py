@@ -21,7 +21,7 @@ type; sums fold sequentially in array order => deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -720,18 +720,133 @@ def lsh_plan_checked(plan: LshProbePlan, n_planes: int) -> tuple[int, int]:
 #: <= ~4M doubles (~32 MB) regardless of bucket skew.
 _GEMM_BLOCK_ELEMS = 1 << 22
 
-#: Group-size guard (ADVICE r17): _GEMM_BLOCK_ELEMS bounds only the
-#: SCORED block — the per-(table_id, sig) group itself (the stacked V
-#: matrix + the carry buffer's object rows) is materialized whole in
-#: the Arrow worker, so a degenerate bucket (a large exact-duplicate
-#: cluster, amplified (1+b)-fold by the tagged explode) grows
-#: unbounded where the prior JVM fold streamed.  Past this row count
-#: (~64 MB of stacked float64 at dim 64, several x that in pandas
-#: object rows) the kernel warns instead of silently OOMing: the fix
-#: is capacity, not code — raise n_planes (lsh_planes_for's occupancy
+#: Stack-chunk rows (r19, VERDICT r18 #3): a (table_id, sig) group's
+#: vectors are held as a LIST of <=this-many-row matrices at their
+#: STORAGE dtype, and upcast to float64 one tile at a time inside the
+#: GEMM loops — never as one whole-group float64 stack.  A degenerate
+#: bucket (giant exact-duplicate cluster) now degrades to several
+#: bounded GEMM calls: peak additional allocation beyond the Arrow
+#: input rows is one storage-dtype copy of the group's vectors (the
+#: chunk list — same bytes as the input payload) plus TWO float64
+#: tiles of <= _GEMM_STACK_CHUNK_ROWS x dim (~16 MB each at dim 64)
+#: and one scored block of <= _GEMM_BLOCK_ELEMS doubles, where the
+#: r18 shape allocated 3x the group's vector bytes in float64 up
+#: front (stack + astype) and an unbounded scored row.  At or below
+#: one chunk (every occupancy-budgeted bucket) the tile loop
+#: degenerates to exactly the r18 single-GEMM path.
+_GEMM_STACK_CHUNK_ROWS = 1 << 15
+
+#: Group-size guard (ADVICE r17): past this row count the kernel
+#: warns — the float64 working set is tile-bounded (see
+#: _GEMM_STACK_CHUNK_ROWS) but the group's input rows + the
+#: storage-dtype chunk list still scale with the bucket, and the
+#: within-bucket candidate count is quadratic, so a degenerate bucket
+#: costs quadratic CPU even with bounded memory.  The durable fix is
+#: capacity, not code: raise n_planes (lsh_planes_for's occupancy
 #: budget bounds E[bucket] but not a duplicate cluster's bucket) or
 #: pre-dedupe exact duplicates before the miner.
 _GEMM_GROUP_WARN_ROWS = 1 << 17
+
+#: Partition-size guard (ADVICE r18): _score_local concatenates the
+#: whole Spark partition (base + high-bit-flip copies, vectors
+#: duplicated (1 + b - f)-fold as object rows) before bucket
+#: grouping, so the partition — not the bucket — is the coarsest
+#: materialized unit.  Rows per partition ~= (1 + b - f) * n * T /
+#: num_shuffle_partitions; past this count (~0.7 GB of 64-dim float32
+#: object rows) warn with the remedy: raise
+#: spark.sql.shuffle.partitions (more, smaller partitions) or
+#: n_planes (fewer rows per bucket key).
+_LOCAL_PARTITION_WARN_ROWS = 1 << 21
+
+
+def _warn_oversized_local_partition(n_rows: int) -> None:
+    """Partition-level materialization warning for the
+    partition-local transport path (module-level so pytest can pin
+    the threshold; fires in the executor log like the group guard)."""
+    if n_rows <= _LOCAL_PARTITION_WARN_ROWS:
+        return
+    import warnings
+
+    warnings.warn(
+        f"lsh_bucket_gemm_scored: one shuffle partition holds"
+        f" {n_rows} probe-expanded rows"
+        f" (> {_LOCAL_PARTITION_WARN_ROWS}) before bucket grouping —"
+        " the partition-local transport materializes the whole"
+        " partition's object rows in the Python worker; raise"
+        " spark.sql.shuffle.partitions or n_planes.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+def _stack_chunks(vs, idx=None, ch=_GEMM_STACK_CHUNK_ROWS):
+    """Stack an object array of vectors into a list of <=``ch``-row
+    matrices AT STORAGE DTYPE, plus the float64 L2 norms (upcast
+    transiently per chunk — values identical to a whole-stack float64
+    einsum, since norms are row-independent).  ``idx`` optionally
+    gathers (fancy-index) before stacking."""
+    import numpy as np
+
+    if idx is not None:
+        vs = vs[idx]
+    m = len(vs)
+    chunks = [np.stack(tuple(vs[c0 : min(c0 + ch, m)])) for c0 in range(0, m, ch)]
+    norms = np.concatenate(
+        [
+            np.sqrt(
+                np.einsum("ij,ij->i", c64, c64)
+            )
+            for c in chunks
+            for c64 in (c.astype(np.float64),)
+        ]
+    ) if chunks else np.empty(0, np.float64)
+    return chunks, norms
+
+
+def _chunk_rows_f64(chunks, i0, i1, ch=_GEMM_STACK_CHUNK_ROWS):
+    """Materialize rows [i0, i1) of a chunk list as ONE float64
+    matrix (tile) — the only float64 copies the kernel ever holds."""
+    import numpy as np
+
+    c_first, c_last = i0 // ch, (i1 - 1) // ch
+    if c_first == c_last:
+        c = chunks[c_first]
+        return c[i0 - c_first * ch : i1 - c_first * ch].astype(np.float64)
+    parts = []
+    for ci in range(c_first, c_last + 1):
+        lo = max(i0 - ci * ch, 0)
+        hi = min(i1 - ci * ch, len(chunks[ci]))
+        parts.append(chunks[ci][lo:hi])
+    return np.concatenate(parts).astype(np.float64)
+
+
+def _merge_row_topk(run_v, run_i, new_v, new_i, k):
+    """Merge two per-row top-k candidate sets — each already ranked
+    by (score desc, id asc, column-position asc), with every running
+    column position preceding every new one — and keep each row's
+    top-k under the SAME rule.  Two stable argsorts implement the
+    per-row lexicographic order: sort by id first (stable, so
+    score-AND-id ties keep concat order = column-position order),
+    then by -score (stable, so score ties keep ascending id).  A
+    member of the final top-k is beaten by fewer than k candidates
+    overall, hence by fewer than k inside its own chunk, so it
+    survives the per-chunk pre-selection; the merge therefore
+    reproduces exactly the selection one stable argsort over the full
+    id-sorted column set makes — which is what keeps the chunked
+    row-wise top-k OUTPUT-IDENTICAL to the r18 whole-bucket GEMM
+    (pytest-pinned on a synthetic mega-bucket)."""
+    import numpy as np
+
+    mv = np.concatenate([run_v, new_v], axis=1)
+    mi = np.concatenate([run_i, new_i], axis=1)
+    ord1 = np.argsort(mi, axis=1, kind="stable")
+    mv = np.take_along_axis(mv, ord1, axis=1)
+    mi = np.take_along_axis(mi, ord1, axis=1)
+    ord2 = np.argsort(-mv, axis=1, kind="stable")[:, :k]
+    return (
+        np.take_along_axis(mv, ord2, axis=1),
+        np.take_along_axis(mi, ord2, axis=1),
+    )
 
 
 def lsh_local_probe_split(
@@ -774,6 +889,25 @@ def lsh_local_probe_split(
     return n_planes - g
 
 
+def lsh_exchange_parallelism(spark: SparkSession) -> int:
+    """Parallelism denominator for :func:`lsh_local_probe_split`
+    (ADVICE r18): the `(table_id, _m)` repartition's width is
+    ``spark.sql.shuffle.partitions``, not
+    ``sparkContext.defaultParallelism`` — the repo's benches keep the
+    two equal, but on a borrowed session where they diverge the
+    distinct-key budget must be computed against the ACTUAL exchange
+    width (and a defaultParallelism larger than the shuffle width
+    still bounds how many tasks can want a key at once, so take the
+    max of the two)."""
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # non-numeric (e.g. AQE-managed "auto"): fall back to the
+        # scheduler's view alone
+        shuffle = 0
+    return max(spark.sparkContext.defaultParallelism, shuffle)
+
+
 def _warn_oversized_gemm_group(n_rows: int) -> None:
     """The group-size guard's warning, module-level so pytest can pin
     the threshold logic directly (the closure it guards runs in the
@@ -807,6 +941,7 @@ def lsh_bucket_gemm_scored(
     exclude_eq: bool = False,
     symmetric_probe_planes: int | None = None,
     local_probe_bits: int = 0,
+    stack_chunk_rows: int | None = None,
 ) -> DataFrame:
     """Score every within-bucket candidate pair with a per-bucket
     numpy GEMM — the scoring half of the LSH bucket join, moved from
@@ -902,7 +1037,22 @@ def lsh_bucket_gemm_scored(
     local disk; f=11 ships 3 copies, not 15.  Memory contract: one
     partition's base rows live in the worker at once (~(1+b-f) *
     2n*T/(T*2^(b-f)) rows) — derive f from a row budget via
-    :func:`lsh_local_probe_split`."""
+    :func:`lsh_local_probe_split`.
+
+    BOUNDED GEMM TILES (r19, VERDICT r18 #3): a group's vectors are
+    held as storage-dtype chunks of ``stack_chunk_rows`` rows
+    (default ``_GEMM_STACK_CHUNK_ROWS``) and upcast to float64 one
+    tile at a time, so a degenerate bucket degrades to several
+    bounded GEMM calls instead of one whole-group float64 stack
+    (warn-then-OOM).  Chunking is OUTPUT-PRESERVING: emit-all and
+    threshold modes partition the candidate cells exactly; row-wise
+    top-k selection merges per-chunk pre-selections under the
+    identical (score desc, id asc, column-position asc) rule
+    (:func:`_merge_row_topk`); floorq's column-wise top-k is
+    untouched because every column lives in exactly one chunk.  Only
+    emission ORDER within a group changes, which no consumer observes
+    (every caller dedupes by pair).  The parameter exists for the
+    chunking-invariance tests; production callers take the default."""
     if quantize not in ("round6", "floorq"):
         raise ValueError(f"quantize must be round6|floorq, got {quantize!r}")
     if quantize == "floorq" and threshold is not None:
@@ -937,11 +1087,39 @@ def lsh_bucket_gemm_scored(
                 "symmetric_probe_planes explodes in-kernel; pass"
                 " UNEXPLODED arms (no _r column)"
             )
+        # ADVICE r18: the transport writes _hf/_m with withColumn —
+        # an arm already carrying either would be silently
+        # overwritten instead of rejected
+        for reserved in ("_hf", "_m"):
+            if reserved in left.columns or (
+                right is not None and reserved in right.columns
+            ):
+                raise ValueError(
+                    f"arm column {reserved!r} collides with the"
+                    " partition-local transport's internal columns"
+                    " (_hf, _m); rename it before the kernel call"
+                )
     elif local_probe_bits:
         raise ValueError(
             "local_probe_bits requires symmetric_probe_planes"
         )
+    if right is not None and (
+        "_side" in left.columns or "_side" in right.columns
+    ):
+        raise ValueError(
+            "arm column '_side' collides with the kernel's side tag;"
+            " rename it before the kernel call"
+        )
     import numpy as np
+
+    # chunk size resolved HERE so the worker closures capture the
+    # value (cloudpickle ships nested closures by value but
+    # module-level helpers by reference — a module-global override
+    # would desynchronize the two in the Arrow worker); the
+    # parameter exists for the mega-bucket chunking-invariance tests
+    stack_rows = stack_chunk_rows or _GEMM_STACK_CHUNK_ROWS
+    if stack_rows < 1:
+        raise ValueError(f"stack_chunk_rows must be >= 1, got {stack_rows}")
 
     self_mode = right is None
     if self_mode:
@@ -995,35 +1173,50 @@ def lsh_bucket_gemm_scored(
                 return None
             order = np.argsort(g["_id"].to_numpy(), kind="stable")
             ids = g["_id"].to_numpy()[order]
-            V = np.stack(g["_v"].to_numpy()[order]).astype(np.float64)
-            nn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            # vectors stay at storage dtype in bounded chunks; each
+            # GEMM tile upcasts transiently (_GEMM_STACK_CHUNK_ROWS)
+            chunks, nn = _stack_chunks(g["_v"].to_numpy(), order, stack_rows)
             tags = g["_r"].to_numpy()[order] if tagged_arms else None
             la, lb, ls = [], [], []
-            block = max(1, _GEMM_BLOCK_ELEMS // m)
+            ch = stack_rows
+            block = max(1, _GEMM_BLOCK_ELEMS // min(m, ch))
             for i0 in range(0, m - 1, block):
                 i1 = min(i0 + block, m)
-                raw = (V[i0:i1] @ V.T) / np.outer(nn[i0:i1], nn)
-                tri = np.arange(m)[None, :] > np.arange(i0, i1)[:, None]
-                if tagged_arms:
-                    # canonical once-per-table emission: a < c or
-                    # a == c == 0, a = lower-id row's flip tag
-                    ta = tags[i0:i1][:, None]
-                    tc = tags[None, :]
-                    tri &= (ta < tc) | ((ta == 0) & (tc == 0))
-                rows, cols = np.nonzero(tri)
-                ida, idb = ids[rows + i0], ids[cols]
-                vals = raw[rows, cols]
-                if quantize == "round6":
-                    vals = np.round(vals, 6)
-                    keep = vals >= threshold
-                    if require_lt:
-                        keep &= ida < idb
-                    ida, idb, vals = ida[keep], idb[keep], vals[keep]
-                else:
-                    vals = np.floor(vals * 1e6 + 0.5).astype(np.int64)
-                la.append(ida)
-                lb.append(idb)
-                ls.append(vals)
+                Vi = _chunk_rows_f64(chunks, i0, i1, ch)
+                for cj, Vc in enumerate(chunks):
+                    c0 = cj * ch
+                    c1 = c0 + len(Vc)
+                    if c1 <= i0 + 1:
+                        # whole chunk at/left of the diagonal: no
+                        # strict-upper-triangle cell in this tile
+                        continue
+                    raw = (Vi @ Vc.astype(np.float64).T) / np.outer(
+                        nn[i0:i1], nn[c0:c1]
+                    )
+                    tri = (
+                        np.arange(c0, c1)[None, :]
+                        > np.arange(i0, i1)[:, None]
+                    )
+                    if tagged_arms:
+                        # canonical once-per-table emission: a < c or
+                        # a == c == 0, a = lower-id row's flip tag
+                        ta = tags[i0:i1][:, None]
+                        tc = tags[c0:c1][None, :]
+                        tri &= (ta < tc) | ((ta == 0) & (tc == 0))
+                    rows, cols = np.nonzero(tri)
+                    ida, idb = ids[rows + i0], ids[cols + c0]
+                    vals = raw[rows, cols]
+                    if quantize == "round6":
+                        vals = np.round(vals, 6)
+                        keep = vals >= threshold
+                        if require_lt:
+                            keep &= ida < idb
+                        ida, idb, vals = ida[keep], idb[keep], vals[keep]
+                    else:
+                        vals = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+                    la.append(ida)
+                    lb.append(idb)
+                    ls.append(vals)
             if not la:
                 return None
             ida = np.concatenate(la)
@@ -1046,10 +1239,11 @@ def lsh_bucket_gemm_scored(
         rorder = np.argsort(gr["_id"].to_numpy(), kind="stable")
         lids = gl["_id"].to_numpy()[lorder]
         rids = gr["_id"].to_numpy()[rorder]
-        L = np.stack(gl["_v"].to_numpy()[lorder]).astype(np.float64)
-        R = np.stack(gr["_v"].to_numpy()[rorder]).astype(np.float64)
-        ln = np.sqrt(np.einsum("ij,ij->i", L, L))
-        rn = np.sqrt(np.einsum("ij,ij->i", R, R))
+        # left side: object-pointer reorder only; each row block
+        # upcasts its own tile.  Right side: storage-dtype chunk
+        # list (_GEMM_STACK_CHUNK_ROWS) upcast one tile at a time.
+        lvs = gl["_v"].to_numpy()[lorder]
+        rchunks, rn = _stack_chunks(gr["_v"].to_numpy(), rorder, stack_rows)
         ltags = gl["_r"].to_numpy()[lorder] if tagged_arms else None
         rtags = gr["_r"].to_numpy()[rorder] if tagged_arms else None
         mr = len(rids)
@@ -1058,87 +1252,123 @@ def lsh_bucket_gemm_scored(
         # under negation, which would sort masked cells FIRST in the
         # argsort(-q) top-k and crowd out real candidates
         imin = -(1 << 62)
+        ch = stack_rows
         la, lb, ls = [], [], []
-        block = max(1, _GEMM_BLOCK_ELEMS // mr)
+        block = max(1, _GEMM_BLOCK_ELEMS // min(mr, ch))
         for i0 in range(0, len(lids), block):
             i1 = min(i0 + block, len(lids))
-            raw = (L[i0:i1] @ R.T) / np.outer(ln[i0:i1], rn)
-            if quantize == "round6":
-                vals = np.round(raw, 6)
-                mask = np.ones(raw.shape, dtype=bool)
+            L = np.stack(tuple(lvs[i0:i1])).astype(np.float64)
+            ln = np.sqrt(np.einsum("ij,ij->i", L, L))
+            blk = i1 - i0
+            # running ROW-wise top-k across R chunks (row-major
+            # emission order inside a chunk is free; SELECTION must
+            # match the whole-R stable argsort — _merge_row_topk)
+            run_v = run_i = None
+            if topk is not None:
+                if quantize == "round6":
+                    run_v = np.empty((blk, 0), np.float64)
+                else:
+                    run_v = np.empty((blk, 0), np.int64)
+                run_i = np.empty((blk, 0), np.int64)
+            for cj, Rc in enumerate(rchunks):
+                c0 = cj * ch
+                c1 = c0 + len(Rc)
+                raw = (L @ Rc.astype(np.float64).T) / np.outer(
+                    ln, rn[c0:c1]
+                )
+                if quantize == "round6":
+                    vals = np.round(raw, 6)
+                    mask = np.ones(raw.shape, dtype=bool)
+                    if tagged_arms:
+                        ta = ltags[i0:i1][:, None]
+                        tc = rtags[c0:c1][None, :]
+                        mask &= (ta < tc) | ((ta == 0) & (tc == 0))
+                    if require_lt:
+                        mask &= lids[i0:i1][:, None] < rids[c0:c1][None, :]
+                    if exclude_eq:
+                        mask &= lids[i0:i1][:, None] != rids[c0:c1][None, :]
+                    if threshold is not None:
+                        mask &= vals >= threshold
+                    if topk is None:
+                        rows, cols = np.nonzero(mask)
+                        la.append(lids[rows + i0])
+                        lb.append(rids[cols + c0])
+                        ls.append(vals[rows, cols])
+                        continue
+                    # round6 ROW-wise partial top-k (the ANN serving
+                    # shape): rows are the probe arm; columns are
+                    # id-sorted, so the stable argsort on -vals breaks
+                    # rounded-score ties on ascending neighbor id —
+                    # matching the downstream rank window's tie rule,
+                    # which is what makes each block's row top-k
+                    # contain every global-top-k member present in
+                    # the block.
+                    vals = np.where(mask, vals, -np.inf)
+                    kk = min(topk, vals.shape[1])
+                    ridx = np.argsort(-vals, axis=1, kind="stable")[:, :kk]
+                    run_v, run_i = _merge_row_topk(
+                        run_v,
+                        run_i,
+                        np.take_along_axis(vals, ridx, axis=1),
+                        rids[c0:c1][ridx],
+                        topk,
+                    )
+                    continue
+                q = np.floor(raw * 1e6 + 0.5).astype(np.int64)
                 if tagged_arms:
                     ta = ltags[i0:i1][:, None]
-                    tc = rtags[None, :]
-                    mask &= (ta < tc) | ((ta == 0) & (tc == 0))
+                    tc = rtags[c0:c1][None, :]
+                    q[~((ta < tc) | ((ta == 0) & (tc == 0)))] = imin
                 if require_lt:
-                    mask &= lids[i0:i1][:, None] < rids[None, :]
-                if exclude_eq:
-                    mask &= lids[i0:i1][:, None] != rids[None, :]
-                if threshold is not None:
-                    mask &= vals >= threshold
+                    q[~(lids[i0:i1][:, None] < rids[c0:c1][None, :])] = imin
                 if topk is None:
-                    rows, cols = np.nonzero(mask)
+                    rows, cols = np.nonzero(q != imin)
                     la.append(lids[rows + i0])
-                    lb.append(rids[cols])
-                    ls.append(vals[rows, cols])
+                    lb.append(rids[cols + c0])
+                    ls.append(q[rows, cols])
                     continue
-                # round6 ROW-wise partial top-k (the ANN serving
-                # shape): rows are the probe arm; columns are
-                # id-sorted, so the stable argsort on -vals breaks
-                # rounded-score ties on ascending neighbor id —
-                # matching the downstream rank window's tie rule,
-                # which is what makes each block's row top-k contain
-                # every global-top-k member present in the block.
-                vals = np.where(mask, vals, -np.inf)
-                kk = min(topk, vals.shape[1])
-                ridx = np.argsort(-vals, axis=1, kind="stable")[:, :kk]
-                rrow = np.repeat(np.arange(vals.shape[0]), kk)
-                rcol = ridx.reshape(-1)
-                rkeep = np.isfinite(vals[rrow, rcol])
-                la.append(lids[rrow[rkeep] + i0])
-                lb.append(rids[rcol[rkeep]])
-                ls.append(vals[rrow[rkeep], rcol[rkeep]])
-                continue
-            q = np.floor(raw * 1e6 + 0.5).astype(np.int64)
-            if tagged_arms:
-                ta = ltags[i0:i1][:, None]
-                tc = rtags[None, :]
-                q[~((ta < tc) | ((ta == 0) & (tc == 0)))] = imin
-            if require_lt:
-                q[~(lids[i0:i1][:, None] < rids[None, :])] = imin
-            if topk is None:
-                rows, cols = np.nonzero(q != imin)
-                la.append(lids[rows + i0])
-                lb.append(rids[cols])
-                ls.append(q[rows, cols])
-                continue
-            # map-side partial top-k (the cosine_topk_arrow pattern,
-            # applied per bucket): the margin tail only ever consumes
-            # each side's global top-k, and a pair in a side's global
-            # top-k is in that side's top-k of EVERY block where it
-            # appears (fewer than k candidates beat it anywhere), so
-            # emitting per-block row-wise + column-wise top-k unions
-            # is a superset of both true top-k sets — margin output
-            # is exactly preserved while emitted volume drops from
-            # candidate-quadratic to rows x k.  Columns/rows are
-            # id-sorted, so the stable argsort on -q breaks score
-            # ties on ascending id, matching the rank windows.
-            kk = min(topk, q.shape[1])
-            ridx = np.argsort(-q, axis=1, kind="stable")[:, :kk]
-            rrow = np.repeat(np.arange(q.shape[0]), kk)
-            rcol = ridx.reshape(-1)
-            rkeep = q[rrow, rcol] != imin
-            la.append(lids[rrow[rkeep] + i0])
-            lb.append(rids[rcol[rkeep]])
-            ls.append(q[rrow[rkeep], rcol[rkeep]])
-            kk = min(topk, q.shape[0])
-            cidx = np.argsort(-q, axis=0, kind="stable")[:kk, :]
-            ccol = np.tile(np.arange(q.shape[1]), kk)
-            crow = cidx.reshape(-1)
-            ckeep = q[crow, ccol] != imin
-            la.append(lids[crow[ckeep] + i0])
-            lb.append(rids[ccol[ckeep]])
-            ls.append(q[crow[ckeep], ccol[ckeep]])
+                # map-side partial top-k (the cosine_topk_arrow
+                # pattern, applied per bucket): the margin tail only
+                # ever consumes each side's global top-k, and a pair
+                # in a side's global top-k is in that side's top-k of
+                # EVERY block where it appears (fewer than k
+                # candidates beat it anywhere), so emitting per-block
+                # row-wise + column-wise top-k unions is a superset
+                # of both true top-k sets — margin output is exactly
+                # preserved while emitted volume drops from
+                # candidate-quadratic to rows x k.  ROW-wise top-k
+                # merges across R chunks (selection identical to the
+                # whole-R argsort — _merge_row_topk); COLUMN-wise
+                # top-k emits per (row-block, chunk): each column
+                # lives in exactly one chunk, so its per-block top-k
+                # is computed over the same row set either way.
+                kk = min(topk, q.shape[1])
+                ridx = np.argsort(-q, axis=1, kind="stable")[:, :kk]
+                run_v, run_i = _merge_row_topk(
+                    run_v,
+                    run_i,
+                    np.take_along_axis(q, ridx, axis=1),
+                    rids[c0:c1][ridx],
+                    topk,
+                )
+                kk = min(topk, q.shape[0])
+                cidx = np.argsort(-q, axis=0, kind="stable")[:kk, :]
+                ccol = np.tile(np.arange(q.shape[1]), kk)
+                crow = cidx.reshape(-1)
+                ckeep = q[crow, ccol] != imin
+                la.append(lids[crow[ckeep] + i0])
+                lb.append(rids[ccol[ckeep] + c0])
+                ls.append(q[crow[ckeep], ccol[ckeep]])
+            if topk is not None:
+                # emit the block's merged row-wise top-k
+                if quantize == "round6":
+                    keep = np.isfinite(run_v)
+                else:
+                    keep = run_v != imin
+                rrow, rcol = np.nonzero(keep)
+                la.append(lids[rrow + i0])
+                lb.append(run_i[rrow, rcol])
+                ls.append(run_v[rrow, rcol])
         ida = np.concatenate(la) if la else np.array([], dtype=np.int64)
         if not len(ida):
             return None
@@ -1202,6 +1432,10 @@ def lsh_bucket_gemm_scored(
             if len(parts) > 1
             else parts[0]
         )
+        # ADVICE r18: the partition — not the bucket — is the
+        # coarsest materialized unit on this path; make that contract
+        # observable before any expansion work happens
+        _warn_oversized_local_partition(len(pdf))
         sig = pdf["sig"].to_numpy()
         tid = pdf["table_id"].to_numpy()
         hfv = pdf["_hf"].to_numpy().astype(np.int64)
@@ -1260,6 +1494,7 @@ def cosine_neardup_lsh_verified(
     dim: int = 64,
     probe_bits: int = 0,
     probes: DataFrame | None = None,
+    assume_prefix_probes: bool = False,
 ) -> DataFrame:
     """Two-stage embedding near-dup: sign-LSH bucket candidates ->
     exact cosine verify.  THE scale path for embedding all-pairs —
@@ -1332,9 +1567,35 @@ def cosine_neardup_lsh_verified(
     probe subset needs both orientations emitted and canonicalized —
     extend the kernel call before reusing this form for general
     targeted mining.
+
+    ENFORCED since r19 (ADVICE r18 — docstring-only preconditions
+    silently lose pairs): the probes form counts corpus ids at or
+    below max(probe id) and requires at least that many probes (three
+    aggregations over single narrow columns — trivial next to the
+    mining job).  ``assume_prefix_probes=True`` skips the check for
+    callers that guarantee the precondition by construction (the
+    decade audit scripts, whose probe strata are literal id
+    prefixes).
     """
     if probes is not None and probe_bits != 2:
         raise ValueError("probes subset form requires probe_bits=2")
+    if probes is not None and not assume_prefix_probes:
+        mx = probes.agg(F.max(F.col(id_col))).first()[0]
+        if mx is not None:
+            n_probes = probes.count()
+            n_below = corpus.filter(F.col(id_col) <= mx).count()
+            if n_probes < n_below:
+                raise ValueError(
+                    "probes form precondition violated: the corpus"
+                    f" holds {n_below} ids <= max(probe id) = {mx} but"
+                    f" only {n_probes} probes were passed — a"
+                    " non-prefix probe subset drops (corpus_id <"
+                    " probe_id) pairs from both orientations.  Pass a"
+                    " prefix-style subset (every corpus id below the"
+                    " probe max is itself a probe), or"
+                    " assume_prefix_probes=True if the caller"
+                    " guarantees it by construction"
+                )
     if probe_bits == 2:
         sigs = lsh_signatures(
             corpus, id_col, "id", vec_col, n_planes, n_tables, dim
@@ -1354,7 +1615,7 @@ def cosine_neardup_lsh_verified(
             f = lsh_local_probe_split(
                 n_planes,
                 n_tables,
-                corpus.sparkSession.sparkContext.defaultParallelism,
+                lsh_exchange_parallelism(corpus.sparkSession),
             )
             pairs = lsh_bucket_gemm_scored(
                 corpus_arm, None, "id_a", "id_b",
@@ -1608,10 +1869,13 @@ def lsh_bucketed_topk(
       fold becomes the measured CPU wall (the r16 bitext numbers:
       ~10 us per candidate-core).  Vectors ride the single
       (table, sig) hash exchange AT STORAGE TYPE attached to the
-      signature rows, each bucket's block is one numpy matmul
-      (:func:`lsh_bucket_gemm_scored`), and only each block's
-      per-query ROW-wise top-k survives the Arrow boundary — emitted
-      volume (probe-bucket-rows x k), never candidate-quadratic.
+      signature rows, each bucket's block is a numpy matmul over
+      BOUNDED float64 tiles (:func:`lsh_bucket_gemm_scored`; since
+      r19 a degenerate bucket degrades to several GEMM calls instead
+      of one whole-group stack — _GEMM_STACK_CHUNK_ROWS), and only
+      each block's per-query ROW-wise top-k survives the Arrow
+      boundary — emitted volume (probe-bucket-rows x k), never
+      candidate-quadratic.
 
     Output preservation of the gemm strategy (the broadcast shape is
     what the DuckDB oracle replays): a neighbor in a query's TRUE
@@ -1988,7 +2252,7 @@ def margin_bitext_pairs_lsh(
         local_bits = lsh_local_probe_split(
             n_planes,
             n_tables,
-            src.sparkSession.sparkContext.defaultParallelism,
+            lsh_exchange_parallelism(src.sparkSession),
         )
     elif probe_bits == 1:
         src_arm = hamming1_probes(src_arm, n_planes)

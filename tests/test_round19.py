@@ -1,0 +1,305 @@
+"""Round-19 pins: bounded GEMM tiles for degenerate buckets (VERDICT
+r18 #3 — chunking invariance across every kernel mode, the running
+row-wise top-k merge's tie rule, the mega-bucket path), plus the
+ADVICE-r18 hardening (reserved-column validation, the partition-level
+materialization warn, the exchange-width parallelism source, and the
+enforced prefix-probes precondition).  Identity is always vs the same
+kernel at a different chunk size — chunk size is a pure memory knob,
+so outputs must match exactly."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+
+from amazon_books_review_spark.functions import similarity
+
+
+def _fixture(n=160, dim=16, seed=191):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    # plant near-duplicate clusters so top-k has real structure, and
+    # EXACT duplicates so a degenerate (same-signature) bucket exists
+    for base in range(0, n, 20):
+        for j in range(1, 4):
+            if base + j < n:
+                v[base + j] = v[base] + rng.normal(scale=0.05, size=dim)
+    for j in range(1, 8):
+        v[n - j] = v[n - 8]
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    v = _fixture()
+    rows = [(int(i), [float(x) for x in v[i]]) for i in range(len(v))]
+    return v, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _sig_arm(df, b, t, dim, out):
+    from pyspark.sql import functions as F
+
+    sigs = similarity.lsh_signatures(df, "vec_id", out, "embedding", b, t, dim)
+    v = df.select(F.col("vec_id").alias(out), F.col("embedding").alias("_v"))
+    return sigs.join(v, out).withColumnRenamed(out, "_id")
+
+
+def _multiset(df):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Chunking invariance: stack_chunk_rows is a pure memory knob — the
+# emitted MULTISET must be identical at every chunk size (order
+# within a group is the only thing allowed to move).  chunk=7 forces
+# many chunks per bucket (mega-bucket shape relative to the knob,
+# exercising _chunk_rows_f64 spans and the running top-k merge);
+# chunk=1 is the degenerate floor.
+
+
+@pytest.mark.parametrize("ch", [1, 7])
+def test_chunking_invariant_self_round6(spark, emb_df, ch):
+    v, df = emb_df
+    b, t = 3, 2
+    arm = _sig_arm(df, b, t, v.shape[1], "id")
+
+    def run(chunk):
+        return _multiset(
+            similarity.lsh_bucket_gemm_scored(
+                arm, None, "id_a", "id_b",
+                quantize="round6", threshold=0.4, require_lt=True,
+                stack_chunk_rows=chunk,
+            )
+        )
+
+    assert run(ch) == run(None)
+
+
+@pytest.mark.parametrize("ch", [1, 7])
+def test_chunking_invariant_twosided_round6_topk(spark, emb_df, ch):
+    v, df = emb_df
+    b, t, k = 3, 2, 4
+    qa = _sig_arm(df.filter("vec_id < 40"), b, t, v.shape[1], "q")
+    ca = _sig_arm(df, b, t, v.shape[1], "c")
+
+    def run(chunk):
+        return _multiset(
+            similarity.lsh_bucket_gemm_scored(
+                qa, ca, "query_id", "neighbor_id",
+                quantize="round6", topk=k, exclude_eq=True,
+                stack_chunk_rows=chunk,
+            )
+        )
+
+    assert run(ch) == run(None)
+
+
+@pytest.mark.parametrize("ch", [1, 7])
+def test_chunking_invariant_twosided_floorq_topk(spark, emb_df, ch):
+    v, df = emb_df
+    b, t, k = 3, 2, 3
+    sa = _sig_arm(df.filter("vec_id % 2 = 0"), b, t, v.shape[1], "s")
+    ta = _sig_arm(df.filter("vec_id % 2 = 1"), b, t, v.shape[1], "t")
+
+    def run(chunk):
+        return _multiset(
+            similarity.lsh_bucket_gemm_scored(
+                sa, ta, "src_id", "tgt_id",
+                quantize="floorq", topk=k,
+                stack_chunk_rows=chunk,
+            )
+        )
+
+    assert run(ch) == run(None)
+
+
+@pytest.mark.parametrize("ch", [1, 7])
+def test_chunking_invariant_transport_self(spark, emb_df, ch):
+    # partition-local multiprobe transport composed with chunking:
+    # both knobs are pure transport/memory levers
+    v, df = emb_df
+    b, t = 4, 2
+    arm = _sig_arm(df, b, t, v.shape[1], "id")
+
+    def run(chunk):
+        return _multiset(
+            similarity.lsh_bucket_gemm_scored(
+                arm, None, "id_a", "id_b",
+                quantize="round6", threshold=0.4, require_lt=True,
+                symmetric_probe_planes=b, local_probe_bits=2,
+                stack_chunk_rows=chunk,
+            )
+        )
+
+    assert run(ch) == run(None)
+
+
+def test_chunking_invariant_emitall_threshold(spark, emb_df):
+    # two-sided round6 WITHOUT topk (threshold emit-all): cells must
+    # partition exactly across chunks
+    v, df = emb_df
+    b, t = 3, 2
+    sa = _sig_arm(df.filter("vec_id % 2 = 0"), b, t, v.shape[1], "s")
+    ta = _sig_arm(df.filter("vec_id % 2 = 1"), b, t, v.shape[1], "t")
+
+    def run(chunk):
+        return _multiset(
+            similarity.lsh_bucket_gemm_scored(
+                sa, ta, "src_id", "tgt_id",
+                quantize="round6", threshold=0.3,
+                stack_chunk_rows=chunk,
+            )
+        )
+
+    assert run(5) == run(None)
+
+
+# ---------------------------------------------------------------------------
+# The running row-wise top-k merge: selection must equal one stable
+# argsort over the full id-sorted column set, including score-AND-id
+# ties (repeated ids happen — the transport expands the same _id into
+# several probe rows of one bucket).
+
+
+def _reference_row_topk(vals, ids, k):
+    out_v, out_i = [], []
+    for row in vals:
+        order = np.argsort(-row, kind="stable")[:k]
+        out_v.append(row[order])
+        out_i.append(ids[order])
+    return np.stack(out_v), np.stack(out_i)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_row_topk_matches_whole_argsort(seed):
+    rng = np.random.default_rng(seed)
+    n_rows, n_cols, k = 6, 40, 5
+    # quantized scores with heavy ties, id-sorted columns WITH
+    # duplicate ids (two probe rows of one id in the same bucket)
+    ids = np.sort(rng.integers(0, 12, size=n_cols).astype(np.int64))
+    vals = rng.integers(-3, 4, size=(n_rows, n_cols)).astype(np.int64)
+    want_v, want_i = _reference_row_topk(vals, ids, k)
+    for chunk in (1, 3, 7, n_cols):
+        run_v = np.empty((n_rows, 0), np.int64)
+        run_i = np.empty((n_rows, 0), np.int64)
+        for c0 in range(0, n_cols, chunk):
+            c1 = min(c0 + chunk, n_cols)
+            tile = vals[:, c0:c1]
+            kk = min(k, tile.shape[1])
+            ridx = np.argsort(-tile, axis=1, kind="stable")[:, :kk]
+            run_v, run_i = similarity._merge_row_topk(
+                run_v, run_i,
+                np.take_along_axis(tile, ridx, axis=1),
+                ids[c0:c1][ridx],
+                k,
+            )
+        assert np.array_equal(run_v, want_v), f"chunk={chunk}"
+        assert np.array_equal(run_i, want_i), f"chunk={chunk}"
+
+
+def test_chunk_rows_f64_spans_chunks():
+    vs = np.empty(10, dtype=object)
+    for i in range(10):
+        vs[i] = np.full(3, float(i), dtype=np.float32)
+    chunks, norms = similarity._stack_chunks(vs, ch=4)
+    assert [len(c) for c in chunks] == [4, 4, 2]
+    tile = similarity._chunk_rows_f64(chunks, 2, 9, ch=4)
+    assert tile.dtype == np.float64
+    assert np.array_equal(tile[:, 0], np.arange(2, 9, dtype=np.float64))
+    # norms are float64 and match a whole-stack computation
+    whole = np.sqrt((np.stack(tuple(vs)).astype(np.float64) ** 2).sum(1))
+    assert np.allclose(norms, whole, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r18 hardening.
+
+
+def test_reserved_transport_columns_rejected(spark, emb_df):
+    from pyspark.sql import functions as F
+
+    v, df = emb_df
+    arm = _sig_arm(df, 4, 2, v.shape[1], "id")
+    with pytest.raises(ValueError, match="_hf"):
+        similarity.lsh_bucket_gemm_scored(
+            arm.withColumn("_hf", F.lit(0)), None, "a", "b",
+            quantize="round6", threshold=0.4,
+            symmetric_probe_planes=4,
+        )
+    with pytest.raises(ValueError, match="_m"):
+        similarity.lsh_bucket_gemm_scored(
+            arm.withColumn("_m", F.lit(0)), None, "a", "b",
+            quantize="round6", threshold=0.4,
+            symmetric_probe_planes=4,
+        )
+    with pytest.raises(ValueError, match="_side"):
+        similarity.lsh_bucket_gemm_scored(
+            arm.withColumn("_side", F.lit(0)), arm, "a", "b",
+            quantize="round6", topk=2,
+        )
+
+
+def test_stack_chunk_rows_validated(spark, emb_df):
+    v, df = emb_df
+    arm = _sig_arm(df, 3, 2, v.shape[1], "id")
+    with pytest.raises(ValueError, match="stack_chunk_rows"):
+        similarity.lsh_bucket_gemm_scored(
+            arm, None, "a", "b", quantize="round6", threshold=0.4,
+            stack_chunk_rows=-1,
+        )
+
+
+def test_partition_warn_threshold():
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity._warn_oversized_local_partition(
+            similarity._LOCAL_PARTITION_WARN_ROWS
+        )
+    with pytest.warns(RuntimeWarning, match="shuffle partition"):
+        similarity._warn_oversized_local_partition(
+            similarity._LOCAL_PARTITION_WARN_ROWS + 1
+        )
+
+
+def test_exchange_parallelism_takes_max(spark):
+    # the tests session runs shuffle_partitions=4; the scheduler's
+    # defaultParallelism is the local core count — the knob must be
+    # the max of the two, never silently the smaller
+    got = similarity.lsh_exchange_parallelism(spark)
+    dp = spark.sparkContext.defaultParallelism
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert got == max(dp, sp)
+
+
+def test_prefix_probes_guard(spark, emb_df):
+    v, df = emb_df
+    # prefix subset: passes the guard and runs
+    prefix = df.filter("vec_id < 12")
+    out = similarity.cosine_neardup_lsh_verified(
+        df, "vec_id", "embedding", threshold=0.4,
+        n_planes=3, n_tables=2, dim=v.shape[1],
+        probe_bits=2, probes=prefix,
+    )
+    assert out.count() >= 0
+    # non-prefix subset: rejected with the precondition message
+    holey = df.filter("vec_id % 2 = 0 AND vec_id < 24")
+    with pytest.raises(ValueError, match="prefix"):
+        similarity.cosine_neardup_lsh_verified(
+            df, "vec_id", "embedding", threshold=0.4,
+            n_planes=3, n_tables=2, dim=v.shape[1],
+            probe_bits=2, probes=holey,
+        )
+    # the documented opt-out skips the check (caller takes the
+    # precondition on themselves)
+    out = similarity.cosine_neardup_lsh_verified(
+        df, "vec_id", "embedding", threshold=0.4,
+        n_planes=3, n_tables=2, dim=v.shape[1],
+        probe_bits=2, probes=holey, assume_prefix_probes=True,
+    )
+    assert out.count() >= 0
