@@ -20,7 +20,7 @@ from amazon_books_review_spark.functions import (
     similarity,
     text,
 )
-from amazon_books_review_spark.sources.io import load_table
+from amazon_books_review_spark.sources.io import load_table, table_row_count
 
 # ---------------------------------------------------------------------------
 # Dedup: exact
@@ -1539,9 +1539,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.7x SLOWER at sf0.1: with 10 probes the fold was never the wall,
     and the batch exchange moved the whole vector-carrying corpus arm
     to score a probe-bounded candidate set.  The GEMM strategy serves
-    the BATCH regime instead (`similarity_lsh_knngraph`)."""
+    the BATCH regime instead (`similarity_lsh_knngraph`).
+
+    Self-sizing n comes from the parquet FOOTER (``table_row_count``,
+    VERDICT r18 #4) — the former ``emb.count()`` ran a separate
+    full-scan job per entry; the oracle's count(*) computes the same
+    number, so plane derivation is unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")
     nb = similarity.lsh_planes_for(
         n, LSH_TOPK_OCC,
         min_planes=LSH_TOPK_MIN_PLANES, max_planes=LSH_TOPK_MAX_PLANES,
@@ -1567,9 +1572,11 @@ def similarity_lsh_knngraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same self-sizing constants as the serving tier; same
     candidate-OVERSAMPLING quality contract (recall targeting is the
     miners' job — lsh_topk_overlap_audit records the serving tier's
-    overlap so the contract can't silently drift)."""
+    overlap so the contract can't silently drift).  Self-sizing n
+    from the parquet footer (``table_row_count``, VERDICT r18 #4) —
+    no separate count job."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")
     nb = similarity.lsh_planes_for(
         n, LSH_TOPK_OCC,
         min_planes=LSH_TOPK_MIN_PLANES, max_planes=LSH_TOPK_MAX_PLANES,
@@ -1581,7 +1588,41 @@ def similarity_lsh_knngraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_lsh_knngraph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _materialize_once(df: DataFrame, materialize: str) -> DataFrame:
+    """Materialize a DataFrame that is consumed twice in one plan
+    (Catalyst does not dedupe a mapInPandas subtree, so without this
+    a self-join recomputes the whole producing tier).
+
+    - ``"local"``: ``localCheckpoint`` — executor-local blocks, fast,
+      NON-RECOVERABLE: on a real cluster, losing one executor kills
+      the downstream query mid-join (VERDICT r18 #2).  Right for
+      single-JVM local mode, wrong for a 1000-executor run.
+    - ``"reliable"``: ``checkpoint`` — written to the configured
+      ``sparkContext.setCheckpointDir`` location (HDFS/object store
+      on a cluster), survives executor loss; the materialized frame
+      is exactly the thing you want on reliable storage at 100 TB.
+    - ``"auto"`` (default): reliable when a checkpoint dir is
+      configured, local otherwise — so a cluster session that set
+      its checkpoint dir gets recoverability without a code change
+      and local runs keep the cheap path.
+
+    Both modes are row-identical (pytest-pinned) — this is purely a
+    durability/placement knob."""
+    if materialize not in ("auto", "local", "reliable"):
+        raise ValueError(
+            f"materialize must be auto|local|reliable, got {materialize!r}"
+        )
+    if materialize == "auto":
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+        materialize = "reliable" if has_dir else "local"
+    if materialize == "reliable":
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
+def similarity_lsh_knngraph_mutual(
+    spark: SparkSession, sf_dir: str, materialize: str = "auto"
+) -> DataFrame:
     """MUTUAL k-NN edges over the batch ANN graph — the standard
     semantic-dedup / diversity-sampling graph primitive (an edge
     survives iff each endpoint is in the other's top-k; mutuality is
@@ -1590,12 +1631,17 @@ def similarity_lsh_knngraph_mutual(spark: SparkSession, sf_dir: str) -> DataFram
     k-NN graph on the reversed pair, canonicalized id_a < id_b with
     the a->b direction's sim.  Scale shape: the graph is |corpus| x k
     NARROW rows, so the mutuality join is one pair-keyed equi-join —
-    never touches vectors, never quadratic."""
-    # materialize the graph ONCE (localCheckpoint, the sigs precedent
-    # at similarity.py) — Catalyst does not dedupe a mapInPandas
-    # subtree, so the naive self-join would run the whole GEMM tier
-    # twice (measured plan: 24 Exchanges vs 10 for the graph itself)
-    g = similarity_lsh_knngraph(spark, sf_dir).localCheckpoint()
+    never touches vectors, never quadratic.
+
+    ``materialize`` (VERDICT r18 #2): the graph must materialize
+    once — Catalyst does not dedupe a mapInPandas subtree, so the
+    naive self-join would run the whole GEMM tier twice (measured
+    plan: 24 Exchanges vs 10 for the graph itself) — and
+    :func:`_materialize_once` picks WHERE: executor-local blocks
+    (fast, non-recoverable — local mode) or the reliable checkpoint
+    dir (cluster mode), auto-selected by whether
+    ``setCheckpointDir`` was called."""
+    g = _materialize_once(similarity_lsh_knngraph(spark, sf_dir), materialize)
     rev = g.select(
         F.col("neighbor_id").alias("query_id"),
         F.col("query_id").alias("neighbor_id"),
@@ -1659,6 +1705,76 @@ WITH RECURSIVE mutual AS (
 SELECT node AS vec_id, min(label) AS cluster_id
 FROM reach
 GROUP BY node
+"""
+
+
+def embedding_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup KEEPER POLICY (VERDICT r18 #7 — the half of Abbas et
+    al. 2023 the cluster entry alone lacks): per semantic-dup
+    cluster, pick the ONE kept representative and flag every member.
+    Quality proxy on the embeddings-only fixtures is the vector's L2
+    norm (rounded to 6, the boundary-safe quantization every cosine
+    entry uses), tie-broken on ascending vec_id; a text pipeline
+    composes ``text.quality_score`` the same way — the policy is the
+    (score DESC, id ASC) window, the proxy is a parameter of the
+    pipeline, not of the shape.  The text near-dup path's
+    ``dedup_cluster_canonical`` (keep-longest) is this same pattern
+    over documents.
+
+    Plan shape: cluster assignment is |clustered| narrow rows; norms
+    attach via one vec_id equi-join; rank and kept-id are TWO window
+    functions over the SAME (cluster_id) partitioning — one shuffle,
+    no self-join, vectors touched only in the norm projection of the
+    embeddings scan."""
+    from pyspark.sql.window import Window
+
+    clusters = embedding_semdedup_clusters(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        F.col("vec_id"),
+        F.round(similarity.l2_norm(F.col("embedding")), 6).alias("norm_q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("norm_q").desc(), F.col("vec_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(norms, "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "kept_vec_id",
+            F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).over(wc),
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            "kept_vec_id",
+            (F.col("vec_id") == F.col("kept_vec_id")).alias("keep"),
+        )
+    )
+
+
+def _semdedup_keepers_oracle() -> str:
+    clusters = _semdedup_clusters_oracle().strip()
+    return f"""
+WITH clusters AS (
+{clusters}
+), norms AS (
+    SELECT vec_id,
+           round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm_q
+    FROM embeddings
+), ranked AS (
+    SELECT c.vec_id, c.cluster_id, n.norm_q,
+           row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY n.norm_q DESC, c.vec_id ASC) AS rn
+    FROM clusters c JOIN norms n ON n.vec_id = c.vec_id
+)
+SELECT r.vec_id, r.cluster_id, k.kept_vec_id,
+       r.vec_id = k.kept_vec_id AS keep
+FROM ranked r
+JOIN (SELECT cluster_id, vec_id AS kept_vec_id FROM ranked WHERE rn = 1) k
+  USING (cluster_id)
 """
 
 
@@ -3674,6 +3790,11 @@ NORTHSTAR_QUERIES = [
      _semdedup_clusters_oracle(),
      "SemDeDup-style clusters: mutual k-NN edges at the near-dup "
      "threshold -> min-label connected components"),
+    ("embedding_semdedup_keepers", embedding_semdedup_keepers,
+     _semdedup_keepers_oracle(),
+     "SemDeDup keeper policy: one kept representative per cluster by "
+     "(quality proxy DESC, vec_id ASC) — norm proxy on embeddings, "
+     "quality_score in a text pipeline"),
     ("gopher_repetition_rules", gopher_repetition_rules, GOPHER_REPETITION_ORACLE,
      "Gopher repetition filters: top/dup n-gram char mass + dup lines, one gram shuffle"),
     ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,

@@ -26,6 +26,7 @@ Scale notes (100 TB discipline):
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -230,6 +231,29 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+@lru_cache(maxsize=256)
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count of ``{sf_dir}/{name}.parquet`` from parquet FOOTER
+    metadata — no Spark job (VERDICT r18 #4: the self-sizing
+    ``df.count()`` inside every ANN catalog entry is an extra
+    full-scan action per query; at 100 TB that is a real job, while
+    the footer answer is a metadata read).  Handles both a single
+    file and a directory of part files (sum of footers).  Cached per
+    (sf_dir, name): the driver test tables are immutable fixture
+    files — callers pointing this at mutating paths should call
+    ``table_row_count.cache_clear()`` between generations."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

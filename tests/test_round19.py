@@ -303,3 +303,99 @@ def test_prefix_probes_guard(spark, emb_df):
         probe_bits=2, probes=holey, assume_prefix_probes=True,
     )
     assert out.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r18 #5/#7/#8: materialize knob, keeper policy, footer count.
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_materialize_modes_row_identical(spark, tmp_path):
+    from amazon_books_review_spark.plans import northstar_queries as nq
+
+    local = {
+        tuple(r)
+        for r in nq.similarity_lsh_knngraph_mutual(
+            spark, SF, materialize="local"
+        ).collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {
+            tuple(r)
+            for r in nq.similarity_lsh_knngraph_mutual(
+                spark, SF, materialize="reliable"
+            ).collect()
+        }
+        # auto resolves to reliable while a checkpoint dir is set
+        auto = {
+            tuple(r)
+            for r in nq.similarity_lsh_knngraph_mutual(
+                spark, SF, materialize="auto"
+            ).collect()
+        }
+    finally:
+        # unset the session checkpoint dir (Option.apply(null) ->
+        # scala None via the var setter) so the session fixture's
+        # later tests keep resolving materialize="auto" to local
+        sc = spark.sparkContext
+        none = sc._jvm.scala.Option.apply(None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+    assert local == reliable == auto
+    assert spark.sparkContext.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="materialize"):
+        nq._materialize_once(
+            nq.similarity_lsh_knngraph(spark, SF), "bogus"
+        )
+
+
+def test_semdedup_keepers_policy(spark):
+    from amazon_books_review_spark.plans import northstar_queries as nq
+
+    rows = nq.embedding_semdedup_keepers(spark, SF).collect()
+    assert rows, "parity fixtures plant semantic dup clusters"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        # exactly one kept representative per cluster...
+        assert len(keeps) == 1, cid
+        # ...that every member row agrees on
+        assert {r.kept_vec_id for r in members} == {keeps[0].vec_id}
+        # clusters are non-trivial (>= 2 members by construction)
+        assert len(members) >= 2
+
+
+def test_semdedup_keeper_is_max_norm(spark):
+    import numpy as np
+
+    from amazon_books_review_spark.plans import northstar_queries as nq
+    from amazon_books_review_spark.sources.io import load_table
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    rows = nq.embedding_semdedup_keepers(spark, SF).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        kept = next(r for r in members if r.keep)
+        norm_q = {
+            r.vec_id: round(float(np.linalg.norm(emb[r.vec_id])), 6)
+            for r in members
+        }
+        best = max(norm_q.values())
+        # keeper rule: (norm_q DESC, vec_id ASC)
+        want = min(v for v, n in norm_q.items() if n == best)
+        assert kept.vec_id == want
+
+
+def test_table_row_count_matches_footer(spark):
+    from amazon_books_review_spark.sources.io import load_table, table_row_count
+
+    for t in ("embeddings", "orders"):
+        assert table_row_count(SF, t) == load_table(spark, SF, t).count()
