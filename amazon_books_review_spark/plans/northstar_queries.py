@@ -1778,6 +1778,101 @@ JOIN (SELECT cluster_id, vec_id AS kept_vec_id FROM ranked WHERE rn = 1) k
 """
 
 
+def embedding_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dup clusters with CERTIFIED edge recall — the
+    production semantic-dedup path at scale (r19).
+
+    The graph-composition entry (`embedding_semdedup_clusters`) rides
+    the ANN serving tier, whose contract is candidate OVERSAMPLING,
+    not recall (`lsh_topk_overlap_audit` records the gap); at decade
+    scale its per-pair hit rate at the 0.45 dup threshold collapses
+    (T=2 tables, no multiprobe — measured in SF*_SEMDEDUP_R19).  This
+    entry derives the SAME logical object — mutual-k-NN edges at the
+    dup threshold, min-label components — from the certified near-dup
+    tier instead, whose >= 85%-recall-at-threshold floor is
+    plan-derived and decade-measured (92.6% @ 1M, 93.0% @ 2M).
+
+    The key identity making that possible: a neighbor BELOW the dup
+    threshold can never outrank one at/above it under (sim DESC)
+    ordering, so for every edge that survives the threshold filter,
+    per-endpoint rank over the THRESHOLD PAIR SET equals global
+    mutual-k-NN rank.  Mutual-k-NN-at-threshold is therefore
+    computable exactly from `embedding_neardup_lsh_verified`'s
+    output — no k-NN graph build, no second pass over vectors.
+
+    Plan shape past the (already-certified) pair miner: symmetrize
+    the canonical pairs (unionByName — map-side), ONE rank window per
+    endpoint, then the mutuality test as a pair-keyed count
+    (both directions rank <= k  <=>  the unordered pair appears
+    twice) — two narrow shuffles, no self-join, vectors never
+    re-touched.  Components are the same min-label loop as the
+    cluster entry."""
+    from pyspark.sql.window import Window
+
+    pairs = embedding_neardup_lsh_verified(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst").asc()
+    )
+    ranked = sym.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_K
+    )
+    edges = (
+        ranked.select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(edges).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
+def _semdedup_certified_oracle() -> str:
+    pairs = _neardup_lsh_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+), symn AS (
+    SELECT id_a AS src, id_b AS dst, sim FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst, sim FROM pairs
+), ranked AS (
+    SELECT src, dst,
+           row_number() OVER (
+               PARTITION BY src ORDER BY sim DESC, dst ASC) AS rnk
+    FROM symn
+), edges AS (
+    SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+    FROM ranked WHERE rnk <= {TOPK_K}
+    GROUP BY 1, 2
+    HAVING count(*) = 2
+), sym AS (
+    SELECT id_a AS src, id_b AS dst FROM edges
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM edges
+), reach(node, label) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.src, r.label
+    FROM sym s JOIN reach r ON s.dst = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
 def _lsh_topk_oracle(
     probe_pred: str = f"p.vec_id < {N_PROBES} AND ",
 ) -> str:
@@ -2036,9 +2131,13 @@ def embedding_neardup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFram
     (b >= 11, ~65k vectors), holding the certified 85% recall floor
     to ~524k vectors instead of ~65k; the oracle replays the
     escalation via a probe-level CASE over the derived b that gates a
-    symmetric one-bit-flip explode on BOTH join arms."""
+    symmetric one-bit-flip explode on BOTH join arms.
+
+    Self-sizing n from the parquet footer (``table_row_count``,
+    VERDICT r18 #4) — no separate count job; the oracle's count(*)
+    computes the same number."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")
     nb = similarity.lsh_planes_for(
         n, NEARDUP_LSH_OCC,
         min_planes=NEARDUP_LSH_MIN_PLANES, max_planes=NEARDUP_LSH_MAX_PLANES,
@@ -2066,9 +2165,10 @@ def embedding_neardup_lsh_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     would never meet the DuckDB oracle.  Tables derive from the same
     union rule AT radius-2 hit rates (``NEARDUP_LSH_PROBE2_PLAN``),
     so this is the miner exactly as a >65k-vector corpus runs it,
-    not a test double."""
+    not a test double.  Self-sizing n from the parquet footer
+    (``table_row_count``, VERDICT r18 #4)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")
     nb = similarity.lsh_planes_for(
         n, NEARDUP_LSH_OCC,
         min_planes=NEARDUP_LSH_MIN_PLANES, max_planes=NEARDUP_LSH_MAX_PLANES,
@@ -3795,6 +3895,12 @@ NORTHSTAR_QUERIES = [
      "SemDeDup keeper policy: one kept representative per cluster by "
      "(quality proxy DESC, vec_id ASC) — norm proxy on embeddings, "
      "quality_score in a text pipeline"),
+    ("embedding_semdedup_certified", embedding_semdedup_certified,
+     _semdedup_certified_oracle(),
+     "semantic-dup clusters from the CERTIFIED near-dup tier: "
+     "mutual-k-NN-at-threshold computed exactly on the threshold "
+     "pair set (rank window + pair-count mutuality), then min-label "
+     "components — the recall-floored scale path"),
     ("gopher_repetition_rules", gopher_repetition_rules, GOPHER_REPETITION_ORACLE,
      "Gopher repetition filters: top/dup n-gram char mass + dup lines, one gram shuffle"),
     ("gopher_quality_rules", gopher_quality_rules, GOPHER_ORACLE,
