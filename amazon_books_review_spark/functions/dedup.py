@@ -414,6 +414,7 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 
+    changed = None
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels, sym["dst"] == labels["node"]
@@ -440,6 +441,25 @@ def connected_components(
         labels = merged.select("node", "label")
         if not changed:
             break
+    else:
+        # r19 (found by the SF10_SEMDEDUP_R19 decade audit): at
+        # threshold-graph scale component diameters exceed any fixed
+        # round budget and label propagation silently returned
+        # UNCONVERGED labels — endpoints of a known edge landed in
+        # different clusters.  Non-convergence is now observable; the
+        # durable fix at scale is algorithm="star" (O(log n) rounds).
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not"
+            f" converge in {max_iter} rounds ({changed} labels still"
+            " changing) — component diameter exceeds the round"
+            " budget; labels are NOT a fixpoint.  Use"
+            " algorithm='star' (O(log n) rounds) for deep/chained"
+            " graphs, or raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
@@ -522,6 +542,16 @@ def connected_components_star(
         edges = new_edges
         if same:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: no fixpoint in {max_iter}"
+            " rounds — labels may not be component minima; raise"
+            " max_iter (rounds needed grow O(log n)).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     roots = edges.select(F.col("dst").alias("node")).distinct()
     labels = (

@@ -1676,11 +1676,19 @@ def embedding_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GEMM k-NN graph, the mutuality join, and the min-label
     components loop (same machinery as `dedup_clusters`) — so the
     whole semantic-dedup pipeline never touches vectors after the
-    one bucket exchange."""
+    one bucket exchange.
+
+    Components use the large/small-star variant (r19): the
+    SF10_SEMDEDUP_R19 decade audit caught label propagation
+    exhausting its round budget on chained threshold graphs and
+    silently returning unconverged labels — star converges in
+    O(log n) rounds and is the 100 TB-correct default for this
+    pipeline; outputs are identical on converged inputs
+    (property-pinned)."""
     edges = similarity_lsh_knngraph_mutual(spark, sf_dir).filter(
         F.col("sim") >= COSINE_DUP_THRESHOLD
     )
-    return dedup.connected_components(edges).select(
+    return dedup.connected_components(edges, algorithm="star").select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
 
@@ -1805,8 +1813,10 @@ def embedding_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint, then the mutuality test as a pair-keyed count
     (both directions rank <= k  <=>  the unordered pair appears
     twice) — two narrow shuffles, no self-join, vectors never
-    re-touched.  Components are the same min-label loop as the
-    cluster entry."""
+    re-touched.  Components are the large/small-star variant — at
+    this tier's edge density the threshold graph chains far past
+    label propagation's round budget (the SF10_SEMDEDUP_R19 audit
+    measured the silent non-convergence this guards against)."""
     from pyspark.sql.window import Window
 
     pairs = embedding_neardup_lsh_verified(spark, sf_dir)
@@ -1833,7 +1843,7 @@ def embedding_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") == 2)
         .select("id_a", "id_b")
     )
-    return dedup.connected_components(edges).select(
+    return dedup.connected_components(edges, algorithm="star").select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
 

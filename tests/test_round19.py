@@ -399,3 +399,53 @@ def test_table_row_count_matches_footer(spark):
 
     for t in ("embeddings", "orders"):
         assert table_row_count(SF, t) == load_table(spark, SF, t).count()
+
+
+# ---------------------------------------------------------------------------
+# Connected-components convergence (found by the SF10_SEMDEDUP_R19
+# decade audit): label propagation on a chain longer than its round
+# budget must WARN, and the star variant must still converge to the
+# true component minima in O(log n) rounds.
+
+
+def _chain_edges(spark, n):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+
+
+def test_label_prop_warns_unconverged(spark):
+    from amazon_books_review_spark.functions import dedup
+
+    edges = _chain_edges(spark, 12)
+    with pytest.warns(RuntimeWarning, match="did not.converge|NOT a fixpoint"):
+        out = dedup.connected_components(edges, max_iter=2)
+        rows = {(r.node, r.cluster_id) for r in out.collect()}
+    # unconverged: far end of the chain has not reached label 0
+    assert (11, 0) not in rows
+
+
+def test_star_converges_on_long_chain(spark):
+    import warnings as _w
+
+    from amazon_books_review_spark.functions import dedup
+
+    edges = _chain_edges(spark, 40)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        out = dedup.connected_components(edges, algorithm="star")
+        rows = {(r.node, r.cluster_id) for r in out.collect()}
+    assert rows == {(i, 0) for i in range(40)}
+
+
+def test_star_matches_label_prop_when_converged(spark):
+    from amazon_books_review_spark.functions import dedup
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)], "id_a long, id_b long"
+    )
+    lp = {(r.node, r.cluster_id)
+          for r in dedup.connected_components(edges).collect()}
+    st = {(r.node, r.cluster_id)
+          for r in dedup.connected_components(edges, algorithm="star").collect()}
+    assert lp == st
