@@ -335,6 +335,12 @@ HEADLINE += [
     # label_propagation_communities — benched for the wall, no static
     # plan budget)
     "embedding_semdedup_clusters",
+    # round-19: the certified-recall semantic-dedup path (edges from
+    # the adaptive near-dup tier, mutual-k-NN computed exactly on the
+    # threshold pair set) and the SemDeDup keeper policy (one kept
+    # representative per cluster)
+    "embedding_semdedup_certified",
+    "embedding_semdedup_keepers",
 ]
 
 

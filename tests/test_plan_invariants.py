@@ -242,6 +242,15 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # plan shows only the pair-keyed self-join: 2 SMJ legs over
     # narrow checkpoint scans, no vector re-compute)
     "similarity_lsh_knngraph_mutual": (4, 0, 0, 2),
+    # r19: star components truncate lineage per round, so the final
+    # plan is the label agg over checkpoint leaves — pure narrow
+    # exchanges, no join operator survives
+    "embedding_semdedup_clusters": (4, 0, 0),
+    "embedding_semdedup_certified": (4, 0, 0),
+    # keeper policy: norms attach (BHJ at test scale, SMJ at 100 TB
+    # would be fine too — both sides narrow), then rank + kept-id
+    # share ONE (cluster_id) window partitioning
+    "embedding_semdedup_keepers": (8, 2, 0),
     "jsonl_corpus_roundtrip": (0, 0, 0),
     "orc_lineitem_roundtrip": (2, 0, 0),
     "multimodal_decode_meta": (0, 0, 0),
