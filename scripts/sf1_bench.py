@@ -75,6 +75,12 @@ QUERIES = [
     # transport) and the batch ANN k-NN graph (gemm strategy)
     "embedding_neardup_lsh_probe2",
     "similarity_lsh_knngraph",
+    # r19: the mutual-edge graph + both semantic-dedup compositions
+    # and the keeper policy
+    "similarity_lsh_knngraph_mutual",
+    "embedding_semdedup_clusters",
+    "embedding_semdedup_certified",
+    "embedding_semdedup_keepers",
 ]
 
 ONLY = set(sys.argv[2:])
