@@ -257,6 +257,7 @@ nb_c = similarity.lsh_planes_for(
     max_planes=nq.NEARDUP_LSH_MAX_PLANES,
 )
 nt_c, npb_c = similarity.lsh_plan_checked(nq.NEARDUP_LSH_PLAN, nb_c)
+clamp_c = nq.NEARDUP_LSH_PLAN.by_b[nb_c][2]
 t0 = time.time()
 pairs = nq.embedding_neardup_lsh_verified(spark, EMB_DIR)
 pairs.persist()
@@ -295,6 +296,7 @@ n_c_clusters = c_clusters.select("cluster_id").distinct().count()
 c_cluster_sec = round(time.time() - t0, 2)
 results["certified"] = {
     "derived_planes": nb_c, "n_tables": nt_c, "probe_bits": npb_c,
+    "table_clamp_binds": bool(clamp_c),
     "threshold_pairs_total": n_pairs,
     "mutual_edges_total": n_c_edges,
     "clustered_vectors": n_c_members, "n_clusters": n_c_clusters,

@@ -449,3 +449,54 @@ def test_star_matches_label_prop_when_converged(spark):
     st = {(r.node, r.cluster_id)
           for r in dedup.connected_components(edges, algorithm="star").collect()}
     assert lp == st
+
+
+# ---------------------------------------------------------------------------
+# The certified semantic-dedup identity (embedding_semdedup_certified's
+# docstring claim): computing per-endpoint rank over the THRESHOLD
+# PAIR SET equals global mutual-k-NN rank for every edge at/above the
+# threshold, because a below-threshold neighbor can never outrank an
+# above-threshold one under (sim DESC, id ASC).  Pinned by an
+# independent numpy reference on a corpus with planted structure.
+
+
+def test_mutual_knn_at_threshold_identity():
+    rng = np.random.default_rng(197)
+    n, dim, k, th = 120, 12, 4, 0.45
+    v = rng.normal(size=(n, dim))
+    for base in range(0, n, 15):
+        for j in range(1, 5):
+            if base + j < n:
+                v[base + j] = v[base] + rng.normal(scale=0.12, size=dim)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    sims = np.round(v @ v.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+
+    def topk_global(i):
+        order = np.lexsort((np.arange(n), -sims[i]))[:k]
+        return set(order.tolist())
+
+    # global mutual-k-NN edges, filtered at the threshold
+    want = set()
+    for a in range(n):
+        for b in topk_global(a):
+            if sims[a, b] >= th and a in topk_global(b):
+                want.add((min(a, b), max(a, b)))
+
+    # the certified path's computation: rank over threshold pairs only
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if sims[a, b] >= th]
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    def topk_threshold(i):
+        cand = sorted(nbrs.get(i, []), key=lambda j: (-sims[i, j], j))[:k]
+        return set(cand)
+    got = set()
+    for a, b in pairs:
+        if b in topk_threshold(a) and a in topk_threshold(b):
+            got.add((a, b))
+
+    assert got == want
+    assert want, "fixture must plant threshold-mutual structure"
