@@ -28,6 +28,14 @@ def _load(name: str) -> dict | None:
 SEMDEDUP_POINTS = {
     "SF10_SEMDEDUP_R19.json": (90.0, "SF10_NEARDUP_WALL_R18.json"),
     "SF25_SEMDEDUP_R19.json": (90.0, "SF25_NEARDUP_WALL_R18.json"),
+    # 1M: the local 32-table clamp BINDS at b=15 (pair-level recall
+    # at the 0.45 design point reads 89.7% clamped, r17) yet the
+    # composed mutual-edge metric holds 96.7% — mutual-top-k edges
+    # concentrate at high similarity where per-pair hit rates are
+    # near 1, so the product metric degrades gracefully.  No r18
+    # full-corpus wall artifact exists at 1M (None skips the
+    # pair-count cross-check).
+    "SF50_SEMDEDUP_R19.json": (90.0, None),
 }
 
 
@@ -59,7 +67,7 @@ def test_semdedup_certified_decade_floors(name, spec):
     )
     # cross-round determinism: same seed + same adaptive plan => the
     # full-corpus threshold pair count must equal the r18 wall run's
-    wall = _load(wall_name)
+    wall = _load(wall_name) if wall_name else None
     if wall is not None:
         assert cert["threshold_pairs_total"] == wall["n_pairs"], (
             f"{name}: certified pair count diverged from {wall_name}"
