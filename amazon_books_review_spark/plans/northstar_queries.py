@@ -1729,6 +1729,14 @@ def embedding_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_cluster_canonical`` (keep-longest) is this same pattern
     over documents.
 
+    Clusters come from the CERTIFIED path
+    (`embedding_semdedup_certified`, r19) — the production
+    semantic-dedup tier whose mutual-edge recall holds the near-dup
+    floor at three measured decades — not the ANN-serving-tier
+    composition (whose oversampling contract reads 0.3-0.4% edge
+    recall at scale, SF*_SEMDEDUP_R19): a keeper policy is only as
+    good as the clusters it keeps from.
+
     Plan shape: cluster assignment is |clustered| narrow rows; norms
     attach via one vec_id equi-join; rank and kept-id are TWO window
     functions over the SAME (cluster_id) partitioning — one shuffle,
@@ -1736,7 +1744,7 @@ def embedding_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings scan."""
     from pyspark.sql.window import Window
 
-    clusters = embedding_semdedup_clusters(spark, sf_dir)
+    clusters = embedding_semdedup_certified(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     norms = emb.select(
         F.col("vec_id"),
@@ -1763,7 +1771,7 @@ def embedding_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_keepers_oracle() -> str:
-    clusters = _semdedup_clusters_oracle().strip()
+    clusters = _semdedup_certified_oracle().strip()
     return f"""
 WITH clusters AS (
 {clusters}
@@ -3902,9 +3910,9 @@ NORTHSTAR_QUERIES = [
      "threshold -> min-label connected components"),
     ("embedding_semdedup_keepers", embedding_semdedup_keepers,
      _semdedup_keepers_oracle(),
-     "SemDeDup keeper policy: one kept representative per cluster by "
-     "(quality proxy DESC, vec_id ASC) — norm proxy on embeddings, "
-     "quality_score in a text pipeline"),
+     "SemDeDup keeper policy over the CERTIFIED clusters: one kept "
+     "representative per cluster by (quality proxy DESC, vec_id ASC) "
+     "— norm proxy on embeddings, quality_score in a text pipeline"),
     ("embedding_semdedup_certified", embedding_semdedup_certified,
      _semdedup_certified_oracle(),
      "semantic-dup clusters from the CERTIFIED near-dup tier: "
