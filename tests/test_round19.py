@@ -500,3 +500,47 @@ def test_mutual_knn_at_threshold_identity():
 
     assert got == want
     assert want, "fixture must plant threshold-mutual structure"
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_star_components_match_union_find(spark, seed):
+    # independent union-find reference on random sparse graphs —
+    # chains, forests, and merged components all at once
+    from amazon_books_review_spark.functions import dedup
+
+    rng = np.random.default_rng(seed)
+    n, m = 200, 160
+    ea = rng.integers(0, n, m)
+    eb = rng.integers(0, n, m)
+    keep = ea != eb
+    ea, eb = ea[keep], eb[keep]
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(ea, eb):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = set(map(int, ea)) | set(map(int, eb))
+    # canonical label = component MINIMUM, the operator's contract
+    comp = {}
+    for v in touched:
+        comp.setdefault(find(v), []).append(v)
+    want = {
+        (v, min(members))
+        for members in comp.values()
+        for v in members
+    }
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ea, eb)], "id_a long, id_b long"
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components(edges, algorithm="star").collect()
+    }
+    assert got == want
