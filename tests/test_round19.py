@@ -9,6 +9,7 @@ so outputs must match exactly."""
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import numpy as np
@@ -544,3 +545,59 @@ def test_star_components_match_union_find(spark, seed):
         for r in dedup.connected_components(edges, algorithm="star").collect()
     }
     assert got == want
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_HEAVY_TESTS"),
+    reason="~25 min single-task quadratic scoring; set"
+    " SPARK_GRAFT_HEAVY_TESTS=1 to run (validated green 2026-08-16,"
+    " see PERF.md round-19 log)",
+)
+def test_megabucket_beyond_warn_threshold_identical(spark):
+    """A single (table_id, sig) bucket BEYOND _GEMM_GROUP_WARN_ROWS
+    (the r18 warn-then-OOM scenario) runs to completion under the
+    chunked kernel, and its emitted pair set is identical to the
+    single-chunk (r18-shape) execution.  A planted near-identical
+    cluster gives real emissions to compare; the random bulk at
+    threshold 0.999 emits nothing but must be SCORED (the memory and
+    compute load).  The quadratic scoring work is the point — m^2/2
+    ~ 9e9 candidate cells tiled through bounded GEMMs in ONE task —
+    so this runs ~25 min single-threaded and is env-gated out of the
+    default battery; the small-scale chunking-invariance suites above
+    cover the kernel identity on every commit."""
+    import pandas as pd
+
+    m = similarity._GEMM_GROUP_WARN_ROWS + 4096  # 135,168 rows
+    dim = 64
+    rng = np.random.default_rng(199)
+    v = rng.normal(size=(m, dim)).astype(np.float32)
+    # planted near-duplicate cluster: rows 1000..1299 ~ one vector
+    base = rng.normal(size=dim)
+    for i in range(1000, 1300):
+        v[i] = (base + rng.normal(scale=1e-3, size=dim)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pdf = pd.DataFrame({
+        "_id": np.arange(m, dtype=np.int64),
+        "table_id": np.zeros(m, dtype=np.int32),
+        "sig": np.zeros(m, dtype=np.int64),
+        "_v": list(v),
+    })
+    arm = spark.createDataFrame(pdf).repartition(1)
+
+    def run(chunk):
+        return {
+            (r.id_a, r.id_b, r.sim)
+            for r in similarity.lsh_bucket_gemm_scored(
+                arm, None, "id_a", "id_b",
+                quantize="round6", threshold=0.999, require_lt=True,
+                stack_chunk_rows=chunk,
+            ).collect()
+        }
+
+    got = run(None)          # chunked (default 32k rows -> 5 chunks)
+    want = run(m + 1)        # single chunk: the r18 whole-stack shape
+    assert got == want
+    # every planted pair survives; no random pair reaches 0.999
+    ids = {i for pair in got for i in pair[:2]}
+    assert ids and ids <= set(range(1000, 1300))
+    assert len(got) == 300 * 299 // 2
