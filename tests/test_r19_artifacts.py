@@ -95,6 +95,54 @@ def test_semdedup_graph_tier_gap_recorded(name):
     assert cert["edge_recall_pct"] >= 10 * max(g["edge_recall_pct"], 0.1)
 
 
+#: keeper-policy decade artifact -> the committed certified decade
+#: artifact whose cluster assignment it must reproduce exactly (same
+#: seed, same adaptive plan — the composed tier is deterministic).
+KEEPERS_POINTS = {
+    "SF10_KEEPERS_R19.json": "SF10_SEMDEDUP_R19.json",
+    "SF25_KEEPERS_R19.json": "SF25_SEMDEDUP_R19.json",
+    "SF50_KEEPERS_R19.json": "SF50_SEMDEDUP_R19.json",
+}
+
+
+@pytest.mark.parametrize("name,sem_name", sorted(KEEPERS_POINTS.items()))
+def test_keeper_policy_decade_invariants(name, sem_name):
+    """`embedding_semdedup_keepers` at the decades (the r19 entry's
+    scale story past gen-sf1): the keeper rule ((norm_q DESC, vec_id
+    ASC) per cluster) must replay EXACTLY against the independent
+    numpy replica on the FULL output — zero mismatched keepers, zero
+    rows disagreeing on their cluster's kept id, exactly one keep
+    flag per cluster.  On the unit-normalized fixtures round-6 norms
+    are fully degenerate (one distinct value), so every cluster
+    exercises the tie path — the adversarial case for the
+    rank + max-over-partition window pair.  Cluster counts must match
+    the committed certified decade artifact to the row, and the
+    entry's end-to-end wall must stay within 1.25x of the certified
+    tier it composes over in the same session (measured: the policy's
+    marginal cost is NEGATIVE at every decade — below same-session
+    warm-up noise)."""
+    d = _load(name)
+    if d is None:
+        pytest.skip(f"{name} not generated yet")
+    assert d["keeper_rule_mismatches"] == 0
+    assert d["inconsistent_kept_rows"] == 0
+    assert d["one_keep_per_cluster"] is True
+    assert d["n_keepers"] == d["n_clusters"]
+    assert d["distinct_norm_q_values"] == 1  # the tie path IS the test
+    assert d["survivors"] == d["n_keepers"] + (
+        d["n_vectors"] - d["output_rows"]
+    )
+    sem = _load(sem_name)
+    if sem is not None:
+        cert = sem["certified"]
+        assert d["clustered_vectors"] == cert["clustered_vectors"]
+        assert d["n_clusters"] == cert["n_clusters"]
+    assert d["keepers_total_sec"] <= 1.25 * d["clusters_sec"], (
+        "keeper policy cost exceeded 25% of the certified tier it"
+        " composes over — the two-window shape regressed"
+    )
+
+
 def test_corr_planes_killed_with_curve():
     """VERDICT r18 #6 keep-or-kill: deliberate plane correlation DOES
     cut min-T-for-90 (18 -> 14 at alpha=0.5) but inflates the
