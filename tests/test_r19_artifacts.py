@@ -141,6 +141,14 @@ def test_keeper_policy_decade_invariants(name, sem_name):
         "keeper policy cost exceeded 25% of the certified tier it"
         " composes over — the two-window shape regressed"
     )
+    # the deconfounded claim (stage C, warm-vs-warm): the policy's
+    # marginal cost stays a small fraction of the tier it rides —
+    # measured 13.9% / 0.5% / 10.1% at 200k / 500k / 1M
+    if "keeper_marginal_warm_sec" in d:
+        assert (
+            d["keeper_marginal_warm_sec"]
+            <= 0.25 * d["clusters_warm_sec"]
+        ), "warm-vs-warm keeper marginal exceeded 25% of the tier"
 
 
 def test_corr_planes_killed_with_curve():
