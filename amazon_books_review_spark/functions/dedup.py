@@ -389,7 +389,9 @@ def connected_components(
     minimum label among itself and its neighbors; convergence in
     O(component diameter) rounds (near-dup clusters are shallow — a
     handful of rounds in practice).  Each round is one join + one
-    groupBy (two shuffles on the node key); labels are cached and the
+    groupBy; while the node set fits the broadcast budget the label
+    join is a broadcast (the edge frame is never shuffled), degrading
+    to a shuffle join past the cap.  Labels are checkpointed and the
     lineage truncated per round so the plan doesn't grow with
     iterations.  The per-round convergence check is a count on a
     LIMIT 1 diff — the loop is driver-controlled but the data never
@@ -404,32 +406,52 @@ def connected_components(
         return connected_components_star(pairs, id_a, id_b, max_iter)
     if algorithm != "label_prop":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    from amazon_books_review_spark.operators.joins import broadcast_if_small
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # Symmetrize with ONE evaluation of the pair subtree: the
+    # union-with-flipped form evaluates the (often expensive) upstream
+    # pair miner once per union branch; explode over a 2-element struct
+    # array reads it exactly once.  Checkpoint FIRST and derive nodes
+    # from the checkpointed frame so the miner never runs again for the
+    # node/label seed jobs (it used to run 4x before the first round).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # localCheckpoint: truncates lineage per round (cache alone keeps
     # the full recursive plan, which explodes after ~10 rounds)
     sym = sym.localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    # Node count is dimension-sized and already materialized: one cheap
+    # count buys broadcast label joins every round (no edge shuffle).
+    n_nodes = labels.count()
 
     changed = None
     for _ in range(max_iter):
+        lb = broadcast_if_small(labels, n_nodes)
         nbr_labels = sym.join(
-            labels, sym["dst"] == labels["node"]
+            lb, sym["dst"] == lb["node"]
         ).select(F.col("src").alias("node"), F.col("label"))
         # Fold the convergence check into the SAME materialization:
         # the min-agg joins back to the old labels so the checkpointed
         # frame carries a per-node changed flag — the subsequent
         # convergence aggregate then scans the (tiny) checkpoint
         # instead of paying a fresh join job per round.
+        old = broadcast_if_small(
+            labels.select("node", F.col("label").alias("old_label")), n_nodes
+        )
         merged = (
             labels.select("node", "label")
             .unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("new_label"))
-            .join(labels.select("node", F.col("label").alias("old_label")), "node")
+            .join(old, "node")
             .select(
                 "node",
                 F.col("new_label").alias("label"),

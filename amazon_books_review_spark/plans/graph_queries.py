@@ -87,18 +87,28 @@ def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     broadcast via :func:`broadcast_if_small` — past the configured
     node budget the hint comes off and both joins degrade to
     shuffles on the same keys (the web-scale path).
+
+    Round 1 skips the label join entirely: the initial label table is
+    the identity (lbl = node), so joining it against ``dst`` is just a
+    rename of ``dst`` to ``lbl`` — an algebraic identity, not an
+    approximation.  (r19: the old ``repartition("dst")`` before the
+    checkpoint is gone — ``localCheckpoint`` does NOT preserve the
+    partitioning (the scan comes back as UnknownPartitioning), so that
+    exchange bought nothing.)
     """
-    edges = edges.repartition("dst").localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    n_nodes = labels.count()  # one O(nodes) job on the checkpointed frame
+    edges = edges.localCheckpoint(eager=True)
+    labels = None  # round 1: identity labels, join elided
+    n_nodes = None
     for _ in range(iters):
-        adopted = (
-            edges.join(
+        if labels is None:
+            joined = edges.select("src", F.col("dst").alias("lbl"))
+        else:
+            joined = edges.join(
                 broadcast_if_small(labels, n_nodes),
                 edges["dst"] == labels["node"],
             )
+        adopted = (
+            joined
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("src")
@@ -112,6 +122,12 @@ def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
             )
         )
         labels = adopted.localCheckpoint(eager=True)
+        if n_nodes is None:
+            n_nodes = labels.count()  # node-sized, on the checkpoint
+    if labels is None:  # iters == 0: identity labels
+        labels = edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
     return labels
 
 
@@ -183,11 +199,20 @@ def adamic_adar_scores(adj: DataFrame) -> DataFrame:
     and known-adjacent pairs leave via an anti-join against the
     undirected edge set.  The wedge self-join's build side is the
     whole (hub-annotated) edge list: AQE broadcasts it at test SF,
-    but it is NOT broadcastable at 100 TB — there it degrades to
-    the co-partitioned exchange pair the ``repartition("src")`` +
-    checkpoint already laid out, which is why the plan budget
+    but it is NOT broadcastable at 100 TB — there it degrades to a
+    shuffled join pair on the hub key, which is why the plan budget
     carries an SMJ allowance alongside the measured broadcast form.
+
+    r19: the edge list is checkpointed ONCE up front — the degree
+    aggregate, the cap join, and the known-adjacent anti-join all
+    used to re-evaluate the (expensive) upstream edge-build subtree;
+    now each reads the materialized edges.  The old
+    ``repartition("src")`` before the checkpoint is gone:
+    ``localCheckpoint`` does not preserve partitioning (the scan
+    comes back as UnknownPartitioning), so that exchange was pure
+    cost.
     """
+    adj = adj.localCheckpoint(eager=True)
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(AA_WEIGHTS.items()) for x in kv]
@@ -195,11 +220,7 @@ def adamic_adar_scores(adj: DataFrame) -> DataFrame:
     hubs = deg.select("src", F.element_at(wmap, F.col("deg")).alias("wv")).filter(
         F.col("wv").isNotNull()
     )
-    capped = (
-        adj.join(F.broadcast(hubs), "src")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    capped = adj.join(F.broadcast(hubs), "src").localCheckpoint(eager=True)
     a, b = capped.alias("a"), capped.alias("b")
     scored = (
         a.join(b, "src")

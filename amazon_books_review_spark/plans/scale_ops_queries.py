@@ -805,31 +805,33 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li, directed=True)
     # Pay the edge-side work ONCE: degree via a window over the same
-    # src partitioning (no groupBy+re-join round trip), pre-partition
-    # by dst, materialize.  Every iteration then broadcast-joins the
-    # node-sized rank table against this static frame, and the
-    # groupBy(dst) rides the existing hashpartitioning(dst) — zero
-    # per-iteration edge shuffle.  (Valid while nodes are
-    # dimension-sized, as here — parts are bounded; past the
+    # src partitioning (no groupBy+re-join round trip), materialize.
+    # Every iteration then broadcast-joins the node-sized rank table
+    # against this static frame — zero per-iteration edge-side shuffle
+    # beyond the narrow (dst, contrib) aggregate.  (Valid while nodes
+    # are dimension-sized, as here — parts are bounded; past the
     # configured node budget broadcast_if_small drops the hint and
-    # the join degrades to a shuffle join on src.)
+    # the join degrades to a shuffle join on src.)  r19: the old
+    # ``repartition("dst")`` before the checkpoint is gone —
+    # localCheckpoint does NOT preserve partitioning (the scan comes
+    # back as UnknownPartitioning), so the groupBy(dst) never rode
+    # that exchange; it was pure cost.
     from pyspark.sql import Window
 
     w_deg = Window.partitionBy("src")
     edges_deg = (
         edges.withColumn("deg", F.count(F.lit(1)).over(w_deg))
-        .repartition("dst")
         .localCheckpoint(eager=True)
     )
-    # one scalar to the driver: the graph order
-    n_nodes = edges_deg.select("src").distinct().count()
+    # Seed ranks once on a checkpointed node table; its count is the
+    # graph order (saves the separate distinct-count job).
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_nodes = nodes.count()
     init = PR_SCALE // n_nodes
     base = (15 * init) // 100
-    ranks = (
-        edges_deg.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("r", F.lit(init))
-    )
+    ranks = nodes.withColumn("r", F.lit(init))
     for _ in range(PR_ITERS):
         contrib = edges_deg.join(
             broadcast_if_small(ranks, n_nodes),
@@ -1838,14 +1840,17 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-    )
+        .localCheckpoint(eager=True)
+    )  # node-sized; checkpointed so the O(E) degree agg runs ONCE
+    # (it used to re-run for the count job, both broadcast builds,
+    # and the wedge rollup — four edge passes for one node table)
     # Degree table is NODE-cardinality (20k at sf0.1, |parts| at any
     # SF) — broadcast via broadcast_if_small, same posture as
     # pagerank's rank broadcast: past the configured node budget the
     # hint comes off and these become two O(E)-row shuffle joins.
     # The adjacency joins below stay UN-hinted on purpose: their
     # payload is edge-sized.
-    n_nodes_drv = deg.count()  # one O(E) agg over the checkpointed edges
+    n_nodes_drv = deg.count()  # node-sized count on the checkpoint
     du = broadcast_if_small(
         deg.select(F.col("node").alias("u"), F.col("d").alias("du")), n_nodes_drv
     )

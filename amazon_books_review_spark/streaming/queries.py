@@ -307,14 +307,20 @@ def streaming_stream_stream_outer_join(
     tests/test_streaming.py::test_stream_stream_left_outer_join_emits_nulls_on_eviction.
 
     Drain protocol (what makes this hash-gateable): the events table
-    is staged into a fixture dir and drained; then two sentinel waves
-    (+2h, +4h, ``user_id = -1`` so they can never join; one purchase
-    AND one view each, because a side that sees no data pins the MIN
-    watermark and freezes eviction globally — the 100 TB stalled-
-    upstream trap) advance the watermark past every real purchase's
-    window.  Every real unmatched purchase therefore null-pads, and
-    the final sink equals the plain batch LEFT JOIN — the oracle.
-    Sentinels are filtered from the output by ``user_id >= 0``.
+    is staged into a fixture dir together with the FIRST sentinel wave
+    (+2h, ``user_id = -1`` so it can never join; one purchase AND one
+    view, because a side that sees no data pins the MIN watermark and
+    freezes eviction globally — the 100 TB stalled-upstream trap) and
+    drained; the second wave (+4h) then appends and drains again.  A
+    watermark is a batch-END maximum, so wave 1 riding the first drain
+    changes nothing about which rows join (sentinels can't match) —
+    the first drain merely ENDS with the watermark already past every
+    real purchase's window, and the second drain's batch evicts and
+    null-pads all of them (r19: this folds the old separate wave-1
+    drain — one fewer full query start + state-store commit cycle,
+    same final sink).  The sink equals the plain batch LEFT JOIN — the
+    oracle.  Sentinels are filtered from the output by
+    ``user_id >= 0``.
 
     Scale shape: identical to the inner form (state bounded by
     watermark + range per side); outer adds no state, only the
@@ -374,8 +380,7 @@ def streaming_stream_stream_outer_join(
             )
             q.awaitTermination()
 
-    drain()
-    for wave, hours in enumerate((2, 4), 1):
+    def append_wave(wave: int, hours: int) -> None:
         sent_ts = F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")
         spark.range(1).select(
             F.lit(-wave).cast("long").alias("event_id"),
@@ -390,7 +395,11 @@ def streaming_stream_stream_outer_join(
                 F.lit("view").alias("event_type"),
             )
         ).write.mode("append").parquet(src)
-        drain()
+
+    append_wave(1, 2)  # rides the first drain; watermark is batch-END
+    drain()
+    append_wave(2, 4)
+    drain()
     return read_parquet(spark, f"{out}/data").filter(F.col("user_id") >= 0)
 
 
