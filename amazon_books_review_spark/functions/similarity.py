@@ -192,6 +192,97 @@ def ivf_topk(
     )
 
 
+def ivf_topk_multi(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (2, 4),
+) -> dict[int, DataFrame]:
+    """:func:`ivf_topk` at SEVERAL nprobe settings from ONE scoring
+    pass (r19, for the recall audits).
+
+    The nprobe=lo candidate set is by construction a subset of the
+    nprobe=hi set — the same probe-to-cell ranking, cut at a smaller
+    rank.  So: route once, score the corpus⋈candidate join once at the
+    WIDEST nprobe carrying the probe-cell rank ``_pr``, materialize the
+    narrow (query, neighbor, sim, _pr) table, and derive each nprobe's
+    top-k as a window over the ``_pr <= np`` filter.  Per-candidate
+    sims, tie-breaks and rounding are expression-identical to
+    :func:`ivf_topk`, so each returned frame is row-identical to an
+    independent ``ivf_topk(..., nprobe=np)`` call (pytest-pinned) —
+    this removes the duplicate centroid build and the duplicate
+    corpus-scoring join the audits used to pay per nprobe setting.
+    """
+    if not nprobes:
+        raise ValueError("nprobes must be non-empty")
+    widest = max(nprobes)
+    cents = label_centroids(corpus, vec_col, label_col, dim)
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    _route_den = F.col("_qn") * l2_norm(F.col("centroid"))
+    routed = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_csim",
+            F.when(
+                _route_den > 0,
+                F.round(dot(F.col("_qv"), F.col("centroid")) / _route_den, 6),
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cell").asc()
+    )
+    probe_cells = (
+        routed.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= widest)
+        .select("query_id", "_qv", "_qn", "cell", "_pr")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        F.col(label_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_pr",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint()  # narrow; scored exactly once
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    out: dict[int, DataFrame] = {}
+    for np_ in nprobes:
+        out[np_] = (
+            scored.filter(F.col("_pr") <= np_)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                "sim",
+            )
+        )
+    return out
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     probes: DataFrame,

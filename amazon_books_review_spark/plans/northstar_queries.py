@@ -1828,13 +1828,26 @@ def embedding_semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     pairs = embedding_neardup_lsh_verified(spark, sf_dir)
+    # r19: symmetrize via explode — the unionByName form evaluated the
+    # whole certified GEMM miner subtree once per union branch (Catalyst
+    # does not dedupe a mapInPandas subtree); the 2-element struct-array
+    # explode reads it exactly once.
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "sim"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("sim"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.sim")
     w = Window.partitionBy("src").orderBy(
         F.col("sim").desc(), F.col("dst").asc()
     )
@@ -2593,11 +2606,14 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=TOPK_K)
     out = exact.select("query_id", "neighbor_id")
+    # r19: both nprobe settings from ONE scoring pass (the lo candidate
+    # set is a subset of the hi one) — row-identical to per-np ivf_topk.
+    approx_by_np = similarity.ivf_topk_multi(
+        emb, probes, "vec_id", "embedding", "label",
+        dim=EMB_DIM, k=TOPK_K, nprobes=ANN_AUDIT_NPROBES,
+    )
     for np_ in ANN_AUDIT_NPROBES:
-        approx = similarity.ivf_topk(
-            emb, probes, "vec_id", "embedding", "label",
-            dim=EMB_DIM, k=TOPK_K, nprobe=np_,
-        )
+        approx = approx_by_np[np_]
         out = out.join(
             approx.select(
                 "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
@@ -2696,11 +2712,14 @@ def ann_recall_audit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb_k.filter(F.col("vec_id") < N_PROBES)
     exact = similarity.cosine_topk(emb, probes, "vec_id", "embedding", k=TOPK_K)
     out = exact.select("query_id", "neighbor_id")
+    # r19: both nprobe settings from ONE scoring pass (see
+    # ann_recall_audit) — also evaluates the k-means cell-tag join once.
+    approx_by_np = similarity.ivf_topk_multi(
+        emb_k, probes, "vec_id", "embedding", "km_cell",
+        dim=EMB_DIM, k=TOPK_K, nprobes=ANN_AUDIT_NPROBES,
+    )
     for np_ in ANN_AUDIT_NPROBES:
-        approx = similarity.ivf_topk(
-            emb_k, probes, "vec_id", "embedding", "km_cell",
-            dim=EMB_DIM, k=TOPK_K, nprobe=np_,
-        )
+        approx = approx_by_np[np_]
         out = out.join(
             approx.select(
                 "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")

@@ -1,0 +1,108 @@
+"""Round-19 OPTIMIZATION invariants: every rewrite in this round must
+be output-identical to the shape it replaced (the driver re-hashes all
+declared queries, so these are the fast local pins of the same
+contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from amazon_books_review_spark.functions import dedup, similarity
+
+
+def _toy_vectors(spark, n=60, dim=8, n_cells=4):
+    rows = [
+        (
+            i,
+            [float(((i * 7 + j * 3) % 9) - 4) + 0.25 * j for j in range(dim)],
+            f"c{i % n_cells}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+
+
+@pytest.mark.parametrize("nprobes", [(1,), (2, 4), (1, 2, 3)])
+def test_ivf_topk_multi_matches_per_nprobe_calls(spark, nprobes):
+    """ivf_topk_multi's shared scoring pass must be row-identical to an
+    independent ivf_topk call at every requested nprobe."""
+    df = _toy_vectors(spark)
+    probes = df.filter(F.col("vec_id") < 5)
+    multi = similarity.ivf_topk_multi(
+        df, probes, "vec_id", "embedding", "label", dim=8, k=3,
+        nprobes=nprobes,
+    )
+    assert set(multi) == set(nprobes)
+    for np_ in nprobes:
+        single = similarity.ivf_topk(
+            df, probes, "vec_id", "embedding", "label", dim=8, k=3, nprobe=np_
+        )
+        got = sorted(map(tuple, multi[np_].collect()))
+        want = sorted(map(tuple, single.collect()))
+        assert got == want, f"nprobe={np_} diverged"
+
+
+def test_ivf_topk_multi_rejects_empty():
+    with pytest.raises(ValueError):
+        similarity.ivf_topk_multi(
+            None, None, "vec_id", "embedding", "label", dim=8, nprobes=()
+        )
+
+
+def test_connected_components_explode_symmetrize_identical(spark):
+    """The r19 explode-based symmetrize + checkpoint-first label_prop
+    must produce the same (node, cluster_id) set as first principles:
+    min reachable id per component (chain + triangle + singleton
+    pair)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = sorted(
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    )
+    want = sorted(
+        [(1, 1), (2, 1), (3, 1), (4, 1),
+         (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+    )
+    assert got == want
+
+
+def test_propagate_labels_round1_elision_identical(spark):
+    """Round-1 of label propagation with identity labels is a rename of
+    dst -> lbl; the elided form must equal the explicit-join form
+    (reference implementation inline here)."""
+    from amazon_books_review_spark.plans.graph_queries import propagate_labels
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in
+         [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4), (5, 6), (6, 5),
+          (1, 3), (3, 1)]],
+        "src bigint, dst bigint",
+    )
+
+    def reference(edges, iters):
+        labels = edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+        for _ in range(iters):
+            labels = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("src")
+                .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg")))
+                     .alias("best"))
+                .select(F.col("src").alias("node"),
+                        (-F.col("best.neg")).alias("lbl"))
+            )
+        return labels
+
+    for iters in (1, 2, 3):
+        got = sorted(map(tuple, propagate_labels(edges, iters).collect()))
+        want = sorted(map(tuple, reference(edges, iters).collect()))
+        assert got == want, f"iters={iters} diverged"
