@@ -555,13 +555,28 @@ def connected_components_star(
             .distinct()
         )
 
+    # r19 loop hygiene: (a) checkpoint the large-star output per round —
+    # small_star references its input three times (min agg, join, union
+    # arm) and Catalyst re-evaluates the 2-shuffle subtree per
+    # reference; (b) carry the previous round's count instead of
+    # re-counting the old checkpoint; (c) fixpoint containment via a
+    # left-anti join — both sides are already distinct SETS, so
+    # |new| == |old| and new \ old == {} imply equality without
+    # subtract's re-distinct of both sides.
+    prev_count = edges.count()
     for _ in range(max_iter):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
+        ls = large_star(edges).localCheckpoint()
+        new_edges = small_star(ls).localCheckpoint()
+        new_count = new_edges.count()
         same = (
-            new_edges.count() == edges.count()
-            and new_edges.subtract(edges).limit(1).count() == 0
+            new_count == prev_count
+            and new_edges.join(edges, ["src", "dst"], "left_anti")
+            .limit(1)
+            .count()
+            == 0
         )
         edges = new_edges
+        prev_count = new_count
         if same:
             break
     else:

@@ -628,7 +628,7 @@ def bitext_margin_mining_cells_kmeans(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")  # footer, no count job (r19)
     k = km_k_for(n, BITEXT_KM_OCC, k_min=BITEXT_KM_KMIN, k_max=BITEXT_KM_KMAX)
     qdf, centroids, assign_pass = _km_fit(spark, sf_dir, k=k)
     src_cells = _km_assign_multiprobe(
@@ -1135,7 +1135,7 @@ def hard_negative_mining_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     masked to the count-derived bit width), exactly like the
     embedding near-dup entry."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")  # footer, no count job (r19)
     nb = similarity.lsh_planes_for(
         n, HARDNEG_CELL_OCC,
         min_planes=HARDNEG_MIN_PLANES, max_planes=HARDNEG_MAX_PLANES,
@@ -1344,7 +1344,7 @@ def hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches, xor probe CTEs for both radii) plus the exact
     different-label / false-negative-cap / top-k tail."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")  # footer, no count job (r19)
     nb = similarity.lsh_planes_for(
         n, HARDNEG_LSH_OCC,
         min_planes=HARDNEG_LSH_MIN_PLANES, max_planes=HARDNEG_LSH_MAX_PLANES,
