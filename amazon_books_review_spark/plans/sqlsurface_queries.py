@@ -113,7 +113,14 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             WITH RECURSIVE reach(partkey, hops) AS (
                 SELECT p, 0 FROM seed
                 UNION ALL
-                SELECT /*+ SHUFFLE_HASH(e) */ e.dst, r.hops + 1
+                -- r19: broadcast the FRONTIER, not shuffle the edges —
+                -- each recursion step used to SHUFFLE_HASH the whole
+                -- checkpointed edge table per hop, while the frontier
+                -- is bounded by 1 + deg(seed) rows (single-seed BFS
+                -- with a 2-hop cap; co-purchase fan-out is bounded by
+                -- design, see copurchase_edges).  Measured identical
+                -- rows, 1.79s -> 1.41s at sf0.1.
+                SELECT /*+ BROADCAST(r) */ e.dst, r.hops + 1
                 FROM reach r JOIN abr_reach_edges e ON e.src = r.partkey
                 WHERE r.hops < {REACH_MAX_HOPS}
             )
