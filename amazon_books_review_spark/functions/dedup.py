@@ -485,6 +485,15 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+#: Edge count below which the per-round large-star intermediate is NOT
+#: checkpointed: re-evaluating the 2-shuffle subtree for small_star's
+#: three references costs less than an extra materialization job on a
+#: dimension-sized edge set.  Above it (threshold graphs at scale) the
+#: checkpoint wins — the subtree grows with |E| while the job overhead
+#: stays fixed.
+_STAR_LS_CKPT_MIN_EDGES = 100_000
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -558,14 +567,20 @@ def connected_components_star(
     # r19 loop hygiene: (a) checkpoint the large-star output per round —
     # small_star references its input three times (min agg, join, union
     # arm) and Catalyst re-evaluates the 2-shuffle subtree per
-    # reference; (b) carry the previous round's count instead of
-    # re-counting the old checkpoint; (c) fixpoint containment via a
-    # left-anti join — both sides are already distinct SETS, so
-    # |new| == |old| and new \ old == {} imply equality without
-    # subtract's re-distinct of both sides.
+    # reference; size-adaptive: below _STAR_LS_CKPT_MIN_EDGES the
+    # re-evaluation is cheaper than the extra materialization job, so
+    # the checkpoint only engages on graphs where it pays (results are
+    # identical either way — it is purely a materialization choice);
+    # (b) carry the previous round's count instead of re-counting the
+    # old checkpoint; (c) fixpoint containment via a left-anti join —
+    # both sides are already distinct SETS, so |new| == |old| and
+    # new \ old == {} imply equality without subtract's re-distinct of
+    # both sides.
     prev_count = edges.count()
     for _ in range(max_iter):
-        ls = large_star(edges).localCheckpoint()
+        ls = large_star(edges)
+        if prev_count >= _STAR_LS_CKPT_MIN_EDGES:
+            ls = ls.localCheckpoint()
         new_edges = small_star(ls).localCheckpoint()
         new_count = new_edges.count()
         same = (

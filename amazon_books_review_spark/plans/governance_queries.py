@@ -325,26 +325,43 @@ def join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k")
     )
+    from amazon_books_review_spark.operators.windows import global_top_k
+
     a = orders.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
     b = li.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
-    prod = a.join(b, "k").select(
-        "k", (F.col("ca") * F.col("cb")).alias("out_rows")
+    # Key-grain and narrow; checkpointed because BOTH the totals agg and
+    # the top-N selection consume it (r19 — it used to be re-derived
+    # from the fact scans per consumer, behind a single-partition
+    # global row_number over every matched key; the top-N now surfaces
+    # through TakeOrdered as the docstring always claimed, and the rank
+    # window runs over N rows only).
+    prod = (
+        a.join(b, "k")
+        .select("k", (F.col("ca") * F.col("cb")).alias("out_rows"))
+        .localCheckpoint()
+    )
+    topn = global_top_k(
+        prod, [F.col("out_rows").desc(), F.col("k").asc()], PREFLIGHT_TOP
     )
     w = Window.orderBy(F.col("out_rows").desc(), F.col("k").asc())
-    ranked = prod.withColumn("rnk", F.row_number().over(w))
-    summary = ranked.agg(
+    ranked_top = topn.withColumn("rnk", F.row_number().over(w))
+    top_sum = ranked_top.agg(
+        F.sum("out_rows").alias("_topn_rows"),
+    )
+    totals = prod.agg(
+        F.sum("out_rows").alias("_all_rows"),
+        F.count(F.lit(1)).alias("_matched"),
+        F.max("out_rows").alias("_max_rows"),
+    )
+    summary = totals.crossJoin(F.broadcast(top_sum)).select(
         F.lit("ALL").alias("scope"),
         F.lit(None).cast("long").alias("key"),
-        F.sum("out_rows").alias("out_rows"),
-        F.count(F.lit(1)).alias("matched_keys"),
-        F.round(F.max("out_rows") / F.sum("out_rows"), 9).alias("top1_share"),
-        F.round(
-            F.sum(F.when(F.col("rnk") <= PREFLIGHT_TOP, F.col("out_rows")).otherwise(F.lit(0)))
-            / F.sum("out_rows"),
-            9,
-        ).alias("topn_share"),
+        F.col("_all_rows").alias("out_rows"),
+        F.col("_matched").alias("matched_keys"),
+        F.round(F.col("_max_rows") / F.col("_all_rows"), 9).alias("top1_share"),
+        F.round(F.col("_topn_rows") / F.col("_all_rows"), 9).alias("topn_share"),
     )
-    top = ranked.filter(F.col("rnk") <= PREFLIGHT_TOP).select(
+    top = ranked_top.select(
         F.concat(F.lit("top"), F.col("rnk")).alias("scope"),
         F.col("k").alias("key"),
         "out_rows",

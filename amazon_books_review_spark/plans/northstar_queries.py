@@ -2614,9 +2614,14 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for np_ in ANN_AUDIT_NPROBES:
         approx = approx_by_np[np_]
+        # approx is <= N_PROBES * k rows by construction — broadcast the
+        # hit join explicitly (the checkpointed scored table's stats no
+        # longer trip auto-broadcast through the filter+window on top).
         out = out.join(
-            approx.select(
-                "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
+                )
             ),
             ["query_id", "neighbor_id"],
             "left",
@@ -2720,9 +2725,14 @@ def ann_recall_audit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for np_ in ANN_AUDIT_NPROBES:
         approx = approx_by_np[np_]
+        # approx is <= N_PROBES * k rows by construction — broadcast the
+        # hit join explicitly (the checkpointed scored table's stats no
+        # longer trip auto-broadcast through the filter+window on top).
         out = out.join(
-            approx.select(
-                "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias(f"hit_np{np_}")
+                )
             ),
             ["query_id", "neighbor_id"],
             "left",

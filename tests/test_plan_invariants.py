@@ -322,11 +322,16 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # routed assignment is the same map-only shape: coarse seeds and
     # cell membership ship as driver-computed literals, zero Exchange
     "kmeans_routed_assign": (0, 0, 0),
-    # edge-iterator triangles: degree joins broadcast (node-scale),
-    # adjacency joins may SMJ at scale; the 4 BNLJ are the two 1-row
-    # scalar crossJoins.  NO wedge-sized shuffle exists in the plan —
-    # that's the invariant that un-quarantined it (r7).
-    "triangle_count_copurchase": (20, 2, 4, 2),
+    # edge-iterator triangles (r19 shape): the degree table is
+    # checkpointed node-scale (its joins sit BELOW the orientation
+    # checkpoint and no longer appear here); adjacency joins are SMJ —
+    # the documented 100 TB posture (edge-sized payloads, deliberately
+    # un-hinted; at test scale they no longer auto-broadcast because
+    # the checkpoint hides the small size estimate, which is the
+    # at-scale plan anyway).  The 4 BNLJ are the two 1-row scalar
+    # crossJoins.  NO wedge-sized shuffle exists in the plan — that's
+    # the invariant that un-quarantined it (r7).
+    "triangle_count_copurchase": (18, 0, 4, 4),
     # MERGE: one full-outer SMJ on the key (both sides shuffle once)
     # plus the source-union's scan — full outer can't broadcast
     "merge_upsert_orders": (4, 0, 0, 2),
@@ -427,9 +432,12 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9 hilbert layout: bounds-broadcast BNLJ + the range
     # partitioner's sampling exchange (same shape as zorder)
     "hilbert_layout_codes": (6, 0, 2),
-    # round-9 join pre-flight: two key-grain aggs + one key-grain join;
-    # the product arithmetic never materializes a joined fact row
-    "join_size_preflight": (14, 2, 0),
+    # round-9 join pre-flight, r19 shape: the key-grain product table
+    # is checkpointed and consumed by a totals agg + a TakeOrdered
+    # top-N (the global row_number over every matched key is gone);
+    # the 2 BNLJ are the 1-row top-sum broadcast crossJoin, the SMJ
+    # allowance is the key-grain join at scale
+    "join_size_preflight": (6, 0, 2, 2),
     # round-9 corpus ops: gram-grain df join; doc-grain verdict joins;
     # recursion frontier x broadcast vocab; scalar-broadcast tempering;
     # token histogram over the shared word-type checkpoint
