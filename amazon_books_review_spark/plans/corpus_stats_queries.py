@@ -571,7 +571,11 @@ def _bpe_merge_rounds(words: DataFrame) -> list[tuple]:
             F.lit(" "),
         ).alias("rep"),
         "n_occ",
-    )
+    ).localCheckpoint()
+    # ^ r19: materialize the word-TYPE symbol table ONCE — the per-round
+    # pair count used to re-evaluate the whole corpus tokenize+agg under
+    # the growing replace lineage (K rounds = K full corpus passes);
+    # rounds now chain map-side replaces over the checkpointed types.
     merges = []
     for rnd in range(1, BPE_MERGES + 1):
         pairs = (

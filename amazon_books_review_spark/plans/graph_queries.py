@@ -318,6 +318,7 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> 
     at web scale they degrade to shuffle semi-joins on the same keys.
     """
     cur = edges.localCheckpoint(eager=True)
+    prev_count = cur.count()
     for _ in range(iters):
         ko = cur.groupBy("o").agg(F.count(F.lit(1)).alias("c")).filter(
             F.col("c") >= k
@@ -330,6 +331,15 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> 
             .join(kp, "p", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # r19 exact early-stop: peeling only ever REMOVES edges, so an
+        # unchanged count is a fixpoint and every remaining round is a
+        # provable no-op (the tests already assert a further round is a
+        # no-op at convergence) — the result is identical, the
+        # trailing agg+semi-join+materialize rounds are skipped.
+        new_count = cur.count()
+        if new_count == prev_count:
+            break
+        prev_count = new_count
     return cur
 
 
