@@ -57,30 +57,30 @@ def normalize_to_bits(col: Column, lo: Column, hi: Column, bits: int = MORTON_BI
     )
 
 
-def zorder_by(
+def _with_layout_code(
     df: DataFrame,
     col_a: str,
     col_b: str,
-    num_files: int | None = None,
-    bits: int = MORTON_BITS,
+    code_col: str,
+    encode,
+    bits: int,
 ) -> DataFrame:
-    """Return ``df`` redistributed and sorted by the Morton code of
-    (col_a, col_b) — ready to write.  Column bounds come from one
-    cheap min/max aggregate joined in as a broadcast scalar row (no
-    collect; the bounds never leave the cluster).
-
-    ``repartitionByRange`` on the code gives files disjoint Morton
-    ranges; sorting within partitions tightens row-group stats.
-    """
+    """``df`` plus the layout code of (col_a, col_b) as ``code_col``.
+    Column bounds come from one cheap min/max aggregate joined in as a
+    broadcast scalar row (no collect; the bounds never leave the
+    cluster).  Zero-shuffle past that broadcast: this is the
+    CODE-computation half, shared by the ``*_by`` layout writers and
+    the code-only catalog checks (which need the codes, not the
+    redistribution — the range exchange would only reorder rows)."""
     bounds = df.agg(
         F.min(col_a).cast("double").alias("_lo_a"),
         F.max(col_a).cast("double").alias("_hi_a"),
         F.min(col_b).cast("double").alias("_lo_b"),
         F.max(col_b).cast("double").alias("_hi_b"),
     )
-    with_code = df.join(F.broadcast(bounds)).withColumn(
-        "_zorder",
-        morton_interleave(
+    return df.join(F.broadcast(bounds)).withColumn(
+        code_col,
+        encode(
             normalize_to_bits(
                 F.col(col_a).cast("double"), F.col("_lo_a"), F.col("_hi_a"), bits
             ),
@@ -90,6 +90,29 @@ def zorder_by(
             bits,
         ),
     ).drop("_lo_a", "_hi_a", "_lo_b", "_hi_b")
+
+
+def zorder_codes(df: DataFrame, col_a: str, col_b: str, bits: int = MORTON_BITS) -> DataFrame:
+    """``df`` plus the Morton code as ``_zorder`` — codes only, no
+    redistribution (one broadcast of the 1-row bounds aggregate, no
+    exchange of ``df`` itself)."""
+    return _with_layout_code(df, col_a, col_b, "_zorder", morton_interleave, bits)
+
+
+def zorder_by(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+    bits: int = MORTON_BITS,
+) -> DataFrame:
+    """Return ``df`` redistributed and sorted by the Morton code of
+    (col_a, col_b) — ready to write.
+
+    ``repartitionByRange`` on the code gives files disjoint Morton
+    ranges; sorting within partitions tightens row-group stats.
+    """
+    with_code = zorder_codes(df, col_a, col_b, bits)
     parts = [num_files] if num_files else []
     return with_code.repartitionByRange(*parts, F.col("_zorder")).sortWithinPartitions(
         "_zorder"
@@ -162,6 +185,13 @@ def hilbert_encode(a: Column, b: Column, bits: int = HILBERT_BITS) -> Column:
     return F.aggregate(levels, zero, merge, lambda acc: acc.d)
 
 
+def hilbert_codes(df: DataFrame, col_a: str, col_b: str, bits: int = HILBERT_BITS) -> DataFrame:
+    """``df`` plus the Hilbert code as ``_hilbert`` — codes only, no
+    redistribution (one broadcast of the 1-row bounds aggregate, no
+    exchange of ``df`` itself)."""
+    return _with_layout_code(df, col_a, col_b, "_hilbert", hilbert_encode, bits)
+
+
 def hilbert_by(
     df: DataFrame,
     col_a: str,
@@ -171,24 +201,7 @@ def hilbert_by(
 ) -> DataFrame:
     """``zorder_by`` with the Hilbert code instead of Morton —
     same bounds broadcast, same range-partition + in-partition sort."""
-    bounds = df.agg(
-        F.min(col_a).cast("double").alias("_lo_a"),
-        F.max(col_a).cast("double").alias("_hi_a"),
-        F.min(col_b).cast("double").alias("_lo_b"),
-        F.max(col_b).cast("double").alias("_hi_b"),
-    )
-    with_code = df.join(F.broadcast(bounds)).withColumn(
-        "_hilbert",
-        hilbert_encode(
-            normalize_to_bits(
-                F.col(col_a).cast("double"), F.col("_lo_a"), F.col("_hi_a"), bits
-            ),
-            normalize_to_bits(
-                F.col(col_b).cast("double"), F.col("_lo_b"), F.col("_hi_b"), bits
-            ),
-            bits,
-        ),
-    ).drop("_lo_a", "_hi_a", "_lo_b", "_hi_b")
+    with_code = hilbert_codes(df, col_a, col_b, bits)
     parts = [num_files] if num_files else []
     return with_code.repartitionByRange(
         *parts, F.col("_hilbert")

@@ -337,11 +337,16 @@ def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Morton encoding behind functions/layout.write_zordered,
     oracle-checked end-to-end (min-max normalize both columns onto
     16-bit ints, interleave bits).  The physical file-skipping payoff
-    is pytest-asserted in tests/test_layout.py."""
+    is pytest-asserted in tests/test_layout.py.  r19: the check reads
+    the CODES (``layout.zorder_codes``), not the redistributed frame —
+    the old ``zorder_by`` call paid a range-partitioner sampling pass
+    (which re-evaluates the whole code expression), a full exchange and
+    an in-partition sort that only REORDERED the declared output
+    (order-insensitive oracle hash); the write path keeps them."""
     from amazon_books_review_spark.functions import layout
 
     events = load_table(spark, sf_dir, "events")
-    coded = layout.zorder_by(
+    coded = layout.zorder_codes(
         events.select("event_id", "user_id", "value"), "user_id", "value"
     )
     return coded.select("event_id", F.col("_zorder").alias("zorder"))
@@ -384,11 +389,16 @@ def hilbert_layout_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (property-tested in tests/test_layout.py), so range scans over
     the code touch strictly fewer distant cells than Morton at the
     same file count — the layout Hudi/Iceberg offer as
-    'hilbert' clustering."""
+    'hilbert' clustering.  r19: reads the CODES
+    (``layout.hilbert_codes``), not the redistributed frame — the old
+    ``hilbert_by`` call paid a range-partitioner sampling pass (which
+    re-evaluates the whole 16-level curve fold), a full exchange and an
+    in-partition sort that only REORDERED the declared output
+    (order-insensitive oracle hash); the write path keeps them."""
     from amazon_books_review_spark.functions import layout
 
     events = load_table(spark, sf_dir, "events")
-    coded = layout.hilbert_by(
+    coded = layout.hilbert_codes(
         events.select("event_id", "user_id", "value"), "user_id", "value"
     )
     return coded.select("event_id", F.col("_hilbert").alias("hilbert"))

@@ -429,9 +429,11 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # round-9: probe-broadcast silhouette — the BNLJ is the intended
     # bounded probe x corpus fan-out (same shape as the ANN audits)
     "kmeans_silhouette_audit": (6, 0, 2),
-    # round-9 hilbert layout: bounds-broadcast BNLJ + the range
-    # partitioner's sampling exchange (same shape as zorder)
-    "hilbert_layout_codes": (6, 0, 2),
+    # round-9 hilbert layout, r19 shape: bounds-broadcast BNLJ over the
+    # code fold only — the range partitioner's sampling pass + exchange
+    # + sort moved out of the catalog check (they only reordered rows;
+    # the write path keeps them).  Budget = the 1-row bounds agg pair.
+    "hilbert_layout_codes": (4, 0, 2),
     # round-9 join pre-flight, r19 shape: the key-grain product table
     # is checkpointed and consumed by a totals agg + a TakeOrdered
     # top-N (the global row_number over every matched key is gone);
