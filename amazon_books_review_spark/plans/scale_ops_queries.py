@@ -1369,11 +1369,14 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB replays the full traversal CTE-for-CTE.
 
     Scale shape (the k-means loop discipline): the loop state is one
-    running ``dmin`` column over the points (updated map-side against
-    the latest center, a dim-sized literal); each round costs one
-    linear scan plus a 1-row argmax driver sync, and the frame is
-    checkpointed per round so lineage stays flat.  Total K scans —
-    never a pairwise term.
+    running ``dmin`` fold over the points, grown map-side as a
+    ``least(d2(c0), ..., d2(ci))`` expression of dim-sized literals
+    over the ONCE-checkpointed point set (r19: the per-round
+    ``localCheckpoint`` re-materialized the whole corpus K times just
+    to freeze one more ``least`` term — at most K small terms, the
+    fold costs arithmetic, not storage).  Each round is one linear
+    scan plus a 1-row argmax driver sync; total K scans — never a
+    pairwise term, and the corpus is stored once, not K times.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
@@ -1394,15 +1397,17 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     if seed is None:
         raise ValueError("kcenter_coreset: embeddings table is empty")
     picks = [(0, seed["vec_id"], None)]
-    state = pts.withColumn("dmin", d2_to(seed["qv"]))
+    dmin = d2_to(seed["qv"])
     for i in range(1, KC_K):
-        best = state.orderBy(F.col("dmin").desc(), F.col("vec_id").asc()).first()
+        best = (
+            pts.withColumn("dmin", dmin)
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .first()
+        )
         if best is None:  # fewer points than KC_K: stop with what exists
             break
         picks.append((i, best["vec_id"], best["dmin"]))
-        state = state.withColumn(
-            "dmin", F.least("dmin", d2_to(best["qv"]))
-        ).localCheckpoint(eager=True)
+        dmin = F.least(dmin, d2_to(best["qv"]))
     return spark.createDataFrame(
         picks, "pick_order long, vec_id long, dist_sq long"
     )

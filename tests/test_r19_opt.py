@@ -106,3 +106,41 @@ def test_propagate_labels_round1_elision_identical(spark):
         got = sorted(map(tuple, propagate_labels(edges, iters).collect()))
         want = sorted(map(tuple, reference(edges, iters).collect()))
         assert got == want, f"iters={iters} diverged"
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    """The r19 growing-least fold in kcenter_coreset (one checkpointed
+    point set, no per-round re-materialization) must replay the exact
+    Gonzalez traversal: same picks, same distances, ties to the lowest
+    vec_id — pinned against an independent numpy reference over the
+    same parquet fixture."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (pyarrow->pandas path)
+
+    from amazon_books_review_spark.plans.scale_ops_queries import (
+        KC_K,
+        KM_Q,
+        kcenter_coreset,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(map(tuple, kcenter_coreset(spark, SF_SMOKE).collect()))
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb["vec_id"].to_numpy()
+    qv = np.rint(np.stack(emb["embedding"].to_numpy()).astype("float64") * KM_Q).astype(
+        "int64"
+    )
+    dmin = ((qv - qv[0]) ** 2).sum(axis=1)  # seed = lowest vec_id
+    want = [(0, int(ids[0]), None)]
+    for i in range(1, KC_K):
+        # argmax by dmin desc, vec_id asc (ids sorted -> first argmax)
+        j = int(np.argmax(dmin))
+        want.append((i, int(ids[j]), int(dmin[j])))
+        dmin = np.minimum(dmin, ((qv - qv[j]) ** 2).sum(axis=1))
+    assert got == sorted(want)
