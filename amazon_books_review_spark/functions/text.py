@@ -331,13 +331,21 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 
-def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """The Gopher quality-filter suite as ONE Catalyst scan.
 
     Emits every rule as its own boolean plus the conjunction
     (``keep``), so a 100 TB corpus run can both filter and report
     per-rule kill counts from the same pass — re-running one rule at a
     time re-scans the corpus once per rule, which is the anti-pattern.
+    ``passthrough`` names input columns to carry through the
+    projection unchanged — how a funnel stacks other verdicts onto
+    this same scan instead of re-joining at doc grain (r20).
     All expressions are built-in (split / filter / aggregate higher-
     order functions): no Python boundary, whole-stage codegen intact.
 
@@ -395,6 +403,7 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         keep = c if keep is None else (keep & c)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),

@@ -91,12 +91,20 @@ def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     Round 1 skips the label join entirely: the initial label table is
     the identity (lbl = node), so joining it against ``dst`` is just a
     rename of ``dst`` to ``lbl`` — an algebraic identity, not an
-    approximation.  (r19: the old ``repartition("dst")`` before the
-    checkpoint is gone — ``localCheckpoint`` does NOT preserve the
-    partitioning (the scan comes back as UnknownPartitioning), so that
-    exchange bought nothing.)
+    approximation.
+
+    The ``repartition("dst")`` before the checkpoint was removed in
+    r19 on the UnknownPartitioning argument and RESTORED in r20: the
+    partitioning metadata is indeed lost, but the physical block
+    clustering survives and the r20 interleaved A/B
+    (scripts/r20_exp_repart.py) read HEAD 3.70 s median vs 3.09
+    dst-clustered / 3.26 src-clustered, consistent across all five
+    round-robin shots — same lesson as pagerank's measured
+    regression, smaller constant (here the label join is a broadcast
+    and only the round-1 (src, dst)-grain aggregate and the probe
+    locality ride the clustering).
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.repartition("dst").localCheckpoint(eager=True)
     labels = None  # round 1: identity labels, join elided
     n_nodes = None
     for _ in range(iters):

@@ -805,22 +805,36 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li, directed=True)
     # Pay the edge-side work ONCE: degree via a window over the same
-    # src partitioning (no groupBy+re-join round trip), materialize.
-    # Every iteration then broadcast-joins the node-sized rank table
-    # against this static frame — zero per-iteration edge-side shuffle
-    # beyond the narrow (dst, contrib) aggregate.  (Valid while nodes
-    # are dimension-sized, as here — parts are bounded; past the
-    # configured node budget broadcast_if_small drops the hint and
-    # the join degrades to a shuffle join on src.)  r19: the old
-    # ``repartition("dst")`` before the checkpoint is gone —
-    # localCheckpoint does NOT preserve partitioning (the scan comes
-    # back as UnknownPartitioning), so the groupBy(dst) never rode
-    # that exchange; it was pure cost.
+    # src partitioning (no groupBy+re-join round trip), re-cluster by
+    # dst, materialize.  Every iteration then broadcast-joins the
+    # node-sized rank table against this static frame — zero
+    # per-iteration edge-side shuffle beyond the narrow (dst, contrib)
+    # aggregate.  (Valid while nodes are dimension-sized, as here —
+    # parts are bounded; past the configured node budget
+    # broadcast_if_small drops the hint and the join degrades to a
+    # shuffle join on src.)
+    #
+    # The ``repartition("dst")`` is LOAD-BEARING, but not for the
+    # reason the pre-r19 comment implied: the checkpoint scan does
+    # come back as UnknownPartitioning (EXP3 r19), so the per-round
+    # groupBy(dst) still plans an Exchange — what survives is the
+    # physical BLOCK CLUSTERING.  Over dst-clustered blocks each
+    # iteration's partial aggregation emits ~|nodes|/P rows per map
+    # task; over the window's src-clustered blocks every task sees
+    # nearly every dst and emits ~|nodes| rows — P× the exchanged
+    # rows, every iteration (guide §2.3: partial aggregation
+    # compresses by distinct keys PER MAP TASK, which block layout
+    # controls).  r19 removed this exchange on the metadata argument
+    # and the driver measured pagerank 2.62 → 5.20/3.35; the r20
+    # interleaved A/B (scripts/r20_exp_regressions.py +
+    # r20_exp_repart.py) read HEAD 4.35 median vs 3.17 restored /
+    # 3.20 with the checkpointed-node seed kept — restored.
     from pyspark.sql import Window
 
     w_deg = Window.partitionBy("src")
     edges_deg = (
         edges.withColumn("deg", F.count(F.lit(1)).over(w_deg))
+        .repartition("dst")
         .localCheckpoint(eager=True)
     )
     # Seed ranks once on a checkpointed node table; its count is the
@@ -1355,6 +1369,18 @@ KM_ROUTED_G = 3
 #: k-center coreset size (greedy farthest-point picks).
 KC_K = 8
 
+#: Above this corpus row count the greedy traversal stays the
+#: distributed K-round loop (one linear scan + 1-row argmax sync per
+#: pick); at or below it the WHOLE quantized point set is fetched to
+#: the driver in ONE Arrow pass and the K rounds run in numpy —
+#: identical integer arithmetic, identical ties, one job instead of
+#: K+2 (VERDICT r19 #5: the rounds are argmax-driver-sync-bound at
+#: any SF; K first() round trips each pay a full job cycle).  The
+#: fetch is bounded: rows x (dim+1) x 8B ≈ 100 MB at the default —
+#: the same bounded-driver-state posture as broadcast_if_small.
+KC_ARROW_MAX_ROWS_CONF = "spark.amazonBooksReview.kcenter.arrowMaxRows"
+KC_DEFAULT_ARROW_MAX_ROWS = 200_000
+
 
 def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset over the embeddings (Gonzalez 1985
@@ -1377,14 +1403,45 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold costs arithmetic, not storage).  Each round is one linear
     scan plus a 1-row argmax driver sync; total K scans — never a
     pairwise term, and the corpus is stored once, not K times.
+
+    r20 (VERDICT r19 #5): greedy k-center is inherently sequential —
+    each pick is a GLOBAL argmax over state the previous pick
+    defines, so the K rounds cannot fuse into one distributed job
+    without changing the traversal (per-partition local greedy does
+    NOT contain the global picks).  What CAN collapse is the driver
+    round-trip count: when the parquet footer says the corpus fits
+    ``KC_ARROW_MAX_ROWS_CONF`` (default 200k rows ≈ 100 MB of int64
+    qv), the quantized point set — quantized
+    by the SAME Spark expression, so HALF_UP rounding is identical —
+    is fetched once via Arrow and the K argmax rounds run in exact
+    int64 numpy on the driver: ONE job replaces K+2 (checkpoint,
+    seed, K-1 TakeOrdereds).  Past the cap the distributed loop above
+    is unchanged — the footer read costs no job either way.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
+    pts_plan = emb.select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.round(x.cast("double") * KM_Q).cast("long")
         ).alias("qv"),
-    ).localCheckpoint(eager=True)
+    )
+
+    from amazon_books_review_spark.sources.io import table_row_count
+
+    try:
+        n_rows = table_row_count(sf_dir, "embeddings")
+    except OSError:
+        n_rows = None  # non-parquet layout: fall through to the loop
+    cap = int(
+        spark.conf.get(KC_ARROW_MAX_ROWS_CONF, str(KC_DEFAULT_ARROW_MAX_ROWS))
+    )
+    if n_rows is not None and n_rows <= cap:
+        picks = _kcenter_greedy_driver(pts_plan.toArrow())
+        return spark.createDataFrame(
+            picks, "pick_order long, vec_id long, dist_sq long"
+        )
+
+    pts = pts_plan.localCheckpoint(eager=True)
 
     def d2_to(center_qv: list[int]):
         return F.aggregate(
@@ -1411,6 +1468,34 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick_order long, vec_id long, dist_sq long"
     )
+
+
+def _kcenter_greedy_driver(tbl) -> list[tuple[int, int, int | None]]:
+    """The exact Gonzalez traversal over an Arrow table of
+    (vec_id, qv int64 list) — the small-corpus arm of
+    :func:`kcenter_coreset`.  Same integer arithmetic as the
+    distributed loop: squared-L2 in int64, argmax ties to the lowest
+    vec_id (rows sorted ascending, ``np.argmax`` takes the first
+    max), and a round whose corpus has fewer points than KC_K picks
+    re-pick the dmin-0 minimum exactly like the TakeOrdered form."""
+    import numpy as np
+
+    pdf = tbl.to_pandas()
+    if len(pdf) == 0:
+        raise ValueError("kcenter_coreset: embeddings table is empty")
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    qv = np.stack(pdf["qv"].to_numpy()[order]).astype("int64", copy=False)
+    diff = qv - qv[0]
+    dmin = np.einsum("ij,ij->i", diff, diff)
+    picks: list[tuple[int, int, int | None]] = [(0, int(ids[0]), None)]
+    for i in range(1, KC_K):
+        j = int(np.argmax(dmin))
+        picks.append((i, int(ids[j]), int(dmin[j])))
+        diff = qv - qv[j]
+        np.minimum(dmin, np.einsum("ij,ij->i", diff, diff), out=dmin)
+    return picks
 
 
 def _kcenter_oracle() -> str:

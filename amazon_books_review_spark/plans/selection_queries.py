@@ -280,17 +280,14 @@ QL_W_ALPHA_FRAC = 1.2    # alphabetic-word fraction
 QL_KEEP_THRESHOLD = 0.5
 
 
-def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-weight logistic quality probability per document.
+def _ql_quality_prob() -> "F.Column":
+    """``round(sigmoid(w . x + b), 6)`` over the fixed feature set of
+    :func:`quality_logistic_score`, as a per-row Column over ``text``.
 
-    Features (all computed in one Catalyst scan, no Python boundary):
-    ln(1 + word count), mean word length, stopword-token fraction,
-    alphabetic-word fraction.  ``quality_prob = sigmoid(w . x + b)``;
-    ``keep = prob >= {thr}``.  Per-row double arithmetic with a final
-    round(6) — no aggregation, so no summation-order hazard; the plan
-    is a zero-shuffle scan a 100 TB corpus pays once.
+    Shared by the catalog entry and :func:`corpus_filter_funnel` (r20
+    fusion) so the funnel's fused projection and the standalone
+    operator can never drift — one expression, two call sites.
     """
-    docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.lower("text")), r"\s+")
     n_words = F.size(words).cast("double")
     word_chars = F.expr(
@@ -313,12 +310,28 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(QL_W_ALPHA_FRAC) * (n_alpha / n_words)
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.round(prob, 6)
+
+
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality probability per document.
+
+    Features (all computed in one Catalyst scan, no Python boundary):
+    ln(1 + word count), mean word length, stopword-token fraction,
+    alphabetic-word fraction.  ``quality_prob = sigmoid(w . x + b)``;
+    ``keep = prob >= {thr}``.  Per-row double arithmetic with a final
+    round(6) — no aggregation, so no summation-order hazard; the plan
+    is a zero-shuffle scan a 100 TB corpus pays once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    prob_q = _ql_quality_prob()
     return docs.select(
         "doc_id",
         "lang",
         n_words.cast("long").alias("n_words"),
-        F.round(prob, 6).alias("quality_prob"),
-        (F.round(prob, 6) >= QL_KEEP_THRESHOLD).alias("keep"),
+        prob_q.alias("quality_prob"),
+        (prob_q >= QL_KEEP_THRESHOLD).alias("keep"),
     )
 
 
@@ -460,6 +473,27 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact.
     """
     docs = load_table(spark, sf_dir, "documents")
+    run = _entropy_run_struct()
+    n = F.length("text").cast("long")
+    ent = _entropy_bits(F.col("_r.s"))
+    return (
+        docs.select("doc_id", "text")
+        .withColumn("_r", run)
+        .select(
+            "doc_id",
+            n.alias("n_chars"),
+            F.col("_r.nd").alias("n_distinct_chars"),
+            ent.alias("entropy_bits"),
+            (ent < CE_MIN_BITS).alias("low_entropy"),
+        )
+    )
+
+
+def _entropy_run_struct() -> "F.Column":
+    """The sorted-run fold of :func:`char_entropy_quality` — a struct
+    Column (s = sum over runs of k*ln(k), nd = distinct chars) over
+    ``text``.  Shared with :func:`corpus_filter_funnel` (r20 fusion):
+    one expression, two call sites, zero drift."""
     # split('', '') yields [''] (one empty element) on empty text, which
     # would count as a phantom distinct char; drop empties so an empty
     # document folds over an empty array (nd=0) like the oracle's unnest.
@@ -491,22 +525,18 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(acc.runlen > 0, acc.nd + 1).otherwise(acc.nd).cast("long").alias("nd"),
         )
 
-    run = F.aggregate(F.array_sort(chars), zero, merge, finish)
+    return F.aggregate(F.array_sort(chars), zero, merge, finish)
+
+
+def _entropy_bits(s_col: "F.Column") -> "F.Column":
+    """round(H, 4) in bits from the run fold's ``s`` field — the exact
+    expression of :func:`char_entropy_quality`, parameterized on where
+    the fold's struct lives so the funnel can reference its own
+    projection."""
     n = F.length("text").cast("long")
-    ent = F.round(
-        (F.log(n.cast("double")) - F.col("_r.s") / n) / F.lit(float(__import__("math").log(2))),
+    return F.round(
+        (F.log(n.cast("double")) - s_col / n) / F.lit(float(__import__("math").log(2))),
         4,
-    )
-    return (
-        docs.select("doc_id", "text")
-        .withColumn("_r", run)
-        .select(
-            "doc_id",
-            n.alias("n_chars"),
-            F.col("_r.nd").alias("n_distinct_chars"),
-            ent.alias("entropy_bits"),
-            (ent < CE_MIN_BITS).alias("low_entropy"),
-        )
     )
 
 
@@ -616,15 +646,18 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-stage kill counts — the report every corpus release ships
     (how many documents each rule removed, and what survived).
 
-    Composes the three existing per-doc verdict operators by doc-grain
-    joins; the counts are one conditional aggregate.  The oracle
-    embeds the three operators' own oracle SQL as subqueries, so the
-    funnel cannot drift from the operators it reports on.
-
-    Scale shape: three zero-shuffle scoring scans over the same table
-    + doc-grain joins; at 100 TB you'd fuse the three verdicts into
-    one projection (they share the scan) — the composition here keeps
-    each operator's single source of truth.
+    Fuses the three verdicts into ONE projection over ONE scan (r20,
+    guide §2.2/§2.4 — the 100 TB shape the r19 docstring promised):
+    each verdict's expression comes from the operator's own shared
+    builder (``_entropy_run_struct``/``_entropy_bits``,
+    ``_ql_quality_prob``, ``gopher_quality_flags`` with passthrough),
+    so the single-source-of-truth discipline holds WITHOUT the two
+    doc-grain shuffle joins the r19 composition paid.  The oracle
+    still embeds the three operators' full oracle SQL as subqueries
+    joined at doc grain — the fused projection must reproduce the
+    composed form's rows exactly (each verdict is a per-row
+    projection of ``documents``, so the inner joins never dropped or
+    duplicated a row; the driver's hash check pins that equivalence).
 
     On the synthetic corpus the published Gopher stopword rule kills
     every document (the word-salad vocabulary contains only one of
@@ -636,16 +669,16 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amazon_books_review_spark.sources.io import load_table as _lt
 
     docs = _lt(spark, sf_dir, "documents")
-    g = gopher_quality_flags(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("g_keep")
+    ent = _entropy_bits(F.col("_r.s"))
+    scored = (
+        docs.select("doc_id", "text")
+        .withColumn("_r", _entropy_run_struct())
+        .withColumn("e_keep", ~(ent < CE_MIN_BITS))
+        .withColumn("q_keep", _ql_quality_prob() >= QL_KEEP_THRESHOLD)
     )
-    e = char_entropy_quality(spark, sf_dir).select(
-        "doc_id", (~F.col("low_entropy")).alias("e_keep")
-    )
-    q = quality_logistic_score(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("q_keep")
-    )
-    j = g.join(e, "doc_id").join(q, "doc_id")
+    j = gopher_quality_flags(
+        scored, "doc_id", "text", passthrough=("e_keep", "q_keep")
+    ).select("doc_id", "e_keep", "q_keep", F.col("keep").alias("g_keep"))
     agg = j.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum((~F.col("e_keep")).cast("long")).alias("k1"),

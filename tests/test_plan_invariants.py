@@ -434,6 +434,11 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # + sort moved out of the catalog check (they only reordered rows;
     # the write path keeps them).  Budget = the 1-row bounds agg pair.
     "hilbert_layout_codes": (4, 0, 2),
+    # zorder got the IDENTICAL r19 factoring (zorder_by -> layout.
+    # zorder_codes) and the same budget pins it (ADVICE r19: without
+    # an entry a regression reintroducing the sampling pass +
+    # exchange in the code-check entry would go uncaught)
+    "zorder_morton_codes": (4, 0, 2),
     # round-9 join pre-flight, r19 shape: the key-grain product table
     # is checkpointed and consumed by a totals agg + a TakeOrdered
     # top-N (the global row_number over every matched key is gone);
@@ -444,7 +449,9 @@ PLAN_BUDGETS: dict[str, tuple] = {
     # recursion frontier x broadcast vocab; scalar-broadcast tempering;
     # token histogram over the shared word-type checkpoint
     "gram_novelty_scores": (6, 2, 0),
-    "corpus_filter_funnel": (6, 4, 0),
+    # r20 fusion: the three verdicts compute in ONE projection over ONE
+    # scan — zero joins; the only Exchange pair is the single-row agg
+    "corpus_filter_funnel": (2, 0, 0),
     "wordpiece_tokenize": (6, 2, 0),
     "temperature_mixture_weights": (8, 0, 2),
     "bpe_apply_tokenize": (2, 0, 0),
@@ -607,6 +614,50 @@ def test_bench_stdout_line_fits_driver_tail():
     reconstructed = sum(parsed["queries"].values()) + parsed["queries_other_total"]
     assert abs(reconstructed - summary["value"]) < 0.05
     assert parsed["queries_omitted"] == len(timings) - len(parsed["queries"])
+
+
+def test_bench_line_queries_survive_large_solo_retimed():
+    """VERDICT r19 #1: on a drifted box the >1.5x gate solo-retimes a
+    third of the suite; the r18/r19 lines packed that 60-entry
+    ``solo_retimed`` map into the budget BEFORE fitting ``queries``,
+    which emptied the per-query map and left the driver's PERF
+    comparison with n_common=0 two rounds running.  The line must now
+    carry the full r03 series regardless of how many entries were
+    solo-retimed, and account for any solo entries it drops."""
+    import json
+
+    import bench
+
+    timings = {
+        n: round(0.123 + i * 0.017, 3)
+        for i, n in enumerate(sorted(all_queries()))
+    }
+    # r19's actual failure scale: 60 solo re-times
+    solo = dict(sorted(timings.items())[:60])
+    summary = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "r03_subset_total": 24.0,
+        "n_timed": len(timings),
+        "n_errors": 0,
+        "solo_retimed": solo,
+        "sf": 0.1,
+    }
+    line = json.dumps(bench._fit_line(summary, timings))
+    assert len(line) <= 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["queries"], "queries emptied by solo_retimed again"
+    for n in bench.R03_SET:
+        assert n in parsed["queries"], f"r03 series member {n} dropped"
+    assert parsed["n_solo_retimed"] == 60
+    assert (
+        len(parsed["solo_retimed"]) + parsed["solo_retimed_omitted"] == 60
+    )
+    # solo entries that did fit carry the same values as the full map
+    for n, t in parsed["solo_retimed"].items():
+        assert solo[n] == t
 
 
 def test_decontam_budget_order_independent(spark):

@@ -133,9 +133,10 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
         .sort_values("vec_id")
     )
     ids = emb["vec_id"].to_numpy()
-    qv = np.rint(np.stack(emb["embedding"].to_numpy()).astype("float64") * KM_Q).astype(
-        "int64"
-    )
+    # HALF_UP like Spark's F.round (ADVICE r19: np.rint is
+    # half-to-even, which would diverge on an exact half-milli)
+    v = np.stack(emb["embedding"].to_numpy()).astype("float64") * KM_Q
+    qv = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
     dmin = ((qv - qv[0]) ** 2).sum(axis=1)  # seed = lowest vec_id
     want = [(0, int(ids[0]), None)]
     for i in range(1, KC_K):
