@@ -81,6 +81,20 @@ QUERIES = [
     "embedding_semdedup_clusters",
     "embedding_semdedup_certified",
     "embedding_semdedup_keepers",
+    # r20: the entries this optimization round touched ...
+    "corpus_filter_funnel",
+    "kcenter_coreset",
+    # ... and a 1-2s-band sample (VERDICT r19 #8: the sf0.1 headline is
+    # overhead-dominated for these; sf1 is where data movement shows)
+    "wordpiece_tokenize",
+    "bpe_train_merges",
+    "bpe_apply_tokenize",
+    "kmv_difference_audit",
+    "dpp_partitioned_scan",
+    "join_size_preflight",
+    "kmeans_silhouette_audit",
+    "rrf_hybrid_retrieval",
+    "similarity_ivf_topk",
 ]
 
 ONLY = set(sys.argv[2:])
