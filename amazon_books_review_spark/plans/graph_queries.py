@@ -78,33 +78,39 @@ def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
     bit-identical across engines and partition layouts.
 
     Scale shape: per round, one broadcast join of the node-sized
-    label table against the static edge list (pre-partitioned by
-    ``dst`` once, lineage truncated like PageRank), a
-    ``groupBy(src, lbl)`` count whose input is edge-grain with
-    map-side partial aggregation, then a ``groupBy(src)`` argmax
-    over (count, -label) structs at (node x adopted-label) grain.
-    No per-round edge shuffle; label state is dimension-sized and
-    broadcast via :func:`broadcast_if_small` — past the configured
-    node budget the hint comes off and both joins degrade to
-    shuffles on the same keys (the web-scale path).
+    label table against the static edge list (checkpointed once,
+    lineage truncated like PageRank), then ONE src-keyed exchange
+    feeding both the ``groupBy(src, lbl)`` count and the
+    ``groupBy(src)`` argmax over (count, -label) structs (r20 —
+    see below).  Label state is dimension-sized and broadcast via
+    :func:`broadcast_if_small` — past the configured node budget the
+    hint comes off and the join degrades to a shuffle on the same
+    key (the web-scale path).
 
     Round 1 skips the label join entirely: the initial label table is
     the identity (lbl = node), so joining it against ``dst`` is just a
     rename of ``dst`` to ``lbl`` — an algebraic identity, not an
     approximation.
 
-    The ``repartition("dst")`` before the checkpoint was removed in
-    r19 on the UnknownPartitioning argument and RESTORED in r20: the
-    partitioning metadata is indeed lost, but the physical block
-    clustering survives and the r20 interleaved A/B
-    (scripts/r20_exp_repart.py) read HEAD 3.70 s median vs 3.09
-    dst-clustered / 3.26 src-clustered, consistent across all five
-    round-robin shots — same lesson as pagerank's measured
-    regression, smaller constant (here the label join is a broadcast
-    and only the round-1 (src, dst)-grain aggregate and the probe
-    locality ride the clustering).
+    r20 (EXP7, scripts/r20_exp_lp1ex.py): each round's two-level
+    aggregate used to pay TWO exchanges — hash(src, lbl) for the
+    count, then hash(src) for the argmax.  ``HashPartitioning(src)``
+    satisfies the clustered distribution of BOTH groupings (src is a
+    subset of {src, lbl}), so one explicit ``repartition("src")``
+    before the first aggregate serves the pair: 2 exchanges/round →
+    1 (plan-verified — a single Exchange node feeds both
+    HashAggregates).  With that in place the r19/r20 question of
+    clustering the edge CHECKPOINT dissolves: no aggregation reads
+    the checkpoint layout directly anymore, so the pre-checkpoint
+    repartition is genuinely dead here (interleaved A/B medians:
+    HEAD-with-dst-clustering 3.78, one-exchange + clustering 3.27,
+    one-exchange without 2.94; the no-clustering form won every
+    pairwise shot).  PageRank keeps ITS pre-checkpoint
+    ``repartition("dst")`` — its per-round aggregate reads the
+    checkpointed blocks directly, which is where the block-clustering
+    compression lives (scale_ops_queries.pagerank_copurchase).
     """
-    edges = edges.repartition("dst").localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     labels = None  # round 1: identity labels, join elided
     n_nodes = None
     for _ in range(iters):
@@ -117,6 +123,7 @@ def propagate_labels(edges: DataFrame, iters: int = LP_ITERS) -> DataFrame:
             )
         adopted = (
             joined
+            .repartition("src")  # ONE exchange serves both aggregates
             .groupBy("src", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("src")

@@ -115,3 +115,34 @@ def test_gopher_passthrough_columns_preserved(spark):
         base.drop("doc_id").collect()
         == through.drop("doc_id", "extra").collect()
     )
+
+
+def test_labelprop_round_single_exchange(spark):
+    """r20 EXP7: one src-keyed repartition must serve BOTH of the
+    label-prop round's aggregates — hash(src) satisfies the clustered
+    distribution of groupBy(src, lbl) AND groupBy(src), so a round
+    plans exactly ONE Exchange node (it used to plan two)."""
+    import contextlib
+    import io
+    import re
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    adopted = (
+        edges.select("src", F.col("dst").alias("lbl"))
+        .repartition("src")
+        .groupBy("src", "lbl")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("src")
+        .agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias(
+                "best"
+            )
+        )
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        adopted.explain("formatted")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+    assert n_exchange == 1, buf.getvalue()
